@@ -1,0 +1,528 @@
+package graft.operators
+
+import graft.{Det, GQuery}
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Relational / analytic core (SURVEY.md §2.C): scans, filter/project,
+  * joins, aggregations, sorts/limits, set operations.
+  *
+  * These are the verbs the reference's dataflow pipelines use
+  * (map/filter/keyBy/aggregate over `DataStream[T]`) restated on the Spark
+  * SQL engine, where Catalyst provides pushdown, pruning, join selection,
+  * and whole-stage codegen for free (SURVEY §4.2).
+  *
+  * Scale notes are given per query: each plan is chosen to survive a
+  * 100 TB input (map-side combine, broadcast dims, keyed self-joins).
+  */
+object Relational {
+  import Det._
+
+  // ------------------------------------------------------------ q1_pricing
+  /** Flagship: TPC-H Q1-shaped pricing summary. Scan → filter (pushed to
+    * parquet) → partial+final hash agg (6 groups ⇒ tiny shuffle) → sort.
+    * At 100 TB this is pure map-side combine; shuffle volume is O(groups).
+    */
+  def q1Pricing(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum2(col("l_quantity")).as("sum_qty"),
+        sum2(col("l_extendedprice")).as("sum_base_price"),
+        (sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")) * 10))
+          .cast("double") / 1000000.0).as("sum_disc_price"),
+        avg2(col("l_quantity")).as("avg_qty"),
+        avg2(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  // l_discount is 2dp in [0,0.1]: cents(disc)*10 = disc*1000 exactly, so
+  // price_cents*(100 - disc_mill/10)... kept as integer math at 1e-6 $ units.
+  private val q1Oracle =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  ${oSum2("l_quantity")} AS sum_qty,
+       |  ${oSum2("l_extendedprice")} AS sum_base_price,
+       |  CAST(CAST(SUM(${oCents("l_extendedprice")} * (100 - ${oCents("l_discount")}*10)) AS BIGINT) AS DOUBLE)/1000000.0 AS sum_disc_price,
+       |  ${oAvg2("l_quantity")} AS avg_qty,
+       |  ${oAvg2("l_discount")} AS avg_disc,
+       |  COUNT(*) AS count_order
+       |FROM lineitem
+       |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+       |GROUP BY l_returnflag, l_linestatus
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // ---------------------------------------------------------- scan_parquet
+  /** Plain columnar scan, vectorized parquet read, total-order output. */
+  def scanParquet(spark: SparkSession, dir: String): DataFrame =
+    Tables.supplier(spark, dir).orderBy(col("s_suppkey"))
+
+  private val scanParquetOracle =
+    "SELECT * FROM supplier ORDER BY s_suppkey"
+
+  // ----------------------------------------------------------- scan_pruned
+  /** Column pruning + predicate pushdown: ReadSchema must show only the
+    * three projected columns and PushedFilters the shipdate bound — at
+    * 100 TB this is the difference between scanning 3 columns of a row
+    * group vs all 11, and skipping row groups via min/max stats.
+    */
+  def scanPruned(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"))
+      .filter(col("l_shipdate") >= lit("2001-09-01").cast("timestamp"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  private val scanPrunedOracle =
+    """SELECT l_orderkey, l_linenumber, l_shipdate FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '2001-09-01'
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  // ------------------------------------------------------- source_json_col
+  /** JSON-in-string column (events.props): extract, cast, aggregate.
+    * `get_json_object` is codegen'd; at scale prefer extracting once in a
+    * projection rather than re-parsing per predicate.
+    */
+  def sourceJsonCol(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("k"))
+
+  private val sourceJsonColOracle =
+    """SELECT CAST(props->>'k' AS BIGINT) AS k, COUNT(*) AS n
+      |FROM events GROUP BY 1 ORDER BY k""".stripMargin
+
+  // ------------------------------------------------------------ filter_pred
+  /** Predicate families: BETWEEN, IN, LIKE, modular arithmetic, NOT. */
+  def filterPred(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .filter(
+        col("o_totalprice").between(50000, 100000) &&
+          col("o_orderstatus").isin("F", "O") &&
+          col("o_orderpriority").like("%URGENT%") &&
+          !(col("o_orderkey") % 10 === 3))
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      .orderBy(col("o_orderkey"))
+
+  private val filterPredOracle =
+    """SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+      |WHERE o_totalprice BETWEEN 50000 AND 100000
+      |  AND o_orderstatus IN ('F','O')
+      |  AND o_orderpriority LIKE '%URGENT%'
+      |  AND NOT (o_orderkey % 10 = 3)
+      |ORDER BY o_orderkey""".stripMargin
+
+  // ----------------------------------------------------------- project_expr
+  /** Row-wise expression projection: arithmetic, CASE WHEN, casts.
+    * Per-row IEEE arithmetic on identical inputs is bit-deterministic
+    * (only aggregation order isn't) so raw doubles are safe here.
+    */
+  def projectExpr(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("2001-06-01").cast("timestamp"))
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("disc_price"),
+        when(col("l_quantity") > 25, lit("bulk")).otherwise(lit("small")).as("size_class"),
+        col("l_quantity").cast("int").as("qty_int"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  private val projectExprOracle =
+    """SELECT l_orderkey, l_linenumber,
+      |  l_extendedprice * (1.0 - l_discount) AS disc_price,
+      |  CASE WHEN l_quantity > 25 THEN 'bulk' ELSE 'small' END AS size_class,
+      |  CAST(l_quantity AS INTEGER) AS qty_int
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '2001-06-01'
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  // ------------------------------------------------------------- join_inner
+  /** Shuffle equi-join orders⋈customer then aggregate. At 100 TB both
+    * sides are large ⇒ sort-merge/shuffled-hash on the key; AQE handles
+    * skew. The aggregate keeps shuffle output O(customers).
+    */
+  def joinInner(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"), sum2(col("o_totalprice")).as("total_spend"))
+      .orderBy(col("c_custkey"))
+
+  private val joinInnerOracle =
+    s"""SELECT c_custkey, c_mktsegment, COUNT(*) AS n_orders,
+       |  ${oSum2("o_totalprice")} AS total_spend
+       |FROM orders JOIN customer ON o_custkey = c_custkey
+       |GROUP BY c_custkey, c_mktsegment
+       |ORDER BY c_custkey""".stripMargin
+
+  // --------------------------------------------------------- join_broadcast
+  /** Explicit broadcast of the small dim (part) against the fact
+    * (lineitem): no shuffle of the 100 TB side, map-side hash join.
+    */
+  def joinBroadcast(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_items"), sum2(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("p_brand"))
+
+  private val joinBroadcastOracle =
+    s"""SELECT p_brand, COUNT(*) AS n_items, ${oSum2("l_quantity")} AS sum_qty
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
+  // ---------------------------------------------------------------- join_left
+  /** Left outer join preserving customers with zero orders. */
+  def joinLeft(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"))
+      .orderBy(col("c_custkey"))
+
+  private val joinLeftOracle =
+    """SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+      |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- join_full
+  /** Full outer join of two keyed aggregates (rich vs poor account bases
+    * per nation); coalesced key keeps the output total-ordered.
+    */
+  def joinFull(spark: SparkSession, dir: String): DataFrame = {
+    val rich = Tables.supplier(spark, dir).filter(col("s_acctbal") > 5000)
+      .groupBy(col("s_nationkey").as("nk")).agg(count(lit(1)).as("n_rich_supp"))
+    val big = Tables.customer(spark, dir).filter(col("c_acctbal") > 9000)
+      .groupBy(col("c_nationkey").as("nk2")).agg(count(lit(1)).as("n_big_cust"))
+    rich.join(big, col("nk") === col("nk2"), "full")
+      .select(
+        coalesce(col("nk"), col("nk2")).as("nationkey"),
+        col("n_rich_supp"), col("n_big_cust"))
+      .orderBy(col("nationkey"))
+  }
+
+  private val joinFullOracle =
+    """WITH rich AS (
+      |  SELECT s_nationkey AS nk, COUNT(*) AS n_rich_supp FROM supplier
+      |  WHERE s_acctbal > 5000 GROUP BY 1),
+      |big AS (
+      |  SELECT c_nationkey AS nk2, COUNT(*) AS n_big_cust FROM customer
+      |  WHERE c_acctbal > 9000 GROUP BY 1)
+      |SELECT COALESCE(nk, nk2) AS nationkey, n_rich_supp, n_big_cust
+      |FROM rich FULL OUTER JOIN big ON nk = nk2
+      |ORDER BY nationkey""".stripMargin
+
+  // ---------------------------------------------------------------- join_semi
+  /** Existence join: customers holding at least one urgent open order.
+    * left_semi never duplicates or widens rows — at scale this avoids
+    * materializing the orders side beyond the join keys.
+    */
+  def joinSemi(spark: SparkSession, dir: String): DataFrame = {
+    val urgent = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey"))
+    Tables.customer(spark, dir)
+      .join(urgent, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  private val joinSemiOracle =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      |ORDER BY c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- join_anti
+  /** Negated existence: customers who never placed an urgent order. */
+  def joinAnti(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir)
+          .filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+
+  private val joinAntiOracle =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      |ORDER BY c_custkey""".stripMargin
+
+  // --------------------------------------------------------------- join_theta
+  /** Band join: lineitems shipped 60–120 days after their order date
+    * (equi key + range predicate — the scalable theta-join shape: the
+    * range rides on the equi shuffle instead of a cartesian product).
+    */
+  def joinTheta(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    li.join(o,
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") >= date_add(col("o_orderdate"), 60) &&
+          col("l_shipdate") < date_add(col("o_orderdate"), 120))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_late"), sum2(col("l_extendedprice")).as("late_value"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  private val joinThetaOracle =
+    s"""SELECT o_orderpriority, COUNT(*) AS n_late,
+       |  ${oSum2("l_extendedprice")} AS late_value
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  AND l_shipdate >= o_orderdate + INTERVAL 60 DAY
+       |  AND l_shipdate <  o_orderdate + INTERVAL 120 DAY
+       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // ----------------------------------------------------------------- agg_hash
+  /** Partial+final hash aggregation with several aggregate kinds. */
+  def aggHash(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum2(col("value")).as("sum_value"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("event_type"))
+
+  private val aggHashOracle =
+    s"""SELECT event_type, COUNT(*) AS n, ${oSum2("value")} AS sum_value,
+       |  MIN(value) AS min_value, MAX(value) AS max_value,
+       |  COUNT(DISTINCT user_id) AS n_users
+       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ------------------------------------------------------------- agg_distinct
+  /** Multi-distinct aggregation (expand-based plan in Spark). */
+  def aggDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        countDistinct(col("l_orderkey")).as("n_orders"))
+      .orderBy(col("l_returnflag"))
+
+  private val aggDistinctOracle =
+    """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+      |  COUNT(DISTINCT l_suppkey) AS n_supps,
+      |  COUNT(DISTINCT l_orderkey) AS n_orders
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // ------------------------------------------------------ agg_approx_distinct
+  /** HLL++ approximate distinct (sketch-family capability; declared
+    * WITHOUT an oracle — estimator internals differ across engines; the
+    * exact twin is checked in agg_distinct). At 100 TB this replaces a
+    * full distinct shuffle with fixed-size mergeable sketches.
+    */
+  def aggApproxDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+      .orderBy(col("l_returnflag"))
+
+  // --------------------------------------------------------- agg_grouping_sets
+  /** ROLLUP with grouping_id — multi-level aggregates in one pass. */
+  def aggGroupingSets(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), sum2(col("l_quantity")).as("sum_qty"),
+        grouping_id().as("gid"))
+      .orderBy(
+        col("gid"),
+        col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  private val aggGroupingSetsOracle =
+    s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+       |  ${oSum2("l_quantity")} AS sum_qty,
+       |  GROUPING(l_returnflag, l_linestatus) AS gid
+       |FROM lineitem
+       |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+       |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------- agg_having
+  /** Post-aggregation filter (HAVING). */
+  def aggHaving(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"), sum2(col("o_totalprice")).as("spend"))
+      .filter(col("n_orders") >= 15)
+      .orderBy(col("o_custkey"))
+
+  private val aggHavingOracle =
+    s"""SELECT o_custkey, COUNT(*) AS n_orders, ${oSum2("o_totalprice")} AS spend
+       |FROM orders GROUP BY o_custkey
+       |HAVING COUNT(*) >= 15 ORDER BY o_custkey""".stripMargin
+
+  // ----------------------------------------------------------------- agg_stats
+  /** Statistical aggregates. Rounded to 6dp: these are float-order
+    * dependent at the 1e-15 relative level; rounding absorbs it.
+    */
+  def aggStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_linestatus"))
+      .agg(
+        round(stddev_samp(col("l_quantity")), 6).as("sd_qty"),
+        round(var_samp(col("l_quantity")), 6).as("var_qty"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
+        round(covar_samp(col("l_quantity"), col("l_discount")), 6).as("covar_qty_disc"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 6).as("median_price"))
+      .orderBy(col("l_linestatus"))
+
+  private val aggStatsOracle =
+    """SELECT l_linestatus,
+      |  ROUND(STDDEV_SAMP(l_quantity), 6) AS sd_qty,
+      |  ROUND(VAR_SAMP(l_quantity), 6) AS var_qty,
+      |  ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+      |  ROUND(COVAR_SAMP(l_quantity, l_discount), 6) AS covar_qty_disc,
+      |  ROUND(QUANTILE_CONT(l_extendedprice, 0.5), 6) AS median_price
+      |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
+
+  // --------------------------------------------------------------- agg_collect
+  /** Set/list collection — always array_sort'ed for determinism. */
+  def aggCollect(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        array_sort(collect_set(col("o_orderstatus"))).as("statuses"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderpriority"))
+
+  private val aggCollectOracle =
+    """SELECT o_orderpriority,
+      |  list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+      |  COUNT(*) AS n
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------- sort_multi
+  /** Multi-key sort with explicit direction and NULL placement. */
+  def sortMulti(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .filter(col("o_totalprice") > 450000)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .orderBy(
+        col("o_orderstatus").desc_nulls_last,
+        col("o_totalprice").asc_nulls_first,
+        col("o_orderkey"))
+
+  private val sortMultiOracle =
+    """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      |WHERE o_totalprice > 450000
+      |ORDER BY o_orderstatus DESC NULLS LAST, o_totalprice ASC NULLS FIRST,
+      |  o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- limit_topk
+  /** Global top-k: Spark plans TakeOrderedAndProject — per-partition
+    * top-k then a k-row merge on the driver; no full sort at 100 TB.
+    */
+  def limitTopk(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+
+  private val limitTopkOracle =
+    """SELECT o_orderkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin
+
+  // ----------------------------------------------------------------- set_union
+  /** UNION (distinct) of two key sets. */
+  def setUnion(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir).select(col("c_nationkey").as("nationkey"))
+      .union(Tables.supplier(spark, dir).select(col("s_nationkey").as("nationkey")))
+      .distinct()
+      .orderBy(col("nationkey"))
+
+  private val setUnionOracle =
+    """SELECT c_nationkey AS nationkey FROM customer
+      |UNION SELECT s_nationkey FROM supplier ORDER BY nationkey""".stripMargin
+
+  // ------------------------------------------------------------- set_intersect
+  /** INTERSECT of heavily-shipped part-keys vs high-price parts. */
+  def setIntersect(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir).filter(col("l_quantity") >= 40)
+      .select(col("l_partkey").as("partkey"))
+      .intersect(Tables.part(spark, dir).filter(col("p_retailprice") > 990)
+        .select(col("p_partkey").as("partkey")))
+      .orderBy(col("partkey"))
+
+  private val setIntersectOracle =
+    """SELECT l_partkey AS partkey FROM lineitem WHERE l_quantity >= 40
+      |INTERSECT
+      |SELECT p_partkey FROM part WHERE p_retailprice > 990
+      |ORDER BY partkey""".stripMargin
+
+  // ---------------------------------------------------------------- set_except
+  /** EXCEPT: large parts never shipped in bulk. */
+  def setExcept(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir).filter(col("p_size") >= 45)
+      .select(col("p_partkey").as("partkey"))
+      .except(Tables.lineitem(spark, dir).filter(col("l_quantity") >= 48)
+        .select(col("l_partkey").as("partkey")))
+      .orderBy(col("partkey"))
+
+  private val setExceptOracle =
+    """SELECT p_partkey AS partkey FROM part WHERE p_size >= 45
+      |EXCEPT
+      |SELECT l_partkey FROM lineitem WHERE l_quantity >= 48
+      |ORDER BY partkey""".stripMargin
+
+  def queries: Seq[GQuery] = Seq(
+    GQuery("q1_pricing", q1Pricing, Some(q1Oracle),
+      "flagship TPC-H Q1-shaped pricing summary (scan+filter+agg+sort)"),
+    GQuery("scan_parquet", scanParquet, Some(scanParquetOracle),
+      "plain vectorized parquet scan"),
+    GQuery("scan_pruned", scanPruned, Some(scanPrunedOracle),
+      "column pruning + predicate pushdown into parquet"),
+    GQuery("source_json_col", sourceJsonCol, Some(sourceJsonColOracle),
+      "JSON-in-string extraction (events.props)"),
+    GQuery("filter_pred", filterPred, Some(filterPredOracle),
+      "BETWEEN / IN / LIKE / NOT predicate combos"),
+    GQuery("project_expr", projectExpr, Some(projectExprOracle),
+      "arithmetic, CASE WHEN, cast projection"),
+    GQuery("join_inner", joinInner, Some(joinInnerOracle),
+      "shuffle equi inner join + aggregate"),
+    GQuery("join_broadcast", joinBroadcast, Some(joinBroadcastOracle),
+      "broadcast-hash join of small dim against fact"),
+    GQuery("join_left", joinLeft, Some(joinLeftOracle),
+      "left outer join preserving unmatched"),
+    GQuery("join_full", joinFull, Some(joinFullOracle),
+      "full outer join of keyed aggregates"),
+    GQuery("join_semi", joinSemi, Some(joinSemiOracle),
+      "left-semi existence join"),
+    GQuery("join_anti", joinAnti, Some(joinAntiOracle),
+      "left-anti negated-existence join"),
+    GQuery("join_theta", joinTheta, Some(joinThetaOracle),
+      "band join (equi key + date-range predicate)"),
+    GQuery("agg_hash", aggHash, Some(aggHashOracle),
+      "partial+final hash aggregation, mixed aggregates"),
+    GQuery("agg_distinct", aggDistinct, Some(aggDistinctOracle),
+      "multi COUNT(DISTINCT) aggregation"),
+    GQuery("agg_approx_distinct", aggApproxDistinct, None,
+      "HLL++ approx distinct (no oracle: estimator-specific; exact twin in agg_distinct)"),
+    GQuery("agg_grouping_sets", aggGroupingSets, Some(aggGroupingSetsOracle),
+      "ROLLUP multi-level aggregation with grouping_id"),
+    GQuery("agg_having", aggHaving, Some(aggHavingOracle),
+      "post-aggregation HAVING filter"),
+    GQuery("agg_stats", aggStats, Some(aggStatsOracle),
+      "stddev/var/corr/covar/percentile statistics"),
+    GQuery("agg_collect", aggCollect, Some(aggCollectOracle),
+      "collect_set list aggregation (sorted for determinism)"),
+    GQuery("sort_multi", sortMulti, Some(sortMultiOracle),
+      "multi-key sort, explicit direction + NULL placement"),
+    GQuery("limit_topk", limitTopk, Some(limitTopkOracle),
+      "global top-k via TakeOrderedAndProject"),
+    GQuery("set_union", setUnion, Some(setUnionOracle),
+      "UNION distinct"),
+    GQuery("set_intersect", setIntersect, Some(setIntersectOracle),
+      "INTERSECT"),
+    GQuery("set_except", setExcept, Some(setExceptOracle),
+      "EXCEPT")
+  )
+}

@@ -1,0 +1,49 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Parquet readers for the driver-generated star schema + event/LLM tables
+  * (`/root/testdata/sf*`; schemas in FIXTURES.md).
+  *
+  * All scans go through here so predicate pushdown / column pruning behavior
+  * is uniform and so a future cluster deployment can swap the path scheme
+  * (e.g. an object-store prefix, partitioned layouts) in one place.
+  *
+  * Reference analog: the reference consumes unbounded `DataStream[T]`
+  * sources (SURVEY.md §1.1 D1); our batch engine reads columnar parquet and
+  * relies on Spark's vectorized reader. At 100 TB these become partitioned
+  * parquet/iceberg scans — the API is unchanged.
+  */
+object Tables {
+  val starTables: Seq[String] =
+    Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
+  val allTables: Seq[String] = starTables ++ Seq("events", "documents", "embeddings")
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "region")
+  def nation(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "nation")
+  def customer(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame      = table(spark, dir, "part")
+  def orders(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "orders")
+  def lineitem(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "lineitem")
+  /** events.ts is parquet TIMESTAMP(NANOS,false). With
+    * `spark.sql.legacy.parquet.nanosAsLong=true` Spark reads it as LongType
+    * nanos-since-epoch; normalize to TimestampType (µs, truncating — same
+    * floor DuckDB applies when it down-converts ns). Falls back to the raw
+    * column if a future Spark reads nanos natively.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val df = table(spark, dir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+      case _ => df
+    }
+  }
+  def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+}
