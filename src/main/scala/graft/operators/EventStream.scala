@@ -1,9 +1,283 @@
 package graft.operators
 
-import graft.GQuery
+import graft.{Det, GQuery}
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 
-/** Event-time streaming semantics in batch form (tumble/slide/session/
-  * watermark/stateful/dedup — SURVEY.md §2.C "Streaming semantics"). */
+/** Event-time streaming semantics expressed relationally over the batch
+  * `events` table (SURVEY.md §2.C "Streaming semantics").
+  *
+  * The reference is a streaming system (Flink DataStream); the driver
+  * contract is batch, so tumbling/sliding/session windows, watermarks,
+  * keyed state, and dedup are expressed as deterministic SQL shapes the
+  * DuckDB oracle can check. `graft.streaming` carries the true
+  * Structured Streaming forms of the same computations.
+  *
+  * Scale: every shape here shuffles once on (key) or (bucket) and then
+  * works partition-locally — the same layout a Structured Streaming
+  * stateful operator would use, so the batch plan is the streaming plan.
+  */
 object EventStream {
-  def queries: Seq[GQuery] = Seq()
+  import Det._
+
+  // -------------------------------------------------------------- stream_tumble
+  /** Tumbling 1-hour event-time window per event type (native window()
+    * on the Spark side; epoch-bucket arithmetic in the oracle — both
+    * align buckets to the Unix epoch).
+    */
+  def streamTumble(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(
+        window(col("ts"), "1 hour").getField("start").as("win_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), sum2(col("value")).as("sum_value"))
+      .orderBy(col("win_start"), col("event_type"))
+
+  private val streamTumbleOracle =
+    s"""SELECT make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS win_start,
+       |  event_type, COUNT(*) AS n, ${oSum2("value")} AS sum_value
+       |FROM events
+       |GROUP BY 1, 2
+       |ORDER BY win_start, event_type""".stripMargin
+
+  // --------------------------------------------------------------- stream_slide
+  /** Sliding window: 1-hour windows every 15 minutes. Each event lands in
+    * 4 windows; both engines enumerate the covering slide starts with the
+    * same epoch arithmetic (Spark's native window(ts, len, slide) uses
+    * identical epoch alignment; the explicit form keeps the two engines
+    * trivially in lockstep).
+    */
+  def streamSlide(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("k", expr("unix_micros(ts) div 900000000"))
+      .withColumn("slide", explode(expr("sequence(k - 3, k)")))
+      .withColumn("win_start", timestamp_micros(col("slide") * lit(900000000L)))
+      .groupBy(col("win_start"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("win_start"))
+
+  private val streamSlideOracle =
+    """SELECT make_timestamp(slide * 900000000) AS win_start,
+      |  COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users
+      |FROM (SELECT *, unnest(generate_series((epoch_us(ts) // 900000000) - 3,
+      |                                       epoch_us(ts) // 900000000)) AS slide
+      |      FROM events) t
+      |GROUP BY 1
+      |ORDER BY win_start""".stripMargin
+
+  // -------------------------------------------------------------- stream_session
+  /** Session windows (2-hour inactivity gap) per user — the classic
+    * sessionization rewrite: gap flag via lag, session id via running
+    * sum, then one aggregate per session.
+    */
+  def streamSession(spark: SparkSession, dir: String): DataFrame = {
+    val wOrder = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gapUs = 2L * 3600 * 1000000
+    Tables.events(spark, dir)
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .withColumn("new_sess",
+        when(col("ts_us") - lag(col("ts_us"), 1).over(wOrder) > gapUs ||
+          lag(col("ts_us"), 1).over(wOrder).isNull, lit(1)).otherwise(lit(0)))
+      .withColumn("sess_id",
+        sum(col("new_sess")).over(wOrder.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("sess_id"))
+      .agg(
+        min(col("ts_us")).as("sess_start_us"),
+        max(col("ts_us")).as("sess_end_us"),
+        count(lit(1)).as("n_events"))
+      .filter(col("n_events") >= 3)
+      .orderBy(col("user_id"), col("sess_id"))
+  }
+
+  private val streamSessionOracle =
+    """WITH flagged AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+      |    CASE WHEN epoch_us(ts) - LAG(epoch_us(ts), 1)
+      |           OVER (PARTITION BY user_id ORDER BY ts, event_id) > 7200000000
+      |         OR LAG(epoch_us(ts), 1)
+      |           OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |    THEN 1 ELSE 0 END AS new_sess
+      |  FROM events),
+      |sessions AS (
+      |  SELECT user_id, ts_us,
+      |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+      |  FROM flagged)
+      |SELECT user_id, sess_id, MIN(ts_us) AS sess_start_us,
+      |  MAX(ts_us) AS sess_end_us, COUNT(*) AS n_events
+      |FROM sessions
+      |GROUP BY user_id, sess_id
+      |HAVING COUNT(*) >= 3
+      |ORDER BY user_id, sess_id""".stripMargin
+
+  // ------------------------------------------------------------ stream_watermark
+  /** Watermark batch analog: drop events later than max(ts) − 10 min
+    * (the late-data cutoff a streaming watermark would enforce), then
+    * aggregate. The scalar max broadcasts — no per-row recompute.
+    */
+  def streamWatermark(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val cutoff = ev.agg((max(unix_micros(col("ts"))) - 600L * 1000000L).as("cut_us"))
+    ev.crossJoin(cutoff)
+      .filter(unix_micros(col("ts")) <= col("cut_us"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_on_time"))
+      .orderBy(col("event_type"))
+  }
+
+  private val streamWatermarkOracle =
+    """SELECT event_type, COUNT(*) AS n_on_time
+      |FROM events
+      |WHERE epoch_us(ts) <= (SELECT MAX(epoch_us(ts)) - 600000000 FROM events)
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  // ------------------------------------------------------------ stream_stateful
+  /** Keyed running state (the PS analog in streaming: per-key counters
+    * evolving with each record): cumulative count + cumulative sum per
+    * user in event-time order — what mapGroupsWithState maintains
+    * incrementally, expressed as a cumulative window.
+    */
+  def streamStateful(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    Tables.events(spark, dir)
+      .filter(col("user_id") <= 10)
+      .select(
+        col("user_id"), col("event_id"),
+        count(lit(1)).over(w).as("state_n"),
+        (sum(cents(col("value"))).over(w).cast("double") / 100.0).as("state_sum"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  private val streamStatefulOracle =
+    """SELECT user_id, event_id,
+      |  COUNT(*) OVER w AS state_n,
+      |  CAST(CAST(SUM(CAST(ROUND((value)*100) AS BIGINT)) OVER w AS BIGINT) AS DOUBLE)/100.0
+      |    AS state_sum
+      |FROM events
+      |WHERE user_id <= 10
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, event_id""".stripMargin
+
+  // ----------------------------------------------------------- stream_dedup_late
+  /** Exact dedup with bounded keys — dropDuplicates semantics: first
+    * event per (user, minute, type) in event-time order survives (the
+    * batch analog of dropDuplicatesWithinWatermark).
+    */
+  def streamDedupLate(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window
+      .partitionBy(col("user_id"), col("minute"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("minute", expr("unix_micros(ts) div 60000000"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("event_id"), col("user_id"), col("minute"), col("event_type"))
+      .orderBy(col("event_id"))
+  }
+
+  private val streamDedupLateOracle =
+    """SELECT event_id, user_id, minute, event_type FROM (
+      |  SELECT event_id, user_id, epoch_us(ts) // 60000000 AS minute, event_type, ts,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id, epoch_us(ts) // 60000000, event_type
+      |      ORDER BY ts, event_id) AS rn
+      |  FROM events) t
+      |WHERE rn = 1
+      |ORDER BY event_id""".stripMargin
+
+  // -------------------------------------------------------------- join_interval
+  /** Interval-containment join: purchases within 1 hour after a click by
+    * the same user (equi key + time-range band — keyed, so the pair count
+    * stays bounded per user; never a free cross join).
+    */
+  def joinInterval(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), unix_micros(col("ts")).as("click_us"),
+        col("event_id").as("click_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), unix_micros(col("ts")).as("purch_us"),
+        col("event_id").as("purch_id"))
+    clicks.join(purchases,
+        col("cu") === col("pu") &&
+          col("purch_us") > col("click_us") &&
+          col("purch_us") <= col("click_us") + 3600L * 1000000L)
+      .groupBy(col("cu").as("user_id"))
+      .agg(count(lit(1)).as("n_pairs"), countDistinct(col("purch_id")).as("n_purchases"))
+      .orderBy(col("user_id"))
+  }
+
+  private val joinIntervalOracle =
+    """SELECT c.user_id AS user_id, COUNT(*) AS n_pairs,
+      |  COUNT(DISTINCT p.event_id) AS n_purchases
+      |FROM events c JOIN events p
+      |  ON c.user_id = p.user_id
+      | AND p.event_type = 'purchase' AND c.event_type = 'click'
+      | AND epoch_us(p.ts) > epoch_us(c.ts)
+      | AND epoch_us(p.ts) <= epoch_us(c.ts) + 3600000000
+      |GROUP BY 1
+      |ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------- pred_stream
+  /** Online prediction + continuous evaluation (EDBT'18 shape): model =
+    * per-type mean from the first 20 days, scored on later events with a
+    * rolling mean absolute error. Model mean is rounded to cents so the
+    * per-row error is an exact 2dp value — the rolling sum then runs on
+    * integers.
+    */
+  def predStream(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val cut = lit("2024-01-21 00:00:00").cast("timestamp")
+    val model = ev.filter(col("ts") < cut)
+      .groupBy(col("event_type"))
+      .agg((round(avg2(col("value")) * 100) / 100.0).as("pred"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-9, 0)
+    ev.filter(col("ts") >= cut)
+      .join(model, "event_type")
+      .withColumn("abs_err_c", abs(cents(col("value")) - cents(col("pred"))))
+      .select(
+        col("event_type"), col("event_id"),
+        (sum(col("abs_err_c")).over(w).cast("double") / 100.0 /
+          count(lit(1)).over(w).cast("double")).as("rolling_mae"))
+      .orderBy(col("event_type"), col("event_id"))
+  }
+
+  private val predStreamOracle =
+    s"""WITH model AS (
+       |  SELECT event_type,
+       |    ROUND((${oAvg2("value")}) * 100) / 100.0 AS pred
+       |  FROM events WHERE ts < TIMESTAMP '2024-01-21 00:00:00'
+       |  GROUP BY event_type)
+       |SELECT e.event_type AS event_type, e.event_id AS event_id,
+       |  CAST(SUM(ABS(${oCents("e.value")} - ${oCents("m.pred")})) OVER w AS DOUBLE)/100.0
+       |    / CAST(COUNT(*) OVER w AS DOUBLE) AS rolling_mae
+       |FROM events e JOIN model m ON e.event_type = m.event_type
+       |WHERE e.ts >= TIMESTAMP '2024-01-21 00:00:00'
+       |WINDOW w AS (PARTITION BY e.event_type ORDER BY e.ts, e.event_id
+       |  ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+       |ORDER BY event_type, event_id""".stripMargin
+
+  def queries: Seq[GQuery] = Seq(
+    GQuery("stream_tumble", streamTumble, Some(streamTumbleOracle),
+      "tumbling 1h event-time window aggregate"),
+    GQuery("stream_slide", streamSlide, Some(streamSlideOracle),
+      "sliding 1h/15m window aggregate"),
+    GQuery("stream_session", streamSession, Some(streamSessionOracle),
+      "session windows via gap+cumulative-sum sessionization"),
+    GQuery("stream_watermark", streamWatermark, Some(streamWatermarkOracle),
+      "late-data cutoff (watermark batch analog)"),
+    GQuery("stream_stateful", streamStateful, Some(streamStatefulOracle),
+      "keyed running state (mapGroupsWithState batch analog)"),
+    GQuery("stream_dedup_late", streamDedupLate, Some(streamDedupLateOracle),
+      "exact dedup, first-in-event-time survives"),
+    GQuery("join_interval", joinInterval, Some(joinIntervalOracle),
+      "interval containment join (keyed time band)"),
+    GQuery("pred_stream", predStream, Some(predStreamOracle),
+      "train/score split + rolling MAE (online eval shape)")
+  )
 }

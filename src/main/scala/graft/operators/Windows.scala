@@ -1,8 +1,219 @@
 package graft.operators
 
-import graft.GQuery
+import graft.{Det, GQuery}
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 
-/** Window functions, per-group top-k, as-of joins (SURVEY.md §2.C). */
+/** Window functions, per-group top-k, as-of joins (SURVEY.md §2.C).
+  *
+  * These are the batch restatement of the reference's per-key ordered
+  * processing: worker-local recency state (mf_user_memory), online top-k
+  * emission (mf_topk), and "join each record to the most recent model
+  * version" (pull answers) all become window functions over keyed,
+  * time-ordered partitions — one shuffle on the partition key, then
+  * order-local computation; no N² pair joins, which is what keeps these
+  * shapes viable at 100 TB.
+  */
 object Windows {
-  def queries: Seq[GQuery] = Seq()
+  import Det._
+
+  // ------------------------------------------------------------------ win_rank
+  /** Ranking family: row_number / rank / dense_rank / ntile per customer.
+    * Window ORDER BY carries a total-order tiebreak (o_orderkey) so
+    * row_number is deterministic.
+    */
+  def winRank(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .filter(col("o_custkey") <= 200)
+      .select(
+        col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(w).as("rn"),
+        rank().over(w).as("rk"),
+        dense_rank().over(w).as("drk"),
+        ntile(4).over(w).as("quartile"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  private val winRankOracle =
+    """SELECT o_custkey, o_orderkey, o_totalprice,
+      |  ROW_NUMBER() OVER w AS rn,
+      |  RANK() OVER w AS rk,
+      |  DENSE_RANK() OVER w AS drk,
+      |  NTILE(4) OVER w AS quartile
+      |FROM orders
+      |WHERE o_custkey <= 200
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+      |ORDER BY o_custkey, rn""".stripMargin
+
+  // -------------------------------------------------------------- win_analytic
+  /** Analytic family: lag / lead / first / last over per-user event time.
+    * Explicit frames everywhere — engine default frames differ subtly.
+    */
+  def winAnalytic(spark: SparkSession, dir: String): DataFrame = {
+    val order = Seq(col("ts"), col("event_id"))
+    val w = Window.partitionBy(col("user_id")).orderBy(order: _*)
+    val wAll = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.events(spark, dir)
+      .filter(col("user_id") <= 20)
+      .select(
+        col("user_id"), col("event_id"), col("event_type"),
+        lag(col("value"), 1).over(w).as("prev_value"),
+        lead(col("event_type"), 1).over(w).as("next_type"),
+        first(col("event_id")).over(wAll).as("first_event"),
+        last(col("event_id")).over(wAll).as("last_event"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  private val winAnalyticOracle =
+    """SELECT user_id, event_id, event_type,
+      |  LAG(value, 1) OVER w AS prev_value,
+      |  LEAD(event_type, 1) OVER w AS next_type,
+      |  FIRST_VALUE(event_id) OVER
+      |    (PARTITION BY user_id ORDER BY ts, event_id
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_event,
+      |  LAST_VALUE(event_id) OVER
+      |    (PARTITION BY user_id ORDER BY ts, event_id
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_event
+      |FROM events
+      |WHERE user_id <= 20
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |ORDER BY user_id, event_id""".stripMargin
+
+  // ------------------------------------------------------------ win_frame_rows
+  /** Rolling ROWS frame: running count + rolling sum of the last 4 rows.
+    * The rolling sum runs on exact integer cents — rolling-window float
+    * accumulation strategies differ across engines (incremental subtract
+    * vs recompute), so doubles would drift.
+    */
+  def winFrameRows(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .filter(col("user_id") <= 20)
+      .select(
+        col("user_id"), col("event_id"),
+        count(lit(1)).over(w.rowsBetween(Window.unboundedPreceding, 0)).as("running_n"),
+        (sum(cents(col("value"))).over(w.rowsBetween(-3, 0)).cast("double") / 100.0)
+          .as("rolling_sum4"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  private val winFrameRowsOracle =
+    """SELECT user_id, event_id,
+      |  COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_n,
+      |  CAST(CAST(SUM(CAST(ROUND((value)*100) AS BIGINT)) OVER
+      |    (PARTITION BY user_id ORDER BY ts, event_id
+      |     ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT) AS DOUBLE)/100.0
+      |    AS rolling_sum4
+      |FROM events
+      |WHERE user_id <= 20
+      |ORDER BY user_id, event_id""".stripMargin
+
+  // ----------------------------------------------------------- win_frame_range
+  /** Time-based RANGE frame: events in the trailing hour per user.
+    * Ordered on integer epoch-µs so RANGE bounds are engine-agnostic
+    * (Spark interval RANGE and DuckDB interval RANGE agree, but integer
+    * bounds remove any timestamp-precision question).
+    */
+  def winFrameRange(spark: SparkSession, dir: String): DataFrame = {
+    val hourUs = 3600L * 1000000L
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+      .rangeBetween(-hourUs, 0)
+    Tables.events(spark, dir)
+      .filter(col("user_id") <= 20)
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .select(
+        col("user_id"), col("event_id"), col("ts_us"),
+        count(lit(1)).over(w).as("n_last_hour"),
+        (sum(cents(col("value"))).over(w).cast("double") / 100.0).as("sum_last_hour"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  private val winFrameRangeOracle =
+    """SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+      |  COUNT(*) OVER w AS n_last_hour,
+      |  CAST(CAST(SUM(CAST(ROUND((value)*100) AS BIGINT)) OVER w AS BIGINT) AS DOUBLE)/100.0
+      |    AS sum_last_hour
+      |FROM events
+      |WHERE user_id <= 20
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, event_id""".stripMargin
+
+  // ----------------------------------------------------------- topk_per_group
+  /** Per-group top-k — the reference's online top-K recommendation shape
+    * (mf_topk): rank within partition, keep k. Spark ≥3.5 pushes the
+    * rn<=k limit into the window sort (InferWindowGroupLimit), so each
+    * partition only tracks k rows — the LEMP-pruning analog.
+    */
+  def topkPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  private val topkPerGroupOracle =
+    """SELECT * FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders) t
+      |WHERE rn <= 3
+      |ORDER BY o_custkey, rn""".stripMargin
+
+  // ---------------------------------------------------------------- join_asof
+  /** As-of join: each purchase gets the user's most recent click at or
+    * before it. Implemented as union + ordered forward-fill (last_value
+    * IGNORE NULLS) — O(n log n) per key, no pairwise blow-up, the same
+    * trick that joins records to "the most recent model version" in the
+    * reference's pull-answer flow. A range-join formulation would be
+    * O(clicks × purchases) per user.
+    */
+  def joinAsof(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    ev.filter(col("event_type").isin("click", "purchase"))
+      .withColumn("click_id",
+        when(col("event_type") === "click", col("event_id")))
+      .withColumn("asof_click",
+        last(col("click_id"), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("asof_click"))
+      .orderBy(col("event_id"))
+  }
+
+  private val joinAsofOracle =
+    """SELECT event_id, user_id, asof_click FROM (
+      |  SELECT event_id, user_id, event_type,
+      |    LAST_VALUE(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_click
+      |  FROM events
+      |  WHERE event_type IN ('click','purchase')) t
+      |WHERE event_type = 'purchase'
+      |ORDER BY event_id""".stripMargin
+
+  def queries: Seq[GQuery] = Seq(
+    GQuery("win_rank", winRank, Some(winRankOracle),
+      "row_number/rank/dense_rank/ntile ranking window"),
+    GQuery("win_analytic", winAnalytic, Some(winAnalyticOracle),
+      "lag/lead/first/last analytic window"),
+    GQuery("win_frame_rows", winFrameRows, Some(winFrameRowsOracle),
+      "running + rolling ROWS frame aggregates"),
+    GQuery("win_frame_range", winFrameRange, Some(winFrameRangeOracle),
+      "time-based RANGE frame (trailing hour)"),
+    GQuery("topk_per_group", topkPerGroup, Some(topkPerGroupOracle),
+      "per-group top-k (reference mf_topk shape, window-group-limit pushdown)"),
+    GQuery("join_asof", joinAsof, Some(joinAsofOracle),
+      "as-of join via ordered forward-fill (no pairwise blow-up)")
+  )
 }
