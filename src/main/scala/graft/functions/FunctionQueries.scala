@@ -1,8 +1,348 @@
 package graft.functions
 
-import graft.GQuery
+import graft.{Det, GQuery}
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, MapType, StringType}
 
-/** Scalar function families + UDF/UDAF/UDTF extension points (SURVEY §2.C). */
+/** Scalar function families + the engine's extension points
+  * (SURVEY.md §2.C "Scalar function families" / "UDF surface").
+  *
+  * The reference's extension model is user-supplied `WorkerLogic` /
+  * `ParameterServerLogic` callbacks; the Spark-native equivalents are
+  * (in preference order) built-in codegen'd functions, higher-order
+  * array functions, and — only when genuinely needed — `Aggregator`
+  * UDAFs and scalar UDFs. Every family below leans on built-ins so the
+  * hot path stays inside whole-stage codegen.
+  */
 object FunctionQueries {
-  def queries: Seq[GQuery] = Seq()
+  import Det._
+
+  // ------------------------------------------------------------------ fn_string
+  /** String family: case, trim, substring, concat, split, length, pad,
+    * regexp, levenshtein — on document text (what the text pipeline uses).
+    */
+  def fnString(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(col("doc_id") < 100)
+      .select(
+        col("doc_id"),
+        upper(substring(col("text"), 1, 12)).as("head_upper"),
+        length(col("text")).as("len"),
+        size(split(col("text"), " ")).as("n_tokens"),
+        lpad(col("lang"), 4, "_").as("lang_pad"),
+        regexp_extract(col("text"), "^[a-z]+", 0).as("first_word"),
+        concat_ws("|", col("lang"), col("source")).as("tag"),
+        levenshtein(col("lang"), lit("en")).as("lang_dist"))
+      .orderBy(col("doc_id"))
+
+  private val fnStringOracle =
+    """SELECT doc_id,
+      |  UPPER(SUBSTRING(text, 1, 12)) AS head_upper,
+      |  LENGTH(text) AS len,
+      |  LENGTH(string_split(text, ' ')) AS n_tokens,
+      |  LPAD(lang, 4, '_') AS lang_pad,
+      |  regexp_extract(text, '^[a-z]+') AS first_word,
+      |  CONCAT_WS('|', lang, source) AS tag,
+      |  levenshtein(lang, 'en') AS lang_dist
+      |FROM documents
+      |WHERE doc_id < 100
+      |ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------- fn_date
+  /** Date/time family on order dates: parts, trunc, arithmetic, diff.
+    * Parts are cast to BIGINT on the Spark side — DuckDB date parts are
+    * BIGINT and the driver compares values after a schema-blind sort.
+    */
+  def fnDate(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .filter(col("o_orderkey") < 2000)
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("yr"),
+        month(col("o_orderdate")).cast("long").as("mo"),
+        dayofmonth(col("o_orderdate")).cast("long").as("dom"),
+        date_trunc("quarter", col("o_orderdate")).as("qtr_start"),
+        date_add(col("o_orderdate"), 30).cast("timestamp").as("due_date"),
+        datediff(lit("2002-01-01").cast("date"), col("o_orderdate").cast("date"))
+          .cast("long").as("days_to_2002"))
+      .orderBy(col("o_orderkey"))
+
+  private val fnDateOracle =
+    """SELECT o_orderkey,
+      |  year(o_orderdate) AS yr,
+      |  month(o_orderdate) AS mo,
+      |  day(o_orderdate) AS dom,
+      |  CAST(date_trunc('quarter', o_orderdate) AS TIMESTAMP) AS qtr_start,
+      |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS TIMESTAMP) AS due_date,
+      |  date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS days_to_2002
+      |FROM orders
+      |WHERE o_orderkey < 2000
+      |ORDER BY o_orderkey""".stripMargin
+
+  // -------------------------------------------------------------------- fn_math
+  /** Math family. Transcendentals (exp/ln/log10) are evaluated on small
+    * arguments and rounded after aggregation to a handful of rows —
+    * libm last-ulp differences across engines never reach the output.
+    */
+  def fnMath(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(sum(floor(col("l_quantity") / 7)), 0).cast("long").as("sum_floor"),
+        round(sum(ceil(col("l_quantity") / 7)), 0).cast("long").as("sum_ceil"),
+        round(avg(sqrt(col("l_quantity"))), 6).as("avg_sqrt_qty"),
+        round(avg(ln(col("l_quantity") + 1)), 6).as("avg_ln_qty"),
+        round(avg(log10(col("l_extendedprice"))), 6).as("avg_log10_price"),
+        round(avg(pow(col("l_discount"), 2)), 6).as("avg_disc_sq"),
+        sum(pmod(col("l_orderkey"), lit(7))).as("sum_pmod"),
+        sum(round(greatest(col("l_quantity"), col("l_tax") * 100)).cast("long"))
+          .as("sum_greatest"),
+        sum(abs(signum(col("l_discount")))).cast("long").as("n_discounted"))
+      .orderBy(col("l_returnflag"))
+
+  private val fnMathOracle =
+    """SELECT l_returnflag,
+      |  CAST(ROUND(SUM(FLOOR(l_quantity / 7)), 0) AS BIGINT) AS sum_floor,
+      |  CAST(ROUND(SUM(CEIL(l_quantity / 7)), 0) AS BIGINT) AS sum_ceil,
+      |  ROUND(AVG(SQRT(l_quantity)), 6) AS avg_sqrt_qty,
+      |  ROUND(AVG(LN(l_quantity + 1)), 6) AS avg_ln_qty,
+      |  ROUND(AVG(LOG10(l_extendedprice)), 6) AS avg_log10_price,
+      |  ROUND(AVG(POW(l_discount, 2)), 6) AS avg_disc_sq,
+      |  SUM(((l_orderkey % 7) + 7) % 7) AS sum_pmod,
+      |  CAST(SUM(CAST(ROUND(GREATEST(l_quantity, l_tax * 100)) AS BIGINT)) AS BIGINT) AS sum_greatest,
+      |  CAST(SUM(ABS(SIGN(l_discount))) AS BIGINT) AS n_discounted
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // ------------------------------------------------------------------- fn_array
+  /** Higher-order array functions on exact integer lists (sequence →
+    * transform → filter → aggregate → zip_with): the vector-math toolkit
+    * used by the embedding operators, demonstrated with exact arithmetic.
+    */
+  def fnArray(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .filter(col("p_partkey") < 200)
+      .select(
+        col("p_partkey"),
+        expr("sequence(1, p_size)").as("seq"))
+      .select(
+        col("p_partkey"),
+        size(col("seq")).as("n"),
+        expr("aggregate(transform(seq, x -> x * 2), 0L, (acc, x) -> acc + x)").as("sum_doubled"),
+        expr("size(filter(seq, x -> x % 3 = 0))").as("n_div3"),
+        expr("aggregate(zip_with(seq, seq, (a, b) -> a * b), 0L, (acc, x) -> acc + x)").as("dot_self"),
+        array_contains(col("seq"), 10).as("has_10"),
+        expr("slice(seq, 1, 3)").as("first3"))
+      .orderBy(col("p_partkey"))
+
+  private val fnArrayOracle =
+    """WITH t AS (SELECT p_partkey, generate_series(1, p_size) AS seq
+      |           FROM part WHERE p_partkey < 200)
+      |SELECT p_partkey,
+      |  length(seq) AS n,
+      |  list_aggregate(list_transform(seq, x -> x * 2), 'sum') AS sum_doubled,
+      |  length(list_filter(seq, x -> x % 3 = 0)) AS n_div3,
+      |  list_aggregate(list_transform(seq, x -> x * x), 'sum') AS dot_self,
+      |  list_contains(seq, 10) AS has_10,
+      |  seq[1:3] AS first3
+      |FROM t ORDER BY p_partkey""".stripMargin
+
+  // --------------------------------------------------------------------- fn_map
+  /** Map functions over JSON-parsed props: from_json to MAP, key/value
+    * access. The oracle goes through DuckDB's JSON operators.
+    */
+  def fnMap(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .filter(col("user_id") <= 5)
+      .select(
+        col("event_id"),
+        from_json(col("props"), MapType(StringType, LongType)).as("m"))
+      .select(
+        col("event_id"),
+        map_keys(col("m")).as("keys"),
+        element_at(col("m"), "k").as("k_value"),
+        size(col("m")).as("n_entries"))
+      .orderBy(col("event_id"))
+
+  private val fnMapOracle =
+    """SELECT event_id,
+      |  json_keys(props) AS keys,
+      |  CAST(props->>'k' AS BIGINT) AS k_value,
+      |  CAST(length(json_keys(props)) AS INTEGER) AS n_entries
+      |FROM events
+      |WHERE user_id <= 5
+      |ORDER BY event_id""".stripMargin
+
+  // -------------------------------------------------------------------- fn_json
+  /** JSON functions: extraction, tuple access, re-serialization. to_json
+    * output formatting matches DuckDB's compact struct serialization.
+    */
+  def fnJson(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .filter(col("user_id") <= 5)
+      .select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"),
+        json_tuple(col("props"), "k").as("k_str"),
+        to_json(struct(col("user_id").as("u"))).as("u_json"))
+      .orderBy(col("event_id"))
+
+  private val fnJsonOracle =
+    """SELECT event_id,
+      |  CAST(props->>'k' AS BIGINT) AS k,
+      |  props->>'k' AS k_str,
+      |  to_json(struct_pack(u := user_id)) AS u_json
+      |FROM events
+      |WHERE user_id <= 5
+      |ORDER BY event_id""".stripMargin
+
+  // -------------------------------------------------------------------- fn_cond
+  /** Conditionals: coalesce / nullif / nvl / if / case / isnull. */
+  def fnCond(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .select(
+        col("c_custkey"),
+        nullif(col("c_mktsegment"), lit("BUILDING")).as("seg_or_null"),
+        coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("(default)"))
+          .as("seg_coalesced"),
+        when(col("c_acctbal") < 0, lit("overdrawn"))
+          .when(col("c_acctbal") < 5000, lit("low"))
+          .otherwise(lit("high")).as("bal_class"),
+        isnull(nullif(col("c_mktsegment"), lit("BUILDING"))).as("is_building"))
+      .orderBy(col("c_custkey"))
+
+  private val fnCondOracle =
+    """SELECT c_custkey,
+      |  NULLIF(c_mktsegment, 'BUILDING') AS seg_or_null,
+      |  COALESCE(NULLIF(c_mktsegment, 'BUILDING'), '(default)') AS seg_coalesced,
+      |  CASE WHEN c_acctbal < 0 THEN 'overdrawn'
+      |       WHEN c_acctbal < 5000 THEN 'low'
+      |       ELSE 'high' END AS bal_class,
+      |  NULLIF(c_mktsegment, 'BUILDING') IS NULL AS is_building
+      |FROM customer
+      |ORDER BY c_custkey""".stripMargin
+
+  // -------------------------------------------------------------------- fn_hash
+  /** Hash family for dedup keys: md5 + sha2-256 (cross-engine-stable
+    * hex). Spark-specific hash/xxhash64 power the internal dedup/sketch
+    * paths but are excluded from oracle outputs by design.
+    */
+  def fnHash(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(col("doc_id") < 100)
+      .select(
+        col("doc_id"),
+        md5(col("text")).as("md5_text"),
+        sha2(col("text"), 256).as("sha256_text"),
+        md5(concat_ws("|", col("lang"), col("source"))).as("md5_composite"))
+      .orderBy(col("doc_id"))
+
+  private val fnHashOracle =
+    """SELECT doc_id,
+      |  md5(text) AS md5_text,
+      |  sha256(text) AS sha256_text,
+      |  md5(concat(lang, '|', source)) AS md5_composite
+      |FROM documents
+      |WHERE doc_id < 100
+      |ORDER BY doc_id""".stripMargin
+
+  // ----------------------------------------------------------------- udf_scalar
+  /** Scalar UDF extension point: L2 norm of the embedding vector.
+    * Demonstrates the registered-UDF path; production vector math should
+    * use the HOF forms (see LlmPipeline) which stay in codegen.
+    */
+  def udfScalar(spark: SparkSession, dir: String): DataFrame = {
+    val l2 = udf((v: Seq[Float]) => {
+      var acc = 0.0
+      v.foreach(x => acc += x.toDouble * x.toDouble)
+      math.sqrt(acc)
+    })
+    Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < 100)
+      .select(col("vec_id"), round(l2(col("embedding")), 6).as("l2_norm"))
+      .orderBy(col("vec_id"))
+  }
+
+  private val udfScalarOracle =
+    """SELECT vec_id,
+      |  ROUND(SQRT(list_aggregate(list_transform(embedding,
+      |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')), 6) AS l2_norm
+      |FROM embeddings
+      |WHERE vec_id < 100
+      |ORDER BY vec_id""".stripMargin
+
+  /** Typed Aggregator (UDAF extension point): exact L1 sum in integer
+    * cents — the shape a ToW/sketch accumulator uses (mergeable state,
+    * associative reduce), checked here against an exact oracle.
+    */
+  object L1CentsAgg extends Aggregator[Long, Long, Long] {
+    def zero: Long = 0L
+    def reduce(b: Long, a: Long): Long = b + math.abs(a)
+    def merge(b1: Long, b2: Long): Long = b1 + b2
+    def finish(r: Long): Long = r
+    def bufferEncoder: org.apache.spark.sql.Encoder[Long] =
+      org.apache.spark.sql.Encoders.scalaLong
+    def outputEncoder: org.apache.spark.sql.Encoder[Long] =
+      org.apache.spark.sql.Encoders.scalaLong
+  }
+
+  // ------------------------------------------------------------------- udaf_agg
+  def udafAgg(spark: SparkSession, dir: String): DataFrame = {
+    val l1 = udaf(L1CentsAgg)
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(l1(cents(col("value"))).as("l1_cents"))
+      .orderBy(col("event_type"))
+  }
+
+  private val udafAggOracle =
+    s"""SELECT event_type, CAST(SUM(ABS(${oCents("value")})) AS BIGINT) AS l1_cents
+       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ------------------------------------------------------------------- udtf_gen
+  /** Table-generating (UDTF) surface: posexplode of tokenized text —
+    * the shingling/expansion primitive. Spark's Generator expressions
+    * (explode/posexplode/inline) subsume custom UDTFs.
+    */
+  def udtfGen(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(col("doc_id") < 10)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .withColumnRenamed("col", "token")
+      .orderBy(col("doc_id"), col("pos"))
+
+  private val udtfGenOracle =
+    """SELECT doc_id, u.pos - 1 AS pos, u.token AS token
+      |FROM (SELECT doc_id,
+      |        unnest(list_transform(string_split(text, ' '),
+      |          (x, i) -> {'pos': i, 'token': x})) AS u
+      |      FROM documents WHERE doc_id < 10)
+      |ORDER BY doc_id, pos""".stripMargin
+
+  def queries: Seq[GQuery] = Seq(
+    GQuery("fn_string", fnString, Some(fnStringOracle),
+      "string family: case/trim/substr/split/regexp/levenshtein"),
+    GQuery("fn_date", fnDate, Some(fnDateOracle),
+      "date family: parts/trunc/arith/diff"),
+    GQuery("fn_math", fnMath, Some(fnMathOracle),
+      "math family incl. transcendentals (rounded post-agg)"),
+    GQuery("fn_array", fnArray, Some(fnArrayOracle),
+      "higher-order array fns: transform/filter/aggregate/zip_with"),
+    GQuery("fn_map", fnMap, Some(fnMapOracle),
+      "map fns over JSON-parsed props"),
+    GQuery("fn_json", fnJson, Some(fnJsonOracle),
+      "JSON extraction + serialization"),
+    GQuery("fn_cond", fnCond, Some(fnCondOracle),
+      "conditionals: coalesce/nullif/case/isnull"),
+    GQuery("fn_hash", fnHash, Some(fnHashOracle),
+      "hash family: md5/sha256 dedup keys"),
+    GQuery("udf_scalar", udfScalar, Some(udfScalarOracle),
+      "scalar UDF extension point (vector L2 norm)"),
+    GQuery("udaf_agg", udafAgg, Some(udafAggOracle),
+      "typed Aggregator UDAF extension point (exact integer state)"),
+    GQuery("udtf_gen", udtfGen, Some(udtfGenOracle),
+      "generator/UDTF surface: posexplode tokenization")
+  )
 }
