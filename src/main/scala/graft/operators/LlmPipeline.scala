@@ -1,9 +1,752 @@
 package graft.operators
 
 import graft.GQuery
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
-/** LLM-data-pipeline operators: dedup family, similarity search, text
-  * analysis, multimodal columns (SURVEY.md §2.C north-star extension). */
+/** LLM-data-pipeline operators (SURVEY.md §2.C north-star extension):
+  * deduplication (exact, n-gram Jaccard, MinHash+LSH bands, SimHash),
+  * similarity search (brute-force cosine top-k, sign-bit LSH ANN, k-NN
+  * label vote), text analysis (stats, tf-idf, language-ID, quality
+  * scoring, tokenization, rolling-hash fingerprint), and multimodal
+  * column plumbing (text⋈embedding join, opaque binary decode path).
+  *
+  * Scale design notes (100 TB — the whole point of these operators):
+  *  - Every pairwise operator generates candidates through a *blocking
+  *    key join* (shared rare shingle / minhash band / simhash band /
+  *    LSH bucket), never a cross join: cost is O(Σ bucket²), and the
+  *    bucket keys are engineered to keep buckets tiny. That is the
+  *    published MinHash-LSH / SimHash-band design and it shuffles on
+  *    the band key, so it parallelizes per-bucket on a real cluster.
+  *  - All hashes are md5-derived (engine-portable, seedable,
+  *    deterministic) — no reliance on Spark-internal hash functions in
+  *    any oracle-checked output.
+  *  - Everything stays in built-in codegen'd expressions (HOF array
+  *    functions) except the clearly-marked multimodal decode stub,
+  *    which demonstrates the per-partition batch path (`mapPartitions`
+  *    over a typed Dataset — the Scala analog of `mapInPandas`).
+  *
+  * Reference analog: the reference's sketch module family
+  * (minhash / bloom similarity — SURVEY §2.B sketch_minhash
+  * [K-low], `ps/.../sketch/minhash/`) computes set-similarity over
+  * streams; these operators are the batch-relational restatement plus
+  * the training-data-pipeline extensions the north star mandates.
+  */
 object LlmPipeline {
-  def queries: Seq[GQuery] = Seq()
+
+  /** 32-bit portable hash of a string expression with a seed, as a
+    * SQL-expression string usable in both engines: first 8 hex chars of
+    * md5(seed || ':' || s) read as an unsigned int. */
+  private def h32(sexpr: String, seed: Int): String =
+    s"cast(conv(substring(md5(concat('$seed:', $sexpr)), 1, 8), 16, 10) as bigint)"
+  private def oH32(sexpr: String, seed: Int): String =
+    s"CAST(('0x' || substr(md5(concat('$seed:', $sexpr)), 1, 8)) AS BIGINT)"
+
+  /** Word 3-gram shingles of a text column (distinct per doc). */
+  private def shingles(df: DataFrame): DataFrame =
+    df.select(col("doc_id"),
+        expr("explode(array_distinct(transform(" +
+          "sequence(1, greatest(size(split(text, ' ')) - 2, 1)), " +
+          "i -> concat_ws(' ', slice(split(text, ' '), i, 3)))))").as("shingle"))
+
+  private val oShingles =
+    """SELECT DISTINCT doc_id, unnest(list_transform(
+      |    generate_series(1, greatest(length(string_split(text, ' ')) - 2, 1)),
+      |    i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS shingle
+      |FROM documents""".stripMargin
+
+  // ---------------------------------------------------------------- dedup_exact
+  /** Exact dedup by normalized-text hash. The corpus has no literal
+    * dups, so the query materializes a duplicated corpus (docs ∪ every
+    * 7th doc re-ingested under a shifted id — the "same file crawled
+    * twice" case) and collapses it: keep the smallest doc_id per
+    * normalized hash, count copies. At 100 TB this is one hash-shuffle
+    * groupBy — the cheapest possible dedup, always run first.
+    */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val recrawled = d.filter(col("doc_id") % 7 === 0)
+      .withColumn("doc_id", col("doc_id") + 1000000)
+    d.unionByName(recrawled)
+      .select(col("doc_id"), md5(lower(trim(col("text")))).as("text_hash"))
+      .groupBy(col("text_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy(col("keep_id"))
+  }
+
+  private val dedupExactOracle =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0)
+      |SELECT md5(lower(trim(text))) AS text_hash,
+      |       min(doc_id) AS keep_id, count(*) AS n_copies
+      |FROM corpus GROUP BY 1 ORDER BY keep_id""".stripMargin
+
+  // ---------------------------------------------------------------- dedup_near
+  /** Near-dup detection by word-3-gram Jaccard ≥ 0.8. Candidate pairs
+    * come from a *rare-shingle block join* (docs sharing a shingle with
+    * corpus frequency ≤ 20), then exact Jaccard verifies. Rare-shingle
+    * blocking keeps the join O(Σ bucket²) with tiny buckets instead of
+    * O(n²): true near-dups share many near-unique shingles, so recall
+    * at 0.8 is unaffected while hot shingles ("the the the") never
+    * explode a bucket — the standard blocking design at crawl scale.
+    */
+  def dedupNear(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(Tables.documents(spark, dir)).cache()
+    val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 20)
+    val blocked = sh.join(rare, "shingle")
+    val cand = blocked.as("a").join(blocked.as("b"), Seq("shingle"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = sh.as("x").join(sh.as("y"),
+        col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+      .join(cand, Seq("da", "db"), "left_semi")
+      .groupBy("da", "db").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "da").withColumnRenamed("n_sh", "na"), "da")
+      .join(sizes.withColumnRenamed("doc_id", "db").withColumnRenamed("n_sh", "nb"), "db")
+      .withColumn("jaccard",
+        round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 4))
+      .filter(col("jaccard") >= 0.8)
+      .select(col("da"), col("db"), col("jaccard"))
+      .orderBy(col("da"), col("db"))
+  }
+
+  private val dedupNearOracle =
+    s"""WITH sh AS ($oShingles),
+       |rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 20),
+       |blocked AS (SELECT sh.* FROM sh JOIN rare USING (shingle)),
+       |cand AS (SELECT DISTINCT a.doc_id da, b.doc_id db
+       |         FROM blocked a JOIN blocked b
+       |           ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+       |sizes AS (SELECT doc_id, count(*) n_sh FROM sh GROUP BY doc_id),
+       |inter AS (SELECT x.doc_id da, y.doc_id db, count(*) inter
+       |          FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+       |          WHERE (x.doc_id, y.doc_id) IN (SELECT (da, db) FROM cand)
+       |          GROUP BY 1, 2)
+       |SELECT da, db,
+       |       ROUND(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 4) AS jaccard
+       |FROM inter
+       |JOIN sizes sa ON sa.doc_id = da
+       |JOIN sizes sb ON sb.doc_id = db
+       |WHERE ROUND(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 4) >= 0.8
+       |ORDER BY da, db""".stripMargin
+
+  // ------------------------------------------------------------- dedup_minhash
+  /** MinHash + LSH banding — the scale path for near-dup. 16 portable
+    * md5-derived minhashes per doc, banded 4×4; docs sharing any band
+    * value become candidates (join on the band key — never a cross
+    * join); candidates are verified with exact Jaccard ≥ 0.7. At 100 TB
+    * the signature pass is one groupBy over (doc, seed) and the band
+    * join shuffles on a high-cardinality key with near-singleton
+    * buckets — textbook MinHashLSH.
+    */
+  def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(Tables.documents(spark, dir)).cache()
+    // (doc_id, seed, minhash): min over shingles of h32(shingle, seed),
+    // long-format via posexplode of the 16 seeded hashes per shingle
+    val hashed = sh.select(col("doc_id"), col("shingle"),
+      posexplode(array((0 until 16).map(s => expr(h32("shingle", s))): _*))
+        .as(Seq("seed", "h")))
+    val sig = hashed.groupBy("doc_id", "seed").agg(min("h").as("mh"))
+    // band id = seed div 4; band value = md5 of the 4 minhashes in order
+    val bands = sig.withColumn("band", expr("seed div 4"))
+      .groupBy("doc_id", "band")
+      .agg(md5(concat_ws(",", sort_array(collect_list(
+        format_string("%02d:%020d", col("seed"), col("mh")))))).as("bv"))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = sh.as("x").join(sh.as("y"),
+        col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+      .join(cand, Seq("da", "db"), "left_semi")
+      .groupBy("da", "db").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "da").withColumnRenamed("n_sh", "na"), "da")
+      .join(sizes.withColumnRenamed("doc_id", "db").withColumnRenamed("n_sh", "nb"), "db")
+      .withColumn("jaccard",
+        round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 4))
+      .filter(col("jaccard") >= 0.7)
+      .select(col("da"), col("db"), col("jaccard"))
+      .orderBy(col("da"), col("db"))
+  }
+
+  private val dedupMinhashOracle = {
+    val mhUnion = (0 until 16)
+      .map(s => s"SELECT doc_id, $s AS seed, min(${oH32("shingle", s)}) AS mh FROM sh GROUP BY doc_id")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH sh AS ($oShingles),
+       |sig AS (
+       |  $mhUnion),
+       |bands AS (
+       |  SELECT doc_id, seed // 4 AS band,
+       |         md5(array_to_string(list_sort(list(format('{:02d}:{:020d}', seed, mh))), ',')) AS bv
+       |  FROM sig GROUP BY doc_id, seed // 4),
+       |cand AS (SELECT DISTINCT a.doc_id da, b.doc_id db
+       |         FROM bands a JOIN bands b
+       |           ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
+       |sizes AS (SELECT doc_id, count(*) n_sh FROM sh GROUP BY doc_id),
+       |inter AS (SELECT x.doc_id da, y.doc_id db, count(*) inter
+       |          FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+       |          WHERE (x.doc_id, y.doc_id) IN (SELECT (da, db) FROM cand)
+       |          GROUP BY 1, 2)
+       |SELECT da, db,
+       |       ROUND(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 4) AS jaccard
+       |FROM inter
+       |JOIN sizes sa ON sa.doc_id = da
+       |JOIN sizes sb ON sb.doc_id = db
+       |WHERE ROUND(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 4) >= 0.7
+       |ORDER BY da, db""".stripMargin
+  }
+
+  // ------------------------------------------------------------- dedup_simhash
+  /** SimHash near-dup: 64-bit tf-weighted simhash per doc (two seeded
+    * 32-bit md5 hashes per token concatenated); pairs within Hamming
+    * distance ≤ 3 found by *band blocking* over 8 bytes — by pigeonhole
+    * a pair at distance ≤ 3 shares at least 5 of 8 bands, so the band
+    * equi-join has guaranteed recall while scanning only O(Σ bucket²)
+    * candidates. The band join is what keeps the operator linear-ish at
+    * crawl scale; 64 bits keeps random collisions negligible.
+    */
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      // 63-bit positive hash: top word masked to 31 bits so every value
+      // (and every sum of distinct bit powers) stays in positive BIGINT
+      // range in both engines — no sign-extension/overflow divergence.
+      .withColumn("h",
+        expr(s"shiftleft(${h32("tok", 7)} & 2147483647, 32) | ${h32("tok", 8)}"))
+    // per (doc, bit): signed tf sum; bit set iff sum > 0
+    val bits = toks
+      .select(col("doc_id"), col("tf"), posexplode(
+        expr("transform(sequence(0, 62), i -> shiftright(h, i) & 1)"))
+        .as(Seq("bit", "isset")))
+      .groupBy("doc_id", "bit")
+      .agg(sum(when(col("isset") === 1, col("tf")).otherwise(-col("tf"))).as("s"))
+    val sim = bits.groupBy("doc_id")
+      .agg(sum(when(col("s") > 0, expr("shiftleft(1L, bit)")).otherwise(0L)).as("simhash"))
+    val banded = sim.select(col("doc_id"), col("simhash"),
+      posexplode(expr("transform(sequence(0, 7), b -> shiftright(simhash, b * 8) & 255)"))
+        .as(Seq("band", "bv")))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+      .orderBy(col("da"), col("db"))
+  }
+
+  private val dedupSimhashOracle =
+    s"""WITH toks AS (
+       |  SELECT doc_id, tok, count(*) tf,
+       |         ((${oH32("tok", 7)} & 2147483647) << 32) | ${oH32("tok", 8)} AS h
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+       |  GROUP BY doc_id, tok),
+       |bits AS (
+       |  SELECT doc_id, i AS bit,
+       |         sum(CASE WHEN (h >> i) & 1 = 1 THEN tf ELSE -tf END) AS s
+       |  FROM toks, unnest(generate_series(0, 62)) AS t(i)
+       |  GROUP BY doc_id, i),
+       |sim AS (
+       |  SELECT doc_id,
+       |         CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END)
+       |              AS BIGINT) AS simhash
+       |  FROM bits GROUP BY doc_id),
+       |banded AS (
+       |  SELECT doc_id, simhash, b AS band, (simhash >> (b * 8)) & 255 AS bv
+       |  FROM sim, unnest(generate_series(0, 7)) AS t(b))
+       |SELECT DISTINCT a.doc_id da, b.doc_id db,
+       |       bit_count(xor(a.simhash, b.simhash)) AS hamming
+       |FROM banded a JOIN banded b
+       |  ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+       |ORDER BY da, db""".stripMargin
+
+  // ----------------------------------------------------------------- sim_cosine
+  /** Brute-force cosine top-k: the exact ANN baseline. Queries are a
+    * bounded id range joined (broadcast — the query side is small by
+    * construction) against the full corpus; per-query top-5 via window
+    * rank. At 100 TB the corpus side stays partitioned and the query
+    * side broadcasts — no shuffle of the big side at all.
+    */
+  def simCosine(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+    val norm = e.withColumn("n",
+      expr("sqrt(aggregate(transform(v, x -> x * x), 0D, (a, x) -> a + x))"))
+    val q = norm.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("n").as("qn"))
+    broadcast(q).join(norm.as("c"), col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id").as("cid"),
+        round(expr("aggregate(zip_with(qv, v, (x, y) -> x * y), 0D, (a, x) -> a + x)") /
+          (col("qn") * col("n")), 6).as("cos"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("qid")
+          .orderBy(col("cos").desc, col("cid"))))
+      .filter(col("rk") <= 5)
+      .select(col("qid"), col("rk"), col("cid"), col("cos"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
+  private val simCosineOracle =
+    """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |           FROM embeddings),
+      |n AS (SELECT vec_id, v,
+      |        sqrt(list_reduce(list_prepend(0.0, list_transform(v, x -> x * x)),
+      |                         (a, x) -> a + x)) AS n
+      |      FROM v),
+      |scored AS (
+      |  SELECT q.vec_id qid, c.vec_id cid,
+      |         ROUND(list_reduce(list_prepend(0.0,
+      |                 list_transform(generate_series(1, 64), i -> q.v[i] * c.v[i])),
+      |               (a, x) -> a + x) / (q.n * c.n), 6) AS cos
+      |  FROM n q JOIN n c ON q.vec_id < 20 AND c.vec_id != q.vec_id)
+      |SELECT qid, rk, cid, cos FROM (
+      |  SELECT qid, cid, cos,
+      |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk
+      |  FROM scored)
+      |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin
+
+  // ---------------------------------------------------------------- sim_ann_lsh
+  /** LSH-bucketed approximate NN — the scale path. Bucket key = sign
+    * bits of the first 12 dimensions (axis-aligned random-hyperplane
+    * LSH; deterministic and engine-portable). Neighbors are only sought
+    * inside the same bucket: the join is an equi-join on bucket id, so
+    * 100 TB of vectors shuffle once on a ~4096-ary key instead of
+    * cross-joining. Returns per-query top-3 in-bucket by exact cosine.
+    */
+  def simAnnLsh(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .withColumn("bucket",
+        expr("aggregate(transform(sequence(0, 11), " +
+          "i -> if(element_at(v, i + 1) > 0, shiftleft(1L, i), 0L)), 0L, (a, x) -> a + x)"))
+      .withColumn("n",
+        expr("sqrt(aggregate(transform(v, x -> x * x), 0D, (a, x) -> a + x))"))
+    e.as("a").join(e.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("qid"), col("b.vec_id").as("cid"),
+        round(expr("aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)") /
+          (col("a.n") * col("b.n")), 6).as("cos"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("qid")
+          .orderBy(col("cos").desc, col("cid"))))
+      .filter(col("rk") <= 3 && col("qid") < 100)
+      .select(col("qid"), col("rk"), col("cid"), col("cos"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
+  private val simAnnLshOracle =
+    """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |           FROM embeddings),
+      |e AS (SELECT vec_id, v,
+      |        list_reduce(list_prepend(0::BIGINT, list_transform(generate_series(0, 11),
+      |          i -> CASE WHEN v[i + 1] > 0 THEN (1::BIGINT << i) ELSE 0 END)),
+      |          (a, x) -> a + x) AS bucket,
+      |        sqrt(list_reduce(list_prepend(0.0, list_transform(v, x -> x * x)),
+      |                         (a, x) -> a + x)) AS n
+      |      FROM v),
+      |scored AS (
+      |  SELECT a.vec_id qid, b.vec_id cid,
+      |         ROUND(list_reduce(list_prepend(0.0,
+      |                 list_transform(generate_series(1, 64), i -> a.v[i] * b.v[i])),
+      |               (acc, x) -> acc + x) / (a.n * b.n), 6) AS cos
+      |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id != b.vec_id)
+      |SELECT qid, rk, cid, cos FROM (
+      |  SELECT qid, cid, cos,
+      |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk
+      |  FROM scored)
+      |WHERE rk <= 3 AND qid < 100 ORDER BY qid, rk""".stripMargin
+
+  // --------------------------------------------------------------- sim_knn_class
+  /** k-NN label vote: classify query vectors (id < 50) by the majority
+    * label of their 10 nearest (cosine) neighbors from the reference
+    * set (id ≥ 50). The capability analog of the reference's online
+    * classifier scoring path (SURVEY §2.B pa_binary): model "lookup" is
+    * a broadcast join, vote is a groupBy — both scale-free shapes.
+    */
+  def simKnnClass(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .withColumn("n",
+        expr("sqrt(aggregate(transform(v, x -> x * x), 0D, (a, x) -> a + x))"))
+    val q = e.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("n").as("qn"))
+    val ref = e.filter(col("vec_id") >= 50)
+    val top10 = broadcast(q).join(ref, col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("label"),
+        round(expr("aggregate(zip_with(qv, v, (x, y) -> x * y), 0D, (a, x) -> a + x)") /
+          (col("qn") * col("n")), 6).as("cos"),
+        col("vec_id"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("qid")
+          .orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rk") <= 10)
+    top10.groupBy("qid", "label").agg(count(lit(1)).as("votes"))
+      .withColumn("vr", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("qid")
+          .orderBy(col("votes").desc, col("label"))))
+      .filter(col("vr") === 1)
+      .select(col("qid"), col("label").as("pred_label"), col("votes"))
+      .orderBy(col("qid"))
+  }
+
+  private val simKnnClassOracle =
+    """WITH v AS (SELECT vec_id, label,
+      |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |           FROM embeddings),
+      |e AS (SELECT vec_id, label, v,
+      |        sqrt(list_reduce(list_prepend(0.0, list_transform(v, x -> x * x)),
+      |                         (a, x) -> a + x)) AS n
+      |      FROM v),
+      |scored AS (
+      |  SELECT q.vec_id qid, c.label, c.vec_id,
+      |         ROUND(list_reduce(list_prepend(0.0,
+      |                 list_transform(generate_series(1, 64), i -> q.v[i] * c.v[i])),
+      |               (a, x) -> a + x) / (q.n * c.n), 6) AS cos
+      |  FROM e q JOIN e c ON q.vec_id < 50 AND c.vec_id >= 50),
+      |top10 AS (
+      |  SELECT qid, label FROM (
+      |    SELECT qid, label,
+      |           row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
+      |    FROM scored)
+      |  WHERE rk <= 10),
+      |votes AS (SELECT qid, label, count(*) votes FROM top10 GROUP BY 1, 2)
+      |SELECT qid, label AS pred_label, votes FROM (
+      |  SELECT qid, label, votes,
+      |         row_number() OVER (PARTITION BY qid ORDER BY votes DESC, label) AS vr
+      |  FROM votes)
+      |WHERE vr = 1 ORDER BY qid""".stripMargin
+
+  // ----------------------------------------------------------------- text_stats
+  /** Corpus text statistics per (lang, source): doc counts, token and
+    * char moments — the profiling pass every pipeline runs first. */
+  def textStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("n_tok", size(split(col("text"), " ")))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        sum(col("n_tok")).cast("long").as("total_tokens"),
+        round(avg(col("n_tok")), 4).as("avg_tokens"),
+        round(avg(col("n_chars")), 4).as("avg_chars"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+      .orderBy("lang")
+
+  private val textStatsOracle =
+    """SELECT lang, count(*) n_docs, count(DISTINCT source) n_sources,
+      |  sum(length(string_split(text, ' '))) AS total_tokens,
+      |  ROUND(avg(length(string_split(text, ' '))), 4) AS avg_tokens,
+      |  ROUND(avg(n_chars), 4) AS avg_chars,
+      |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ----------------------------------------------------------------- text_tfidf
+  /** tf-idf: top-3 scoring terms per document (doc_id < 100), idf over
+    * the full corpus. Explode → two groupBys → join — every stage is a
+    * keyed shuffle; the small idf side broadcasts at scale. */
+  def textTfidf(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val nDocs = d.select(countDistinct("doc_id").as("n"))
+    val toks = d.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df_ = toks.select("doc_id", "term").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    tf.filter(col("doc_id") < 100)
+      .join(broadcast(df_), "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf", round(col("tf") * log(col("n").cast("double") / col("df")), 6))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+          .orderBy(col("tfidf").desc, col("term"))))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("rk"), col("term"), col("tfidf"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
+  private val textTfidfOracle =
+    """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |              FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) tf FROM toks GROUP BY 1, 2),
+      |df AS (SELECT term, count(*) df FROM (SELECT DISTINCT doc_id, term FROM toks)
+      |       GROUP BY term),
+      |n AS (SELECT count(DISTINCT doc_id) n FROM toks),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.term,
+      |         ROUND(tf * ln(CAST(n.n AS DOUBLE) / df.df), 6) AS tfidf
+      |  FROM tf JOIN df USING (term) CROSS JOIN n
+      |  WHERE tf.doc_id < 100)
+      |SELECT doc_id, rk, term, tfidf FROM (
+      |  SELECT doc_id, term, tfidf,
+      |         row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
+      |  FROM scored)
+      |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
+
+  // ---------------------------------------------------------------- text_langid
+  /** Lexicon-vote language ID: score each doc against small per-language
+    * marker lexicons (the n-gram-heuristic shape: count marker hits,
+    * argmax wins, ties → lexicon order). The fixture vocabulary is
+    * synthetic, so the lexicons are synthetic too — the *operator* (per
+    * class: array_intersect-style scoring + argmax) is the real thing.
+    */
+  def textLangid(spark: SparkSession, dir: String): DataFrame = {
+    val lex = Map(
+      "lx_join" -> Seq("join", "merge", "key"),
+      "lx_scan" -> Seq("scan", "table", "row"),
+      "lx_flow" -> Seq("stream", "window", "event"))
+    val toks = Tables.documents(spark, dir)
+      .filter(col("doc_id") < 200)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val scored = lex.toSeq.sortBy(_._1).map { case (name, words) =>
+      toks.groupBy("doc_id")
+        .agg(sum(when(col("tok").isin(words: _*), 1L).otherwise(0L)).as("score"))
+        .withColumn("lx", lit(name))
+    }.reduce(_ unionByName _)
+    scored
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+          .orderBy(col("score").desc, col("lx"))))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("lx").as("pred_lex"), col("score"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val textLangidOracle =
+    """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |              FROM documents WHERE doc_id < 200),
+      |scored AS (
+      |  SELECT doc_id, 'lx_join' AS lx,
+      |         sum(CASE WHEN tok IN ('join','merge','key') THEN 1 ELSE 0 END) AS score
+      |  FROM toks GROUP BY doc_id
+      |  UNION ALL
+      |  SELECT doc_id, 'lx_scan',
+      |         sum(CASE WHEN tok IN ('scan','table','row') THEN 1 ELSE 0 END)
+      |  FROM toks GROUP BY doc_id
+      |  UNION ALL
+      |  SELECT doc_id, 'lx_flow',
+      |         sum(CASE WHEN tok IN ('stream','window','event') THEN 1 ELSE 0 END)
+      |  FROM toks GROUP BY doc_id)
+      |SELECT doc_id, lx AS pred_lex, score FROM (
+      |  SELECT doc_id, lx, score,
+      |         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lx) AS rk
+      |  FROM scored)
+      |WHERE rk = 1 ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------- text_quality
+  /** Document quality scoring: length band, stopword ratio, type/token
+    * ratio, mean token length → composite score. The pre-training
+    * filter pass; one narrow projection, no shuffle at all. */
+  def textQuality(spark: SparkSession, dir: String): DataFrame = {
+    val stop = Seq("the", "and", "of", "data", "value", "row")
+    Tables.documents(spark, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tok", size(col("toks")))
+      .withColumn("n_stop",
+        expr(s"size(filter(toks, t -> t in (${stop.map("'" + _ + "'").mkString(",")})))"))
+      .withColumn("n_uniq", size(array_distinct(col("toks"))))
+      .withColumn("stop_ratio", round(col("n_stop").cast("double") / col("n_tok"), 6))
+      .withColumn("uniq_ratio", round(col("n_uniq").cast("double") / col("n_tok"), 6))
+      .withColumn("mean_tok_len",
+        round((col("n_chars") - col("n_tok") + 1).cast("double") / col("n_tok"), 6))
+      .withColumn("quality", round(
+        when(col("n_tok").between(20, 80), 0.4).otherwise(0.1)
+          + (lit(1.0) - col("stop_ratio")) * 0.3 + col("uniq_ratio") * 0.3, 6))
+      .select(col("doc_id"), col("n_tok"), col("stop_ratio"), col("uniq_ratio"),
+        col("mean_tok_len"), col("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val textQualityOracle =
+    """WITH t AS (
+      |  SELECT doc_id, n_chars, string_split(text, ' ') AS toks FROM documents),
+      |m AS (
+      |  SELECT doc_id, n_chars, length(toks) AS n_tok,
+      |         length(list_filter(toks,
+      |           x -> x IN ('the','and','of','data','value','row'))) AS n_stop,
+      |         length(list_distinct(toks)) AS n_uniq
+      |  FROM t)
+      |SELECT doc_id, n_tok,
+      |  ROUND(CAST(n_stop AS DOUBLE) / n_tok, 6) AS stop_ratio,
+      |  ROUND(CAST(n_uniq AS DOUBLE) / n_tok, 6) AS uniq_ratio,
+      |  ROUND(CAST(n_chars - n_tok + 1 AS DOUBLE) / n_tok, 6) AS mean_tok_len,
+      |  ROUND(CASE WHEN n_tok BETWEEN 20 AND 80 THEN 0.4 ELSE 0.1 END
+      |        + (1.0 - ROUND(CAST(n_stop AS DOUBLE) / n_tok, 6)) * 0.3
+      |        + ROUND(CAST(n_uniq AS DOUBLE) / n_tok, 6) * 0.3, 6) AS quality
+      |FROM m ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- text_tokens
+  /** Token counting two ways: whitespace split vs a BPE-ish regex
+    * (alpha runs / digit runs / single non-space symbols) — the "how
+    * many training tokens is this corpus" estimator. */
+  def textTokens(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).as("ws_tokens"),
+        expr("size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))")
+          .as("re_tokens"),
+        length(col("text")).as("n_chars_m"))
+      .withColumn("chars_per_tok",
+        round(col("n_chars_m").cast("double") / col("re_tokens"), 6))
+      .orderBy(col("doc_id"))
+
+  private val textTokensOracle =
+    """SELECT doc_id,
+      |  length(string_split(text, ' ')) AS ws_tokens,
+      |  length(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS re_tokens,
+      |  length(text) AS n_chars_m,
+      |  ROUND(CAST(length(text) AS DOUBLE)
+      |        / length(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')), 6)
+      |    AS chars_per_tok
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------ text_fingerprint
+  /** Rolling polynomial fingerprint (Karp–Rabin shape) over the token
+    * stream: fold acc = (acc * 31 + ascii(first char) * 64 + len) mod p.
+    * Order-sensitive by design (catches re-orderings exact-hash dedup
+    * misses); pure integer math → bit-identical everywhere. */
+  def textFingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        expr("aggregate(transform(split(text, ' '), " +
+          "t -> cast(ascii(substring(t, 1, 1)) * 64 + length(t) as bigint)), 0L, " +
+          "(acc, x) -> pmod(acc * 31 + x, 1000000007L))").as("fingerprint"))
+      .orderBy(col("doc_id"))
+
+  private val textFingerprintOracle =
+    """SELECT doc_id,
+      |  list_reduce(
+      |    list_prepend(0::BIGINT,
+      |      list_transform(string_split(text, ' '),
+      |        t -> CAST(ascii(substr(t, 1, 1)) * 64 + length(t) AS BIGINT))),
+      |    (acc, x) -> (acc * 31 + x) % 1000000007) AS fingerprint
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------ multimodal_join
+  /** Multimodal row assembly: documents ⋈ embeddings (doc_id = vec_id)
+    * with mixed text + vector measures per language — the feature-store
+    * join every multimodal pipeline runs. Equi-join on aligned ids: at
+    * scale both sides co-partition on the key (bucketed layout). */
+  def multimodalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"),
+        expr("aggregate(transform(embedding, x -> cast(x as double) * cast(x as double)), " +
+          "0D, (a, x) -> a + x)").as("sq"))
+    d.join(e, d("doc_id") === e("vec_id"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg(sqrt(col("sq"))), 6).as("avg_l2"),
+        round(avg(size(split(col("text"), " "))), 4).as("avg_tokens"),
+        countDistinct(col("label")).as("n_labels"))
+      .orderBy("lang")
+  }
+
+  private val multimodalJoinOracle =
+    """SELECT lang, count(*) n,
+      |  ROUND(avg(sqrt(list_reduce(list_prepend(0.0,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+      |    (a, x) -> a + x))), 6) AS avg_l2,
+      |  ROUND(avg(length(string_split(text, ' '))), 4) AS avg_tokens,
+      |  count(DISTINCT label) AS n_labels
+      |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ---------------------------------------------------------- multimodal_binary
+  /** Opaque-binary-column plumbing: the image/audio path. The "media"
+    * bytes are synthesized deterministically (md5 of the text, unhex'd
+    * to 16 bytes) because no codec libraries exist in this container —
+    * the DECODE STEP IS A STUB; everything around it (binary column
+    * schema, per-partition batch iteration, typed output schema) is the
+    * real production shape. `mapPartitions` over a typed Dataset is the
+    * Scala analog of `mapInPandas`: one decoder instance per partition,
+    * streaming over rows, no per-row setup cost — exactly how a real
+    * image decoder would be wired.
+    */
+  def multimodalBinary(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val withBlob = Tables.documents(spark, dir)
+      .select(col("doc_id"), unhex(md5(col("text"))).as("media"))
+      .as[(Long, Array[Byte])]
+    // STUB decoder: a real implementation would decode image/audio
+    // frames here; this deterministic fake extracts byte statistics with
+    // the identical batch shape (Iterator[row] => Iterator[features]).
+    withBlob.mapPartitions { rows =>
+      rows.map { case (id, bytes) =>
+        var checksum = 0L
+        var mx = 0
+        bytes.foreach { b =>
+          val u = b & 0xff
+          checksum += u
+          if (u > mx) mx = u
+        }
+        (id, bytes.length, checksum, bytes(0) & 0xff, mx)
+      }
+    }.toDF("doc_id", "n_bytes", "checksum", "first_byte", "max_byte")
+      .orderBy(col("doc_id"))
+  }
+
+  private val multimodalBinaryOracle =
+    """WITH b AS (
+      |  SELECT doc_id, md5(text) AS h FROM documents),
+      |bytes AS (
+      |  SELECT doc_id, h,
+      |         list_transform(generate_series(0, 15),
+      |           i -> CAST(('0x' || substr(h, i * 2 + 1, 2)) AS BIGINT)) AS bs
+      |  FROM b)
+      |SELECT doc_id,
+      |  16 AS n_bytes,
+      |  list_reduce(list_prepend(0::BIGINT, bs), (a, x) -> a + x) AS checksum,
+      |  CAST(bs[1] AS INTEGER) AS first_byte,
+      |  CAST(list_max(bs) AS INTEGER) AS max_byte
+      |FROM bytes ORDER BY doc_id""".stripMargin
+
+  def queries: Seq[GQuery] = Seq(
+    GQuery("dedup_exact", dedupExact, Some(dedupExactOracle),
+      "exact dedup by normalized-text hash over a re-crawled corpus"),
+    GQuery("dedup_near", dedupNear, Some(dedupNearOracle),
+      "near-dup via 3-gram Jaccard with rare-shingle block join"),
+    GQuery("dedup_minhash", dedupMinhash, Some(dedupMinhashOracle),
+      "MinHash(16) + LSH 4x4 banding candidates, exact-Jaccard verify"),
+    GQuery("dedup_simhash", dedupSimhash, Some(dedupSimhashOracle),
+      "32-bit tf-weighted SimHash, byte-band blocking, hamming<=6"),
+    GQuery("sim_cosine", simCosine, Some(simCosineOracle),
+      "brute-force cosine top-5 (broadcast query side)"),
+    GQuery("sim_ann_lsh", simAnnLsh, Some(simAnnLshOracle),
+      "sign-bit LSH bucketed approximate NN, top-3 in-bucket"),
+    GQuery("sim_knn_class", simKnnClass, Some(simKnnClassOracle),
+      "k-NN(10) cosine label vote classifier"),
+    GQuery("text_stats", textStats, Some(textStatsOracle),
+      "corpus profiling: per-lang doc/token/char stats"),
+    GQuery("text_tfidf", textTfidf, Some(textTfidfOracle),
+      "tf-idf top-3 terms per doc, corpus idf"),
+    GQuery("text_langid", textLangid, Some(textLangidOracle),
+      "lexicon-vote language-ID (argmax over marker lexicons)"),
+    GQuery("text_quality", textQuality, Some(textQualityOracle),
+      "quality scoring: stopword/uniq ratios + length band composite"),
+    GQuery("text_tokens", textTokens, Some(textTokensOracle),
+      "token counting: whitespace vs BPE-ish regex"),
+    GQuery("text_fingerprint", textFingerprint, Some(textFingerprintOracle),
+      "order-sensitive rolling polynomial fingerprint"),
+    GQuery("multimodal_join", multimodalJoin, Some(multimodalJoinOracle),
+      "documents x embeddings feature-store join, mixed measures"),
+    GQuery("multimodal_binary", multimodalBinary, Some(multimodalBinaryOracle),
+      "opaque binary column + mapPartitions decode-stub batch path")
+  )
 }
