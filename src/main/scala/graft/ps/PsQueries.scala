@@ -1,9 +1,651 @@
 package graft.ps
 
 import graft.GQuery
+import graft.Det._
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 
-/** Parameter-server framework restated on Spark (pull=join, push=agg+merge,
-  * iterate=driver loop — SURVEY.md §2.A/§3.4) + algorithm slices (§2.B). */
+/** Parameter-server framework restated on Spark + the reference's
+  * algorithm library as deterministic oracle-checked slices
+  * (SURVEY.md §2.A, §2.B, §3.4).
+  *
+  * The reference (`FlinkParameterServer.transform`,
+  * `ps/src/main/scala/hu/sztaki/ilab/ps/FlinkParameterServer.scala`
+  * [K-high]) wires an async record-level pull/push loop between worker
+  * and server operators. Spark has no mutable distributed state in
+  * batch, so state = data (SURVEY §1.2): the model is a DataFrame
+  * keyed by parameter id, pull is an equi-join, push is a keyed
+  * aggregation folded back with an outer join, and the training loop is
+  * a driver-side iteration over bulk-synchronous steps — the
+  * deterministic formulation (the PS2/SIGMOD'19-sanctioned tradeoff,
+  * SURVEY §3.4). Every slice below is closed-form arithmetic on seeded,
+  * md5-derived initializations, so DuckDB reproduces it bit-for-bit.
+  *
+  * Scale: the ratings "stream" (orders ⋈ lineitem → (user, item,
+  * rating)) shuffles once on the join key; model joins hash-partition
+  * on parameter id — the same sharding the reference's `Partitioner`
+  * does by hand (§2.A ps_partition) — and small models broadcast.
+  */
 object PsQueries {
-  def queries: Seq[GQuery] = Seq()
+
+  /** 32-bit portable seeded hash (same scheme as LlmPipeline). */
+  private def h32(sexpr: String, seed: Int): String =
+    s"cast(conv(substring(md5(concat('$seed:', $sexpr)), 1, 8), 16, 10) as bigint)"
+  private def oH32(sexpr: String, seed: Int): String =
+    s"CAST(('0x' || substr(md5(concat('$seed:', $sexpr)), 1, 8)) AS BIGINT)"
+
+  /** Ratings matrix from the star schema (FIXTURES.md mapping):
+    * user = o_custkey, item = l_partkey, rating = l_quantity. */
+  private def ratings(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_quantity")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("user"), col("l_partkey").as("item"),
+        col("l_quantity").as("rating"))
+
+  private val oRatings =
+    """SELECT o_custkey AS "user", l_partkey AS item, l_quantity AS rating
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey""".stripMargin
+
+  /** Deterministic ranged init of factor j for id (the reference's
+    * `RangedRandomFactorInitializerDescriptor` [K-med] made seeded and
+    * engine-portable): min + (h32(id:j) mod 1000)/1000 * (max-min). */
+  // NB: both engines parse bare `1000.0` as DECIMAL — all literals are
+  // cast to DOUBLE explicitly so the arithmetic is IEEE-identical.
+  private def initFactor(idExpr: String, jExpr: String, lo: Double, hi: Double): String =
+    s"cast($lo as double) + (pmod(${h32(s"concat($idExpr, ':', $jExpr)", 11)}, 1000) " +
+      s"/ cast(1000 as double)) * cast(${hi - lo} as double)"
+  private def oInitFactor(idExpr: String, jExpr: String, lo: Double, hi: Double): String =
+    s"CAST($lo AS DOUBLE) + ((${oH32(s"concat($idExpr, ':', $jExpr)", 11)}) % 1000) " +
+      s"/ CAST(1000 AS DOUBLE) * CAST(${hi - lo} AS DOUBLE)"
+
+  // -------------------------------------------------------------------- ps_pull
+  /** `ParameterServerClient.pull(id)` → equi-join of the data stream
+    * with the model table on parameter id. The model here is the lazily
+    * hash-initialized item parameter (dim 1 for clarity); the "pull
+    * answer" is the joined row. Model side is small → broadcast: the
+    * 100-TB shape is data-side-partitioned with zero big-side shuffle. */
+  def psPull(spark: SparkSession, dir: String): DataFrame = {
+    val r = ratings(spark, dir).filter(col("user") < 200)
+    val model = ratings(spark, dir).select(col("item")).distinct()
+      .withColumn("param", expr(initFactor("item", "0", 0.0, 1.0)))
+    r.join(broadcast(model), "item")
+      .select(col("user"), col("item"), col("rating"),
+        round(col("param"), 6).as("param"))
+      .orderBy(col("user"), col("item"), col("rating"))
+  }
+
+  private val psPullOracle =
+    s"""WITH r AS ($oRatings),
+       |model AS (SELECT DISTINCT item, ${oInitFactor("item", "0", 0.0, 1.0)} AS param
+       |          FROM r)
+       |SELECT "user", item, rating, ROUND(param, 6) AS param
+       |FROM r JOIN model USING (item)
+       |WHERE "user" < 200
+       |ORDER BY "user", item, rating""".stripMargin
+
+  // -------------------------------------------------------------------- ps_push
+  /** `push(id, delta)` → map-side-combined keyed aggregation of deltas,
+    * folded into the model with a full-outer join + coalesce (the
+    * server's `paramUpdate: (P,P) => P` with `+`). Deltas here are the
+    * per-item rating cents (exact integers → bit-stable). */
+  def psPush(spark: SparkSession, dir: String): DataFrame = {
+    val model = ratings(spark, dir).select("item").distinct()
+      .filter(col("item") % 3 =!= 0) // a model that is missing some ids
+      .withColumn("value", (col("item") % 100).cast("long"))
+    val deltas = ratings(spark, dir)
+      .groupBy("item").agg(sum(cents(col("rating"))).as("delta"))
+    model.join(deltas, Seq("item"), "full_outer")
+      .select(col("item"),
+        (coalesce(col("value"), lit(0L)) + coalesce(col("delta"), lit(0L)))
+          .as("new_value"))
+      .orderBy(col("item"))
+  }
+
+  private val psPushOracle =
+    s"""WITH r AS ($oRatings),
+       |model AS (SELECT DISTINCT item, item % 100 AS value FROM r WHERE item % 3 != 0),
+       |deltas AS (SELECT item, SUM(${oCents("rating")}) AS delta FROM r GROUP BY item)
+       |SELECT item,
+       |       COALESCE(value, 0) + COALESCE(delta, 0) AS new_value
+       |FROM model FULL OUTER JOIN deltas USING (item)
+       |ORDER BY item""".stripMargin
+
+  // -------------------------------------------------------------------- ps_init
+  /** `paramInit: Int => P` lazy init on first pull: ids absent from the
+    * warm model get the deterministic ranged init (left join +
+    * coalesce), and the output marks which path initialized them. */
+  def psInit(spark: SparkSession, dir: String): DataFrame = {
+    val pulled = ratings(spark, dir).select("item").distinct()
+    val warm = pulled.filter(col("item") % 2 === 0)
+      .withColumn("param", round(col("item") / 1000.0, 6))
+    pulled.join(warm, Seq("item"), "left")
+      .select(col("item"),
+        round(coalesce(col("param"), expr(initFactor("item", "0", -0.5, 0.5))), 6)
+          .as("param"),
+        col("param").isNull.as("was_lazy_init"))
+      .orderBy(col("item"))
+  }
+
+  private val psInitOracle =
+    s"""WITH r AS ($oRatings),
+       |pulled AS (SELECT DISTINCT item FROM r),
+       |warm AS (SELECT item, ROUND(item / 1000.0, 6) AS param
+       |         FROM pulled WHERE item % 2 = 0)
+       |SELECT p.item,
+       |       ROUND(COALESCE(w.param, ${oInitFactor("p.item", "0", -0.5, 0.5)}), 6) AS param,
+       |       w.param IS NULL AS was_lazy_init
+       |FROM pulled p LEFT JOIN warm w ON p.item = w.item
+       |ORDER BY p.item""".stripMargin
+
+  // -------------------------------------------------------------- ps_model_load
+  /** `transformWithModelLoad` [K-med]: warm-start the server from an
+    * existing model table — here the embeddings table plays the
+    * pre-trained model (id → factor vector), joined to the incoming
+    * stream: score = first factor × rating. */
+  def psModelLoad(spark: SparkSession, dir: String): DataFrame = {
+    val model = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("item"),
+        expr("cast(element_at(embedding, 1) as double)").as("f0"))
+    ratings(spark, dir)
+      .join(model, "item")
+      .groupBy("item")
+      .agg(count(lit(1)).as("n_pulls"),
+        round(max(col("f0")), 6).as("f0"),
+        round(sum(cents(col("rating"))).cast("double") / 100.0 * max(col("f0")), 4)
+          .as("weighted"))
+      .orderBy(col("item"))
+  }
+
+  private val psModelLoadOracle =
+    s"""WITH r AS ($oRatings),
+       |model AS (SELECT vec_id AS item, CAST(embedding[1] AS DOUBLE) AS f0
+       |          FROM embeddings)
+       |SELECT item, COUNT(*) AS n_pulls, ROUND(MAX(f0), 6) AS f0,
+       |       ROUND(CAST(SUM(${oCents("rating")}) AS BIGINT) / 100.0 * MAX(f0), 4)
+       |         AS weighted
+       |FROM r JOIN model USING (item)
+       |GROUP BY item ORDER BY item""".stripMargin
+
+  // ------------------------------------------------------------------ ps_output
+  /** `ps.output` / the `Either[WOut, PSOut]` merged stream: worker-side
+    * outputs (per-user prediction rows) and server-side outputs
+    * (per-item parameter rows) union into one discriminated relation
+    * with nullable branches (`unionByName(allowMissingColumns)`). */
+  def psOutput(spark: SparkSession, dir: String): DataFrame = {
+    val r = ratings(spark, dir)
+    val workerOut = r.groupBy(col("user"))
+      .agg(round(avg(cents(col("rating"))).cast("double") / 100.0, 4).as("prediction"))
+      .withColumn("side", lit("worker"))
+    val serverOut = r.groupBy(col("item"))
+      .agg(sum(cents(col("rating"))).as("param_cents"))
+      .withColumn("side", lit("server"))
+    workerOut.unionByName(serverOut, allowMissingColumns = true)
+      .select(col("side"), col("user"), col("prediction"), col("item"),
+        col("param_cents"))
+      .orderBy(col("side"), col("user").asc_nulls_last, col("item").asc_nulls_last)
+  }
+
+  private val psOutputOracle =
+    s"""WITH r AS ($oRatings),
+       |w AS (SELECT 'worker' AS side, "user",
+       |             ROUND(CAST(SUM(${oCents("rating")}) AS BIGINT)
+       |                   / CAST(COUNT(rating) AS DOUBLE) / 100.0, 4) AS prediction,
+       |             NULL::BIGINT AS item, NULL::BIGINT AS param_cents
+       |      FROM r GROUP BY "user"),
+       |s AS (SELECT 'server' AS side, NULL::BIGINT AS "user",
+       |             NULL::DOUBLE AS prediction, item,
+       |             SUM(${oCents("rating")}) AS param_cents
+       |      FROM r GROUP BY item)
+       |SELECT * FROM w UNION ALL SELECT * FROM s
+       |ORDER BY side, "user" ASC NULLS LAST, item ASC NULLS LAST""".stripMargin
+
+  // --------------------------------------------------------------- ps_transform
+  /** The full `FlinkParameterServer.transform` loop, bulk-synchronous
+    * with a fixed iteration count (SURVEY §3.4): 3 iterations of
+    * p_item ← p_item + 0.5·(mean_rating_item − p_item), starting from 0.
+    * Per-item statistics are pre-aggregated exactly once (integer
+    * cents — the map-side combine the reference's `Combinable` senders
+    * hand-build), then the driver loop joins model ⇄ stats per step.
+    * The driver loop shape is the real harness: at scale each step is
+    * one co-partitioned join + project, with the model cached.
+    */
+  def psTransform(spark: SparkSession, dir: String): DataFrame = {
+    val stats = ratings(spark, dir)
+      .groupBy("item")
+      .agg((sum(cents(col("rating"))).cast("double") / 100.0 /
+        count(lit(1)).cast("double")).as("mean_r"))
+      .cache()
+    var model = stats.select(col("item"), lit(0.0).as("p"))
+    for (_ <- 1 to 3) {
+      model = model.join(stats, "item")
+        .select(col("item"), (col("p") + (col("mean_r") - col("p")) * 0.5).as("p"))
+    }
+    model.select(col("item"), round(col("p"), 6).as("p")).orderBy(col("item"))
+  }
+
+  private val psTransformOracle =
+    s"""WITH r AS ($oRatings),
+       |stats AS (SELECT item,
+       |            CAST(SUM(${oCents("rating")}) AS BIGINT)
+       |              / 100.0 / CAST(COUNT(*) AS DOUBLE) AS mean_r
+       |          FROM r GROUP BY item),
+       |it1 AS (SELECT item, (0.0 + (mean_r - 0.0) * 0.5) AS p FROM stats),
+       |it2 AS (SELECT s.item, (p + (mean_r - p) * 0.5) AS p
+       |        FROM it1 JOIN stats s ON it1.item = s.item),
+       |it3 AS (SELECT s.item, (p + (mean_r - p) * 0.5) AS p
+       |        FROM it2 JOIN stats s ON it2.item = s.item)
+       |SELECT item, ROUND(p, 6) AS p FROM it3 ORDER BY item""".stripMargin
+
+  // ------------------------------------------------------------ ps_worker_logic
+  /** `WorkerLogic.onRecv` — user-defined per-key stateful processing.
+    * Implemented the real way: `groupByKey(user).flatMapGroups`, sorting
+    * each user's purchase events by time and emitting the residual of
+    * each value against the running mean of all *prior* events (the
+    * online-prediction inner loop of the EDBT'18 jobs). The SQL twin is
+    * the equivalent window formulation — same semantics, two routes.
+    */
+  def psWorkerLogic(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), cents(col("value")).as("cents"))
+      .as[(Long, Long, Long)]
+    ev.groupByKey(_._1)
+      .flatMapGroups { (user, rows) =>
+        // worker-local state: running sum/count of prior records
+        val sorted = rows.toSeq.sortBy(_._2) // by event_id (arrival order)
+        var sum = 0L
+        var n = 0L
+        sorted.map { case (_, eid, c) =>
+          // residual × n, in cents: exact integer arithmetic only.
+          // (c − s/n rounds differently across engines exactly at dyadic
+          // .5 boundaries — scaling by n keeps the check bit-exact.)
+          val resid =
+            if (n == 0) null.asInstanceOf[java.lang.Long]
+            else java.lang.Long.valueOf(c * n - sum)
+          sum += c; n += 1
+          (user, eid, resid)
+        }
+      }
+      .toDF("user_id", "event_id", "resid_xn_cents")
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  private val psWorkerLogicOracle =
+    """WITH c AS (
+      |  SELECT user_id, event_id, CAST(ROUND(value * 100) AS BIGINT) AS cents
+      |  FROM events WHERE event_type = 'purchase'),
+      |w AS (
+      |  SELECT user_id, event_id, cents,
+      |    SUM(cents) OVER (PARTITION BY user_id ORDER BY event_id
+      |                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS s,
+      |    COUNT(cents) OVER (PARTITION BY user_id ORDER BY event_id
+      |                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS n
+      |  FROM c)
+      |SELECT user_id, event_id,
+      |  CAST(cents * n - s AS BIGINT) AS resid_xn_cents
+      |FROM w ORDER BY user_id, event_id""".stripMargin
+
+  // -------------------------------------------------------------------- mf_init
+  /** Ranged deterministic factor init (dim 8) for the first items —
+    * the portable restatement of `RangedRandomFactorInitializer`. */
+  def mfInit(spark: SparkSession, dir: String): DataFrame =
+    ratings(spark, dir).select("item").distinct()
+      .filter(col("item") < 300)
+      .withColumn("factors",
+        expr(s"transform(sequence(0, 7), j -> round(${initFactor("item", "j", -0.1, 0.1)}, 6))"))
+      .orderBy(col("item"))
+
+  private val mfInitOracle =
+    s"""WITH r AS ($oRatings)
+       |SELECT item,
+       |       list_transform(generate_series(0, 7),
+       |         j -> ROUND(${oInitFactor("item", "j", -0.1, 0.1)}, 6)) AS factors
+       |FROM (SELECT DISTINCT item FROM r) WHERE item < 300
+       |ORDER BY item""".stripMargin
+
+  // -------------------------------------------------------------- mf_neg_sample
+  /** Seeded negative sampling: per positive (user, item) generate 2
+    * candidate negatives by hashing, anti-join the seen set (the worker
+    * excluding observed interactions [K-med]). */
+  def mfNegSample(spark: SparkSession, dir: String): DataFrame = {
+    val r = ratings(spark, dir)
+    val maxItem = 2000
+    val pos = r.filter(col("user") < 100).select("user", "item").distinct()
+    val cand = pos.select(col("user"),
+        posexplode(expr(
+          s"transform(sequence(0, 1), n -> pmod(${h32("concat(user, ':', item, ':', n)", 13)}, $maxItem))"))
+          .as(Seq("n", "neg_item")))
+      .select("user", "neg_item").distinct()
+    cand.join(r.select(col("user"), col("item").as("neg_item")).distinct(),
+        Seq("user", "neg_item"), "left_anti")
+      .orderBy(col("user"), col("neg_item"))
+  }
+
+  private val mfNegSampleOracle =
+    s"""WITH r AS ($oRatings),
+       |pos AS (SELECT DISTINCT "user", item FROM r WHERE "user" < 100),
+       |cand AS (SELECT DISTINCT "user",
+       |           unnest(list_transform(generate_series(0, 1),
+       |             n -> (${oH32("""concat("user", ':', item, ':', n)""", 13)}) % 2000))
+       |             AS neg_item
+       |         FROM pos),
+       |seen AS (SELECT DISTINCT "user", item FROM r)
+       |SELECT c."user", c.neg_item FROM cand c
+       |WHERE NOT EXISTS (SELECT 1 FROM seen s
+       |                  WHERE s."user" = c."user" AND s.item = c.neg_item)
+       |ORDER BY c."user", c.neg_item""".stripMargin
+
+  // ------------------------------------------------------------- mf_user_memory
+  /** Per-user memory of the last m=3 rated items (recency window the MF
+    * worker keeps to exclude from negatives/top-k [K-med]). */
+  def mfUserMemory(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"))
+    ev.withColumn("rk", row_number().over(
+        Window.partitionBy("user_id").orderBy(col("event_id").desc)))
+      .filter(col("rk") <= 3)
+      .select(col("user_id"), col("rk"), col("event_id"), col("event_type"))
+      .orderBy(col("user_id"), col("rk"))
+  }
+
+  private val mfUserMemoryOracle =
+    """SELECT user_id, rk, event_id, event_type FROM (
+      |  SELECT user_id, event_id, event_type,
+      |         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rk
+      |  FROM events)
+      |WHERE rk <= 3 ORDER BY user_id, rk""".stripMargin
+
+  // -------------------------------------------------------------------- mf_topk
+  /** Online top-K recommendation with LEMP-style length pruning
+    * (SURVEY §2.B mf_topk [K-med]): users (vec_id < 50) × items
+    * (vec_id ≥ 50) maximum-inner-product search. Items are length-bucket
+    * pruned before the join (‖q‖ ≥ 60% of the max item norm — the
+    * norm-bound prefilter standing in for LEMP's bucket skip), then
+    * exact top-5 by inner product via window rank.
+    */
+  def mfTopk(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .withColumn("nrm",
+        expr("sqrt(aggregate(transform(v, x -> x * x), 0D, (a, x) -> a + x))"))
+    val users = e.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("uid"), col("v").as("uv"))
+    val maxNorm = e.filter(col("vec_id") >= 50).agg(max("nrm").as("mx"))
+    val items = e.filter(col("vec_id") >= 50)
+      .crossJoin(broadcast(maxNorm))
+      .filter(col("nrm") >= col("mx") * 0.6) // LEMP-style length pruning
+      .select(col("vec_id").as("iid"), col("v").as("iv"))
+    broadcast(users).join(items, lit(true))
+      .select(col("uid"), col("iid"),
+        round(expr("aggregate(zip_with(uv, iv, (x, y) -> x * y), 0D, (a, x) -> a + x)"), 6)
+          .as("score"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("uid").orderBy(col("score").desc, col("iid"))))
+      .filter(col("rk") <= 5)
+      .select(col("uid"), col("rk"), col("iid"), col("score"))
+      .orderBy(col("uid"), col("rk"))
+  }
+
+  private val mfTopkOracle =
+    """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |           FROM embeddings),
+      |e AS (SELECT vec_id, v,
+      |        sqrt(list_reduce(list_prepend(0.0, list_transform(v, x -> x * x)),
+      |                         (a, x) -> a + x)) AS nrm
+      |      FROM v),
+      |mx AS (SELECT max(nrm) AS mx FROM e WHERE vec_id >= 50),
+      |items AS (SELECT vec_id AS iid, v FROM e, mx
+      |          WHERE vec_id >= 50 AND nrm >= mx * 0.6),
+      |users AS (SELECT vec_id AS uid, v FROM e WHERE vec_id < 50),
+      |scored AS (
+      |  SELECT uid, iid,
+      |         ROUND(list_reduce(list_prepend(0.0,
+      |                 list_transform(generate_series(1, 64), i -> u.v[i] * it.v[i])),
+      |               (a, x) -> a + x), 6) AS score
+      |  FROM users u CROSS JOIN items it)
+      |SELECT uid, rk, iid, score FROM (
+      |  SELECT uid, iid, score,
+      |         row_number() OVER (PARTITION BY uid ORDER BY score DESC, iid) AS rk
+      |  FROM scored)
+      |WHERE rk <= 5 ORDER BY uid, rk""".stripMargin
+
+  // --------------------------------------------------------------------- mf_sgd
+  /** One closed-form online-MF SGD step (`MFWorkerLogic.onPullRecv`
+    * update rule, SURVEY §3.2 [K-high]): for each rating, pull p_u and
+    * q_i (deterministic dim-4 init), e = r − p·q, emit the updated item
+    * factors q' = q + lr·(e·p − reg·q). Row-local arithmetic → exact
+    * oracle; the full training run iterates this via the ps_transform
+    * loop harness.
+    */
+  def mfSgd(spark: SparkSession, dir: String): DataFrame = {
+    val lr = 0.01
+    val reg = 0.05
+    ratings(spark, dir)
+      .filter(col("user") < 30)
+      .withColumn("p", expr(s"transform(sequence(0, 3), j -> ${initFactor("user", "j", -0.2, 0.2)})"))
+      .withColumn("q", expr(s"transform(sequence(0, 3), j -> ${initFactor("item", "j", -0.2, 0.2)})"))
+      .withColumn("e", col("rating") -
+        expr("aggregate(zip_with(p, q, (x, y) -> x * y), 0D, (a, x) -> a + x)"))
+      .withColumn("q_new", expr(
+        s"transform(sequence(0, 3), j -> round(element_at(q, j + 1) + $lr * " +
+          s"(e * element_at(p, j + 1) - $reg * element_at(q, j + 1)), 6))"))
+      .select(col("user"), col("item"), col("rating"), round(col("e"), 6).as("err"),
+        col("q_new"))
+      .orderBy(col("user"), col("item"), col("rating"))
+  }
+
+  private val mfSgdOracle =
+    s"""WITH r AS ($oRatings),
+       |base AS (
+       |  SELECT "user", item, rating,
+       |    list_transform(generate_series(0, 3),
+       |      j -> ${oInitFactor(""""user"""", "j", -0.2, 0.2)}) AS p,
+       |    list_transform(generate_series(0, 3),
+       |      j -> ${oInitFactor("item", "j", -0.2, 0.2)}) AS q
+       |  FROM r WHERE "user" < 30),
+       |err AS (
+       |  SELECT *, rating - list_reduce(list_prepend(0.0,
+       |      list_transform(generate_series(1, 4), i -> p[i] * q[i])),
+       |      (a, x) -> a + x) AS e
+       |  FROM base)
+       |SELECT "user", item, rating, ROUND(e, 6) AS err,
+       |  list_transform(generate_series(1, 4),
+       |    i -> ROUND(q[i] + 0.01 * (e * p[i] - 0.05 * q[i]), 6)) AS q_new
+       |FROM err
+       |ORDER BY "user", item, rating""".stripMargin
+
+  // ------------------------------------------------------------------ pa_binary
+  /** One Passive-Aggressive (PA-I) binary step (SURVEY §2.B pa_binary
+    * [K-high]): x = embedding, y = ±1 from label, w = seeded init;
+    * ℓ = max(0, 1 − y·(w·x)), τ = min(C, ℓ/‖x‖²), margin' =
+    * y·(w·x) + τ‖x‖². Closed-form per row — the oracle checks the
+    * exact update algebra. */
+  def paBinary(spark: SparkSession, dir: String): DataFrame = {
+    val C = 0.5
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> cast(x as double))").as("x"))
+      .withColumn("y", when(col("label") >= 5, 1.0).otherwise(-1.0))
+      .withColumn("w", expr(s"transform(sequence(0, 63), j -> ${initFactor("'w'", "j", -0.1, 0.1)})"))
+      .withColumn("wx", expr("aggregate(zip_with(w, x, (a, b) -> a * b), 0D, (acc, v) -> acc + v)"))
+      .withColumn("xx", expr("aggregate(transform(x, v -> v * v), 0D, (acc, v) -> acc + v)"))
+      .withColumn("loss", greatest(lit(0.0), lit(1.0) - col("y") * col("wx")))
+      .withColumn("tau", least(lit(C), col("loss") / col("xx")))
+      .select(col("vec_id"), col("y"),
+        round(col("wx"), 6).as("margin"),
+        round(col("loss"), 6).as("loss"),
+        round(col("tau"), 6).as("tau"),
+        round(col("y") * col("wx") + col("tau") * col("xx"), 6).as("new_margin"))
+      .orderBy(col("vec_id"))
+  }
+
+  private val paBinaryOracle =
+    s"""WITH e AS (
+       |  SELECT vec_id, label,
+       |         list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x,
+       |         CASE WHEN label >= 5 THEN 1.0 ELSE -1.0 END AS y,
+       |         list_transform(generate_series(0, 63),
+       |           j -> ${oInitFactor("'w'", "j", -0.1, 0.1)}) AS w
+       |  FROM embeddings),
+       |s AS (
+       |  SELECT vec_id, y,
+       |    list_reduce(list_prepend(0.0,
+       |      list_transform(generate_series(1, 64), i -> w[i] * x[i])),
+       |      (a, v) -> a + v) AS wx,
+       |    list_reduce(list_prepend(0.0, list_transform(x, v -> v * v)),
+       |      (a, v) -> a + v) AS xx
+       |  FROM e),
+       |t AS (
+       |  SELECT *, GREATEST(0.0, 1.0 - y * wx) AS loss FROM s),
+       |u AS (
+       |  SELECT *, LEAST(0.5, loss / xx) AS tau FROM t)
+       |SELECT vec_id, y, ROUND(wx, 6) AS margin, ROUND(loss, 6) AS loss,
+       |       ROUND(tau, 6) AS tau,
+       |       ROUND(y * wx + tau * xx, 6) AS new_margin
+       |FROM u ORDER BY vec_id""".stripMargin
+
+  // ------------------------------------------------------------------- pa_multi
+  /** One multiclass PA step [K-med]: per-class weight vectors (seeded
+    * init), winner = highest-scoring wrong class, hinge margin between
+    * the true class and the winner, τ = min(C, ℓ/2‖x‖²) (shared update
+    * norm for the two touched prototypes). */
+  def paMulti(spark: SparkSession, dir: String): DataFrame = {
+    Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < 200)
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> cast(x as double))").as("x"))
+      .withColumn("xx", expr("aggregate(transform(x, v -> v * v), 0D, (acc, v) -> acc + v)"))
+      .select(col("vec_id"), col("label"), col("xx"),
+        posexplode(expr(
+          s"transform(sequence(0, 9), c -> aggregate(zip_with(" +
+            s"transform(sequence(0, 63), j -> ${initFactor("c", "j", -0.1, 0.1)}), x, " +
+            s"(a, b) -> a * b), 0D, (acc, v) -> acc + v))"))
+          .as(Seq("cls", "score")))
+      .withColumn("true_score", max(when(col("cls") === col("label"), col("score"))).over(
+        Window.partitionBy("vec_id")))
+      .filter(col("cls") =!= col("label"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("score").desc, col("cls"))))
+      .filter(col("rk") === 1)
+      .withColumn("loss", greatest(lit(0.0),
+        lit(1.0) - (col("true_score") - col("score"))))
+      .select(col("vec_id"), col("label"), col("cls").as("winner"),
+        round(col("true_score"), 6).as("true_score"),
+        round(col("score"), 6).as("winner_score"),
+        round(col("loss"), 6).as("loss"),
+        round(least(lit(0.5), col("loss") / (lit(2.0) * col("xx"))), 6).as("tau"))
+      .orderBy(col("vec_id"))
+  }
+
+  private val paMultiOracle =
+    s"""WITH e AS (
+       |  SELECT vec_id, label,
+       |         list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x
+       |  FROM embeddings WHERE vec_id < 200),
+       |n AS (
+       |  SELECT vec_id, label, x,
+       |    list_reduce(list_prepend(0.0, list_transform(x, v -> v * v)),
+       |      (a, v) -> a + v) AS xx
+       |  FROM e),
+       |scores AS (
+       |  SELECT vec_id, label, xx, c AS cls,
+       |    list_reduce(list_prepend(0.0,
+       |      list_transform(generate_series(1, 64),
+       |        i -> (${oInitFactor("c", "(i - 1)", -0.1, 0.1)}) * x[i])),
+       |      (a, v) -> a + v) AS score
+       |  FROM n, unnest(generate_series(0, 9)) AS t(c)),
+       |ts AS (
+       |  SELECT vec_id, max(CASE WHEN cls = label THEN score END) AS true_score
+       |  FROM scores GROUP BY vec_id),
+       |w AS (
+       |  SELECT s.vec_id, s.label, s.xx, s.cls, s.score, ts.true_score,
+       |         row_number() OVER (PARTITION BY s.vec_id
+       |                            ORDER BY s.score DESC, s.cls) AS rk
+       |  FROM scores s JOIN ts ON s.vec_id = ts.vec_id
+       |  WHERE s.cls != s.label)
+       |SELECT vec_id, label, cls AS winner,
+       |       ROUND(true_score, 6) AS true_score,
+       |       ROUND(score, 6) AS winner_score,
+       |       ROUND(GREATEST(0.0, 1.0 - (true_score - score)), 6) AS loss,
+       |       ROUND(LEAST(0.5, GREATEST(0.0, 1.0 - (true_score - score))
+       |                         / (2.0 * xx)), 6) AS tau
+       |FROM w WHERE rk = 1 ORDER BY vec_id""".stripMargin
+
+  // --------------------------------------------------------------- ts_simsearch
+  /** Streaming time-series similarity search (EDBT'19 line, SURVEY §2.B
+    * ts_simsearch): per-key hourly count vectors from the event stream,
+    * all-pairs cosine via a self-join on the hour bucket (exact integer
+    * dot products → bit-stable), most-similar keys first. The sketch
+    * module's ToW estimate of the same inner product is sketch_tow. */
+  def tsSimsearch(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(spark, dir)
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .groupBy("event_type", "h").agg(count(lit(1)).as("cnt"))
+    val norms = hourly.groupBy("event_type")
+      .agg(sum(col("cnt") * col("cnt")).as("sq"))
+    hourly.as("a").join(hourly.as("b"),
+        col("a.h") === col("b.h") && col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("ta"), col("b.event_type").as("tb"))
+      .agg(sum(col("a.cnt") * col("b.cnt")).as("dot"))
+      .join(norms.select(col("event_type").as("ta"), col("sq").as("sqa")), "ta")
+      .join(norms.select(col("event_type").as("tb"), col("sq").as("sqb")), "tb")
+      .select(col("ta"), col("tb"),
+        round(col("dot") / (sqrt(col("sqa")) * sqrt(col("sqb"))), 6).as("cos"))
+      .orderBy(col("cos").desc, col("ta"), col("tb"))
+  }
+
+  private val tsSimsearchOracle =
+    """WITH hourly AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |norms AS (SELECT event_type, sum(cnt * cnt) AS sq FROM hourly GROUP BY 1),
+      |dots AS (
+      |  SELECT a.event_type ta, b.event_type tb, sum(a.cnt * b.cnt) AS dot
+      |  FROM hourly a JOIN hourly b
+      |    ON a.h = b.h AND a.event_type < b.event_type
+      |  GROUP BY 1, 2)
+      |SELECT ta, tb,
+      |       ROUND(dot / (sqrt(na.sq) * sqrt(nb.sq)), 6) AS cos
+      |FROM dots
+      |JOIN norms na ON na.event_type = ta
+      |JOIN norms nb ON nb.event_type = tb
+      |ORDER BY cos DESC, ta, tb""".stripMargin
+
+  def queries: Seq[GQuery] = Seq(
+    GQuery("ps_pull", psPull, Some(psPullOracle),
+      "pull = equi-join of stream with model table (broadcast model)"),
+    GQuery("ps_push", psPush, Some(psPushOracle),
+      "push = keyed delta agg folded via full-outer join + coalesce"),
+    GQuery("ps_init", psInit, Some(psInitOracle),
+      "lazy paramInit on first pull (left join + seeded init coalesce)"),
+    GQuery("ps_model_load", psModelLoad, Some(psModelLoadOracle),
+      "warm-start from existing model table (transformWithModelLoad)"),
+    GQuery("ps_output", psOutput, Some(psOutputOracle),
+      "Either[WOut, PSOut] merged output with discriminator column"),
+    GQuery("ps_transform", psTransform, Some(psTransformOracle),
+      "full PS loop: 3 bulk-synchronous driver iterations over join+agg"),
+    GQuery("ps_worker_logic", psWorkerLogic, Some(psWorkerLogicOracle),
+      "WorkerLogic.onRecv: flatMapGroups per-key stateful fold"),
+    GQuery("mf_init", mfInit, Some(mfInitOracle),
+      "deterministic ranged factor init (dim 8)"),
+    GQuery("mf_neg_sample", mfNegSample, Some(mfNegSampleOracle),
+      "seeded negative sampling + anti-join against seen pairs"),
+    GQuery("mf_user_memory", mfUserMemory, Some(mfUserMemoryOracle),
+      "per-user last-m recency memory window"),
+    GQuery("mf_topk", mfTopk, Some(mfTopkOracle),
+      "top-K MIPS with LEMP-style norm-bound pruning"),
+    GQuery("mf_sgd", mfSgd, Some(mfSgdOracle),
+      "closed-form online-MF SGD step (pull, update, push algebra)"),
+    GQuery("pa_binary", paBinary, Some(paBinaryOracle),
+      "Passive-Aggressive PA-I binary step (hinge, tau, margin update)"),
+    GQuery("pa_multi", paMulti, Some(paMultiOracle),
+      "multiclass PA step (winner class, margin, shared tau)"),
+    GQuery("ts_simsearch", tsSimsearch, Some(tsSimsearchOracle),
+      "per-key hourly count-vector cosine similarity search")
+  )
 }
