@@ -1,9 +1,255 @@
 package graft.sketch
 
 import graft.GQuery
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
 
-/** Sketch aggregates: bloom, tug-of-war (AMS), minhash, time-series
-  * similarity (SURVEY.md §2.B sketch_* rows). */
+/** Sketch operators (SURVEY.md §2.B sketch_* rows, reference modules
+  * `ps/.../sketch/{bloom,tug/of/war,minhash}/` [K-med/K-low]).
+  *
+  * The reference pushes mergeable partial sketches through the PS
+  * (`paramUpdate = merge`); Spark's exact analog is a typed
+  * `Aggregator` whose `merge` is the sketch merge — partial aggregation
+  * on the map side IS the reference's combinable-sender batching, and
+  * the shuffle carries one sketch per (group, partition) instead of raw
+  * rows, which is the whole point at 100 TB.
+  *
+  * Determinism/oracle strategy (SURVEY §7.5): every sketch here is built
+  * from md5-derived hashes, so DuckDB reproduces the *sketch itself*
+  * bit-for-bit — the oracle checks both the estimate and the exact
+  * quantity it estimates. (`org.apache.spark.util.sketch.BloomFilter`
+  * uses Spark-internal hashing, so the bloom qid outputs the exact
+  * set-overlap form; the BloomFilter-wrapping Aggregator is exercised in
+  * the ScalaTest suite instead.)
+  */
 object SketchQueries {
-  def queries: Seq[GQuery] = Seq()
+
+  private def h32(sexpr: String, seed: Int): String =
+    s"cast(conv(substring(md5(concat('$seed:', $sexpr)), 1, 8), 16, 10) as bigint)"
+  private def oH32(sexpr: String, seed: Int): String =
+    s"CAST(('0x' || substr(md5(concat('$seed:', $sexpr)), 1, 8)) AS BIGINT)"
+
+  /** Tug-of-War (AMS) sketch: d=8 counters per group; counter j sums
+    * ±1 signs of the keyed value. Mergeable by vector add — the PS
+    * `paramUpdate` [K-med]. Signs derive from the portable md5 hash so
+    * the oracle can rebuild the identical sketch.
+    */
+  object TowAgg extends Aggregator[Long, Array[Long], Array[Long]] {
+    val d = 8
+    def zero: Array[Long] = Array.fill(d)(0L)
+    def reduce(b: Array[Long], key: Long): Array[Long] = {
+      var j = 0
+      while (j < d) { b(j) += sign(key, j); j += 1 }
+      b
+    }
+    def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var j = 0
+      while (j < d) { a(j) += b(j); j += 1 }
+      a
+    }
+    def finish(r: Array[Long]): Array[Long] = r
+    def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.Encoders.javaSerialization[Array[Long]]
+    def outputEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    /** ±1 from the same md5 scheme as the SQL h32 (seed 17). */
+    def sign(key: Long, j: Int): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"17:$key:$j".getBytes("UTF-8"))
+        .take(4).map(b => f"$b%02x").mkString
+      (java.lang.Long.parseLong(hex, 16) % 2L) * 2L - 1L
+    }
+  }
+
+  // ----------------------------------------------------------------- sketch_tow
+  /** ToW sketches of the per-event-type user-count vectors, built by the
+    * typed Aggregator; pairwise sketch inner products estimate the exact
+    * count-vector inner product Σ_u cnt_a(u)·cnt_b(u), which is also
+    * computed exactly — the oracle checks estimate AND exact. Estimate
+    * quality is property-tested in ScalaTest; here determinism is what
+    * is asserted.
+    */
+  def sketchTow(spark: SparkSession, dir: String): DataFrame = {
+    val tow = udaf(TowAgg)
+    val sk = Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(tow(col("user_id")).as("sk"))
+    val est = sk.as("a").join(sk.as("b"), col("a.event_type") < col("b.event_type"))
+      .select(col("a.event_type").as("ta"), col("b.event_type").as("tb"),
+        (expr("aggregate(zip_with(a.sk, b.sk, (x, y) -> x * y), 0L, (acc, v) -> acc + v)")
+          .cast("double") / TowAgg.d.toDouble).as("tow_estimate"))
+    val cnt = Tables.events(spark, dir)
+      .groupBy(col("event_type"), col("user_id")).agg(count(lit(1)).as("cnt"))
+    val exact = cnt.as("x").join(cnt.as("y"),
+        col("x.user_id") === col("y.user_id") &&
+          col("x.event_type") < col("y.event_type"))
+      .groupBy(col("x.event_type").as("ta"), col("y.event_type").as("tb"))
+      .agg(sum(col("x.cnt") * col("y.cnt")).as("exact_inner"))
+    est.join(exact, Seq("ta", "tb"))
+      .select(col("ta"), col("tb"), col("tow_estimate"), col("exact_inner"))
+      .orderBy(col("ta"), col("tb"))
+  }
+
+  private val sketchTowOracle = {
+    val sign = s"((${oH32("concat(user_id, ':', j)", 17)}) % 2) * 2 - 1"
+    s"""WITH sk AS (
+       |  SELECT event_type, j, SUM($sign) AS c
+       |  FROM events, unnest(generate_series(0, 7)) AS t(j)
+       |  GROUP BY event_type, j),
+       |est AS (
+       |  SELECT a.event_type ta, b.event_type tb,
+       |         CAST(SUM(a.c * b.c) AS DOUBLE) / CAST(8 AS DOUBLE) AS tow_estimate
+       |  FROM sk a JOIN sk b ON a.j = b.j AND a.event_type < b.event_type
+       |  GROUP BY 1, 2),
+       |cnt AS (SELECT event_type, user_id, count(*) cnt FROM events GROUP BY 1, 2),
+       |exact AS (
+       |  SELECT x.event_type ta, y.event_type tb, SUM(x.cnt * y.cnt) AS exact_inner
+       |  FROM cnt x JOIN cnt y
+       |    ON x.user_id = y.user_id AND x.event_type < y.event_type
+       |  GROUP BY 1, 2)
+       |SELECT ta, tb, tow_estimate, exact_inner
+       |FROM est JOIN exact USING (ta, tb)
+       |ORDER BY ta, tb""".stripMargin
+  }
+
+  // --------------------------------------------------------------- sketch_bloom
+  /** Bloom-filter similarity family, exact form: per-event-type distinct
+    * user sets, pairwise |∩|/|∪| — the quantity the reference's
+    * time-bucketed blooms estimate for Jaccard similarity (EDBT'19
+    * line). Sets stay distributed (groupBy distinct + equi-join on
+    * user), never collected; the bloom-filter Aggregator (merge = bit
+    * OR) lives in `BloomAgg` and is ScalaTest-verified since its bit
+    * layout is Spark-internal. */
+  def sketchBloom(spark: SparkSession, dir: String): DataFrame = {
+    val sets = Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id")).distinct()
+    val sizes = sets.groupBy("event_type").agg(count(lit(1)).as("n"))
+    sets.as("a").join(sets.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("ta"), col("b.event_type").as("tb"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("event_type").as("ta"), col("n").as("na")), "ta")
+      .join(sizes.select(col("event_type").as("tb"), col("n").as("nb")), "tb")
+      .select(col("ta"), col("tb"), col("na"), col("nb"), col("inter"),
+        round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 6)
+          .as("jaccard"))
+      .orderBy(col("ta"), col("tb"))
+  }
+
+  private val sketchBloomOracle =
+    """WITH sets AS (SELECT DISTINCT event_type, user_id FROM events),
+      |sizes AS (SELECT event_type, count(*) n FROM sets GROUP BY 1),
+      |inter AS (
+      |  SELECT a.event_type ta, b.event_type tb, count(*) inter
+      |  FROM sets a JOIN sets b
+      |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+      |  GROUP BY 1, 2)
+      |SELECT ta, tb, sa.n na, sb.n nb, inter,
+      |       ROUND(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) AS jaccard
+      |FROM inter
+      |JOIN sizes sa ON sa.event_type = ta
+      |JOIN sizes sb ON sb.event_type = tb
+      |ORDER BY ta, tb""".stripMargin
+
+  // ------------------------------------------------------------- sketch_minhash
+  /** MinHash signatures (8 seeds) of per-source token sets; pairwise
+    * signature agreement estimates Jaccard, checked against the exact
+    * value. The signature pass is one groupBy over (source, seed) —
+    * linear; pairs are across 20 sources only. */
+  def sketchMinhash(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .distinct()
+    val sig = toks.select(col("source"),
+        posexplode(array((0 until 8).map(s => expr(h32("tok", 100 + s))): _*))
+          .as(Seq("seed", "h")))
+      .groupBy("source", "seed").agg(min("h").as("mh"))
+    val est = sig.as("a").join(sig.as("b"),
+        col("a.seed") === col("b.seed") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("sa"), col("b.source").as("sb"))
+      .agg((sum(when(col("a.mh") === col("b.mh"), 1L).otherwise(0L)).cast("double") /
+        lit(8).cast("double")).as("est_jaccard"))
+    val sizes = toks.groupBy("source").agg(count(lit(1)).as("n"))
+    val exact = toks.as("x").join(toks.as("y"),
+        col("x.tok") === col("y.tok") && col("x.source") < col("y.source"))
+      .groupBy(col("x.source").as("sa"), col("y.source").as("sb"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("source").as("sa"), col("n").as("na")), "sa")
+      .join(sizes.select(col("source").as("sb"), col("n").as("nb")), "sb")
+      .select(col("sa"), col("sb"),
+        round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 6)
+          .as("exact_jaccard"))
+    est.join(exact, Seq("sa", "sb"))
+      .select(col("sa"), col("sb"), col("est_jaccard"), col("exact_jaccard"))
+      .orderBy(col("sa"), col("sb"))
+  }
+
+  private val sketchMinhashOracle = {
+    val mhUnion = (0 until 8)
+      .map(s => s"SELECT source, ${100 + s} - 100 AS seed, min(${oH32("tok", 100 + s)}) AS mh FROM toks GROUP BY source")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH toks AS (
+       |  SELECT DISTINCT source, unnest(string_split(text, ' ')) AS tok
+       |  FROM documents),
+       |sig AS (
+       |  $mhUnion),
+       |est AS (
+       |  SELECT a.source sa, b.source sb,
+       |         CAST(SUM(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS DOUBLE)
+       |           / CAST(8 AS DOUBLE) AS est_jaccard
+       |  FROM sig a JOIN sig b ON a.seed = b.seed AND a.source < b.source
+       |  GROUP BY 1, 2),
+       |sizes AS (SELECT source, count(*) n FROM toks GROUP BY 1),
+       |inter AS (
+       |  SELECT x.source sa, y.source sb, count(*) inter
+       |  FROM toks x JOIN toks y ON x.tok = y.tok AND x.source < y.source
+       |  GROUP BY 1, 2),
+       |exact AS (
+       |  SELECT sa, sb,
+       |         ROUND(CAST(inter AS DOUBLE) / (za.n + zb.n - inter), 6) AS exact_jaccard
+       |  FROM inter JOIN sizes za ON za.source = sa JOIN sizes zb ON zb.source = sb)
+       |SELECT sa, sb, est_jaccard, exact_jaccard
+       |FROM est JOIN exact USING (sa, sb)
+       |ORDER BY sa, sb""".stripMargin
+  }
+
+  def queries: Seq[GQuery] = Seq(
+    GQuery("sketch_tow", sketchTow, Some(sketchTowOracle),
+      "Tug-of-War (AMS) Aggregator sketch + exact inner-product twin"),
+    GQuery("sketch_bloom", sketchBloom, Some(sketchBloomOracle),
+      "bloom-family set similarity, exact distinct-set Jaccard form"),
+    GQuery("sketch_minhash", sketchMinhash, Some(sketchMinhashOracle),
+      "minhash signature agreement vs exact Jaccard per source pair")
+  )
+}
+
+/** Per-group bloom filter as a mergeable typed Aggregator (merge = bit
+  * OR) — the scale path for set membership/overlap when exact distinct
+  * sets no longer fit. Bit layout is Spark-internal
+  * (`org.apache.spark.util.sketch.BloomFilter`), so this is
+  * ScalaTest-verified rather than oracle-checked.
+  */
+object BloomAgg extends Aggregator[Long,
+    org.apache.spark.util.sketch.BloomFilter, Array[Byte]] {
+  def zero: org.apache.spark.util.sketch.BloomFilter =
+    org.apache.spark.util.sketch.BloomFilter.create(10000, 0.01)
+  def reduce(b: org.apache.spark.util.sketch.BloomFilter, key: Long)
+      : org.apache.spark.util.sketch.BloomFilter = { b.putLong(key); b }
+  def merge(a: org.apache.spark.util.sketch.BloomFilter,
+      b: org.apache.spark.util.sketch.BloomFilter)
+      : org.apache.spark.util.sketch.BloomFilter = { a.mergeInPlace(b); a }
+  def finish(r: org.apache.spark.util.sketch.BloomFilter): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    r.writeTo(bos)
+    bos.toByteArray
+  }
+  def bufferEncoder
+      : org.apache.spark.sql.Encoder[org.apache.spark.util.sketch.BloomFilter] =
+    org.apache.spark.sql.Encoders
+      .javaSerialization[org.apache.spark.util.sketch.BloomFilter]
+  def outputEncoder: org.apache.spark.sql.Encoder[Array[Byte]] =
+    org.apache.spark.sql.Encoders.BINARY
 }
