@@ -85,32 +85,26 @@ object LlmPipeline {
       |FROM corpus GROUP BY 1 ORDER BY keep_id""".stripMargin
 
   // ---------------------------------------------------------------- dedup_near
-  /** Near-dup detection by word-3-gram Jaccard ≥ 0.8. Candidate pairs
-    * come from a *rare-shingle block join* (docs sharing a shingle with
-    * corpus frequency ≤ 20), then exact Jaccard verifies. Rare-shingle
-    * blocking keeps the join O(Σ bucket²) with tiny buckets instead of
-    * O(n²): true near-dups share many near-unique shingles, so recall
-    * at 0.8 is unaffected while hot shingles ("the the the") never
-    * explode a bucket — the standard blocking design at crawl scale.
+  /** Near-dup detection by word-3-gram Jaccard ≥ 0.8, exact form: an
+    * inverted-index self-join on the shingle (one row per shared
+    * shingle per pair) aggregated straight to intersection counts — no
+    * materialized candidate set, no DISTINCT over pairs. Cost is
+    * Σ_shingle df² (bounded as long as no shingle is ultra-hot; a df
+    * cap would bound it unconditionally at the price of exactness).
+    * This is the exactness baseline that validates the sub-quadratic
+    * scale paths (dedup_minhash LSH banding, dedup_simhash bands) —
+    * at 100 TB you run those, and this, sampled, to audit their recall.
     */
   def dedupNear(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(Tables.documents(spark, dir)).cache()
-    val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= 20)
-    val blocked = sh.join(rare, "shingle")
-    val cand = blocked.as("a").join(blocked.as("b"), Seq("shingle"))
-      .filter(col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-      .distinct()
+    val sh = shingles(Tables.documents(spark, dir))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val inter = sh.as("x").join(sh.as("y"),
         col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
-      .join(cand, Seq("da", "db"), "left_semi")
-      .groupBy("da", "db").agg(count(lit(1)).as("inter"))
+      .groupBy(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+      .agg(count(lit(1)).as("inter"))
     inter
-      .join(sizes.withColumnRenamed("doc_id", "da").withColumnRenamed("n_sh", "na"), "da")
-      .join(sizes.withColumnRenamed("doc_id", "db").withColumnRenamed("n_sh", "nb"), "db")
+      .join(broadcast(sizes.select(col("doc_id").as("da"), col("n_sh").as("na"))), "da")
+      .join(broadcast(sizes.select(col("doc_id").as("db"), col("n_sh").as("nb"))), "db")
       .withColumn("jaccard",
         round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 4))
       .filter(col("jaccard") >= 0.8)
@@ -120,15 +114,9 @@ object LlmPipeline {
 
   private val dedupNearOracle =
     s"""WITH sh AS ($oShingles),
-       |rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 20),
-       |blocked AS (SELECT sh.* FROM sh JOIN rare USING (shingle)),
-       |cand AS (SELECT DISTINCT a.doc_id da, b.doc_id db
-       |         FROM blocked a JOIN blocked b
-       |           ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
        |sizes AS (SELECT doc_id, count(*) n_sh FROM sh GROUP BY doc_id),
        |inter AS (SELECT x.doc_id da, y.doc_id db, count(*) inter
        |          FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
-       |          WHERE (x.doc_id, y.doc_id) IN (SELECT (da, db) FROM cand)
        |          GROUP BY 1, 2)
        |SELECT da, db,
        |       ROUND(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 4) AS jaccard
@@ -149,11 +137,18 @@ object LlmPipeline {
     */
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingles(Tables.documents(spark, dir)).cache()
-    // (doc_id, seed, minhash): min over shingles of h32(shingle, seed),
-    // long-format via posexplode of the 16 seeded hashes per shingle
-    val hashed = sh.select(col("doc_id"), col("shingle"),
-      posexplode(array((0 until 16).map(s => expr(h32("shingle", s))): _*))
-        .as(Seq("seed", "h")))
+    // (doc_id, seed, minhash): 16 seeded 32-bit hashes per shingle from
+    // only 4 md5 evaluations — each 128-bit digest is sliced into four
+    // 8-hex-char words (seed = group*4 + slot)
+    val hashed = sh
+      .withColumn("d0", md5(concat(lit("100:"), col("shingle"))))
+      .withColumn("d1", md5(concat(lit("101:"), col("shingle"))))
+      .withColumn("d2", md5(concat(lit("102:"), col("shingle"))))
+      .withColumn("d3", md5(concat(lit("103:"), col("shingle"))))
+      .select(col("doc_id"), col("shingle"),
+        posexplode(array((0 until 16).map { s =>
+          expr(s"cast(conv(substring(d${s / 4}, ${s % 4 * 8 + 1}, 8), 16, 10) as bigint)")
+        }: _*)).as(Seq("seed", "h")))
     val sig = hashed.groupBy("doc_id", "seed").agg(min("h").as("mh"))
     // band id = seed div 4; band value = md5 of the 4 minhashes in order
     val bands = sig.withColumn("band", expr("seed div 4"))
@@ -166,10 +161,13 @@ object LlmPipeline {
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .distinct()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val inter = sh.as("x").join(sh.as("y"),
-        col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
-      .join(cand, Seq("da", "db"), "left_semi")
+    // candidate-driven intersection (see dedupNear): never self-join the
+    // full shingle relation for verification
+    val inter = broadcast(cand)
+      .join(sh.as("x"), col("da") === col("x.doc_id"))
+      .select(col("da"), col("db"), col("x.shingle").as("c_shingle"))
+      .join(sh.as("y"),
+        col("db") === col("y.doc_id") && col("c_shingle") === col("y.shingle"))
       .groupBy("da", "db").agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.withColumnRenamed("doc_id", "da").withColumnRenamed("n_sh", "na"), "da")
@@ -183,7 +181,11 @@ object LlmPipeline {
 
   private val dedupMinhashOracle = {
     val mhUnion = (0 until 16)
-      .map(s => s"SELECT doc_id, $s AS seed, min(${oH32("shingle", s)}) AS mh FROM sh GROUP BY doc_id")
+      .map { s =>
+        val slice = s"CAST(('0x' || substr(md5(concat('${100 + s / 4}:', shingle)), " +
+          s"${s % 4 * 8 + 1}, 8)) AS BIGINT)"
+        s"SELECT doc_id, $s AS seed, min($slice) AS mh FROM sh GROUP BY doc_id"
+      }
       .mkString("\n  UNION ALL\n  ")
     s"""WITH sh AS ($oShingles),
        |sig AS (
@@ -227,7 +229,10 @@ object LlmPipeline {
       // range in both engines — no sign-extension/overflow divergence.
       .withColumn("h",
         expr(s"shiftleft(${h32("tok", 7)} & 2147483647, 32) | ${h32("tok", 8)}"))
-    // per (doc, bit): signed tf sum; bit set iff sum > 0
+    // per (doc, bit): signed tf sum via explode + two keyed aggregations
+    // (all codegen'd integer adds; an HOF fold over collected token
+    // lists benches ~20× slower — nested array expressions leave
+    // whole-stage codegen)
     val bits = toks
       .select(col("doc_id"), col("tf"), posexplode(
         expr("transform(sequence(0, 62), i -> shiftright(h, i) & 1)"))
