@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Edge-case unit tests on tiny in-memory DataFrames (FIXTURES.md
+  * "unit-test micro-fixtures"): nulls in keys, empty groups, ties,
+  * duplicates — the places where operator semantics actually bite.
+  */
+class OperatorEdgeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("left join preserves unmatched rows; counts ignore nulls") {
+    val cust = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("ck", "name")
+    val ord = Seq((10L, 1L), (11L, 1L)).toDF("ok", "ck")
+    val res = cust.join(ord, Seq("ck"), "left")
+      .groupBy("ck").agg(count(col("ok")).as("n"))
+      .orderBy("ck").collect()
+    assert(res.map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      Seq((1L, 2L), (2L, 0L), (3L, 0L)))
+  }
+
+  test("full outer join + coalesce folds disjoint keysets (ps_push shape)") {
+    val model = Seq((1L, 10L), (2L, 20L)).toDF("id", "v")
+    val delta = Seq((2L, 5L), (3L, 7L)).toDF("id", "d")
+    val res = model.join(delta, Seq("id"), "full_outer")
+      .select(col("id"), (coalesce(col("v"), lit(0L)) + coalesce(col("d"), lit(0L))).as("nv"))
+      .orderBy("id").collect()
+    assert(res.map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      Seq((1L, 10L), (2L, 25L), (3L, 7L)))
+  }
+
+  test("null join keys never match (inner and semi)") {
+    val a = Seq(Some(1L), None, Some(2L)).toDF("k")
+    val b = Seq(Some(1L), None).toDF("k")
+    assert(a.join(b, Seq("k"), "inner").count() === 1)
+    assert(a.join(b, Seq("k"), "left_semi").count() === 1)
+  }
+
+  test("window rank ties resolved by total-order key") {
+    val df = Seq((1, "x", 5), (1, "y", 5), (1, "z", 3)).toDF("g", "id", "v")
+    val r = df.withColumn("rk",
+        row_number().over(Window.partitionBy("g").orderBy(col("v").desc, col("id"))))
+      .orderBy("rk").collect()
+    assert(r.map(_.getString(1)).toSeq === Seq("x", "y", "z"))
+  }
+
+  test("aggregation over empty input yields empty (not null row)") {
+    val df = Seq((1L, 2.0)).toDF("k", "v").filter(col("k") > 100)
+    assert(df.groupBy("k").agg(sum("v")).count() === 0)
+  }
+
+  test("union + distinct collapses duplicates; unionByName aligns columns") {
+    val a = Seq((1L, "x")).toDF("k", "s")
+    val b = Seq(("x", 1L)).toDF("s", "k")
+    assert(a.unionByName(b).distinct().count() === 1)
+  }
+
+  test("Det.cents/sum2 are exact on 2-decimal money") {
+    val df = Seq(0.01, 0.02, 0.29, 10.10, 99.99).toDF("v")
+    val s = df.agg(Det.sum2(col("v"))).head().getDouble(0)
+    assert(s === 110.41)
+  }
+
+  test("sessionization gap logic: new session iff gap > threshold") {
+    val ev = Seq((1L, 0L), (1L, 100L), (1L, 5000L), (1L, 5100L))
+      .toDF("u", "t")
+    val w = Window.partitionBy("u").orderBy("t")
+    val sess = ev
+      .withColumn("gap", col("t") - lag("t", 1).over(w))
+      .withColumn("new_s", when(col("gap").isNull || col("gap") > 1000L, 1).otherwise(0))
+      .withColumn("sid", sum("new_s").over(w))
+    val ids = sess.orderBy("t").collect().map(_.getLong(4))
+    assert(ids.toSeq === Seq(1L, 1L, 2L, 2L))
+  }
+}

@@ -1,0 +1,32 @@
+package graft
+
+/** Registry-wide contract checks: every declared qid runs on sf0.001,
+  * has a stable schema, and is bitwise deterministic across two
+  * executions (the driver's t2 hash-compare depends on it — SURVEY §0.1).
+  */
+class RegistrySpec extends SparkSpec {
+
+  test("registry has no duplicate qids") {
+    val ids = Registry.all.map(_.id)
+    assert(ids.distinct.size === ids.size)
+  }
+
+  test("every query with an oracle is declared in SparkEntry maps") {
+    val q = SparkEntry.queries
+    val o = SparkEntry.oracleSql
+    assert(o.keySet.subsetOf(q.keySet))
+    assert(q.nonEmpty)
+  }
+
+  test("entry (flagship) returns rows on sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  for (q <- Registry.all) {
+    test(s"${q.id}: runs on sf0.001 and is deterministic") {
+      val r1 = q.fn(spark, sfDir).collect().map(_.toString)
+      val r2 = q.fn(spark, sfDir).collect().map(_.toString)
+      assert(r1.sameElements(r2), s"${q.id} not deterministic across runs")
+    }
+  }
+}
