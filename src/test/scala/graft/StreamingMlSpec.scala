@@ -1,0 +1,73 @@
+package graft
+
+import graft.ml.MlBridges
+import graft.streaming.StreamingOps
+import org.apache.spark.sql.functions._
+
+/** Capability proofs for the true-streaming and MLlib-bridge paths
+  * (SURVEY §7.3 steps 7–8): streaming results must equal their batch
+  * analogs; ML bridges must hit quality thresholds with fixed seeds.
+  */
+class StreamingMlSpec extends SparkSpec {
+
+  test("streaming tumbling window equals batch groupBy on bounded input") {
+    // append mode emits a window only once the watermark passes its end:
+    // compare on the closed windows (end <= max_ts - 10 min) both sides
+    val maxTs = graft.sources.Tables.events(spark, sfDir)
+      .agg(max("ts")).head().getTimestamp(0)
+    val closed = expr(s"h + interval 1 hour <= timestamp'$maxTs' - interval 10 minutes")
+    val streamed = StreamingOps.tumblingCounts(spark, sfDir)
+      .filter(closed).orderBy("h", "event_type").collect()
+    val batch = graft.sources.Tables.events(spark, sfDir)
+      .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .filter(closed).orderBy("h", "event_type").collect()
+    assert(streamed.nonEmpty)
+    assert(streamed.map(_.toString).toSeq === batch.map(_.toString).toSeq)
+  }
+
+  test("streaming dedup by event_id keeps every distinct id once") {
+    val out = StreamingOps.streamingDedup(spark, sfDir)
+    val batchDistinct = graft.sources.Tables.events(spark, sfDir)
+      .select("event_id").distinct().count()
+    assert(out.select("event_id").distinct().count() === batchDistinct)
+    assert(out.count() === batchDistinct)
+  }
+
+  test("mapGroupsWithState keyed state matches batch aggregation") {
+    val streamed = StreamingOps.statefulUserAgg(spark, sfDir)
+      .orderBy("user_id").collect()
+    val batch = graft.sources.Tables.events(spark, sfDir)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), max("value").as("max_value"))
+      .orderBy("user_id").collect()
+    assert(streamed.map(_.toString).toSeq === batch.map(_.toString).toSeq)
+  }
+
+  test("ALS bridge fits the ratings matrix to reasonable RMSE") {
+    val scored = MlBridges.alsModel(spark, sfDir).cache()
+    val rmse = math.sqrt(scored
+      .select(pow(col("rating") - col("prediction"), 2).as("e"))
+      .agg(avg("e")).head().getDouble(0))
+    val sd = graft.sources.Tables.lineitem(spark, sfDir)
+      .agg(stddev(col("l_quantity"))).head().getDouble(0)
+    assert(rmse < sd, s"ALS rmse $rmse should beat rating stddev $sd")
+  }
+
+  test("LinearSVC bridge trains and scores above majority class") {
+    val acc = MlBridges.svcAccuracy(spark, sfDir)
+    assert(acc > 0.5, s"accuracy $acc")
+  }
+
+  test("MinHashLSH recovers the planted near-dup pairs") {
+    val exact = operators.LlmPipeline.queries.find(_.id == "dedup_near").get
+      .fn(spark, sfDir).select("da", "db").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = MlBridges.lshNearDups(spark, sfDir, 0.5)
+      .select("da", "db").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    val recall = exact.count(lsh.contains).toDouble / exact.size
+    assert(recall >= 0.9, s"LSH recall $recall over ${exact.size} planted pairs")
+  }
+}
