@@ -576,6 +576,86 @@ object PsQueries {
        |                         / (2.0 * xx)), 6) AS tau
        |FROM w WHERE rk = 1 ORDER BY vec_id""".stripMargin
 
+  // --------------------------------------------------------------- ps_partition
+  /** The reference's custom `Partitioner` (paramId → hash % shards)
+    * [K-high] restated: explicit `repartition(n, key)` pins the shuffle
+    * layout; the keyed aggregation then runs shard-local with no further
+    * exchange. The logical result is invariant to the partitioning —
+    * which is exactly the property the oracle asserts. */
+  def psPartition(spark: SparkSession, dir: String): DataFrame =
+    ratings(spark, dir)
+      .repartition(32, col("item"))
+      .groupBy("item")
+      .agg(count(lit(1)).as("n"), sum(cents(col("rating"))).as("sum_cents"))
+      .orderBy("item")
+
+  private val psPartitionOracle =
+    s"""WITH r AS ($oRatings)
+       |SELECT item, COUNT(*) AS n, SUM(${oCents("rating")}) AS sum_cents
+       |FROM r GROUP BY item ORDER BY item""".stripMargin
+
+  // -------------------------------------------------------------- ps_pull_limit
+  /** `WorkerLogic.addPullLimiter` [K-med] — flow control capping
+    * in-flight pulls per worker. Batch restatement: each user admits at
+    * most 5 pulls per round, deterministically by (item, rating) order;
+    * the rest are deferred (dropped from this round's output). */
+  def psPullLimit(spark: SparkSession, dir: String): DataFrame =
+    ratings(spark, dir)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("user").orderBy(col("item"), col("rating"))))
+      .filter(col("rk") <= 5)
+      .select(col("user"), col("rk"), col("item"))
+      .orderBy(col("user"), col("rk"))
+
+  private val psPullLimitOracle =
+    s"""WITH r AS ($oRatings)
+       |SELECT "user", rk, item FROM (
+       |  SELECT "user", item,
+       |         row_number() OVER (PARTITION BY "user"
+       |                            ORDER BY item, rating) AS rk
+       |  FROM r)
+       |WHERE rk <= 5 ORDER BY "user", rk""".stripMargin
+
+  // ----------------------------------------------------------------- ps_combine
+  /** `Combinable` sender batching [K-low] — combine deltas locally
+    * before sending. Spark does this automatically (partial hash agg);
+    * here the two-level form is explicit: pre-combine per (item, user),
+    * then final fold per item — provably equal to the direct agg. */
+  def psCombine(spark: SparkSession, dir: String): DataFrame =
+    ratings(spark, dir)
+      .groupBy("item", "user")
+      .agg(sum(cents(col("rating"))).as("partial"))
+      .groupBy("item")
+      .agg(sum(col("partial")).as("total_cents"), count(lit(1)).as("n_senders"))
+      .orderBy("item")
+
+  private val psCombineOracle =
+    s"""WITH r AS ($oRatings),
+       |partials AS (SELECT item, "user", SUM(${oCents("rating")}) AS partial
+       |             FROM r GROUP BY item, "user")
+       |SELECT item, SUM(partial) AS total_cents, COUNT(*) AS n_senders
+       |FROM partials GROUP BY item ORDER BY item""".stripMargin
+
+  // --------------------------------------------------------------- sink_parquet
+  /** Parquet sink + re-scan round trip (also the `ps_transport`
+    * "external transport" path: one job persists the model, the next
+    * consumes it). Written to a session-scoped temp dir; the oracle
+    * checks the logical content that survived the round trip. */
+  def sinkParquet(spark: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      "graft_sink_" + Integer.toHexString(dir.hashCode)).toString
+    ratings(spark, dir)
+      .groupBy("item").agg(sum(cents(col("rating"))).as("sum_cents"))
+      .write.mode("overwrite").parquet(out)
+    spark.read.parquet(out).orderBy("item")
+  }
+
+  private val sinkParquetOracle =
+    s"""WITH r AS ($oRatings)
+       |SELECT item, SUM(${oCents("rating")}) AS sum_cents
+       |FROM r GROUP BY item ORDER BY item""".stripMargin
+
   // --------------------------------------------------------------- ts_simsearch
   /** Streaming time-series similarity search (EDBT'19 line, SURVEY §2.B
     * ts_simsearch): per-key hourly count vectors from the event stream,
@@ -646,6 +726,14 @@ object PsQueries {
     GQuery("pa_multi", paMulti, Some(paMultiOracle),
       "multiclass PA step (winner class, margin, shared tau)"),
     GQuery("ts_simsearch", tsSimsearch, Some(tsSimsearchOracle),
-      "per-key hourly count-vector cosine similarity search")
+      "per-key hourly count-vector cosine similarity search"),
+    GQuery("ps_partition", psPartition, Some(psPartitionOracle),
+      "explicit repartition-by-param-id sharding (custom Partitioner analog)"),
+    GQuery("ps_pull_limit", psPullLimit, Some(psPullLimitOracle),
+      "pull limiter flow control: per-worker admission cap"),
+    GQuery("ps_combine", psCombine, Some(psCombineOracle),
+      "combinable sender batching: explicit two-level partial aggregation"),
+    GQuery("sink_parquet", sinkParquet, Some(sinkParquetOracle),
+      "parquet sink + re-scan round trip (external transport path)")
   )
 }
