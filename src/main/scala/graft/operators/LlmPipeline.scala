@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.GQuery
+import graft.functions.VectorExprs
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -290,13 +291,12 @@ object LlmPipeline {
   def simCosine(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
-    val norm = e.withColumn("n",
-      expr("sqrt(aggregate(transform(v, x -> x * x), 0D, (a, x) -> a + x))"))
+    val norm = e.withColumn("n", VectorExprs.l2(col("v")))
     val q = norm.filter(col("vec_id") < 20)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("n").as("qn"))
     broadcast(q).join(norm.as("c"), col("qid") =!= col("vec_id"))
       .select(col("qid"), col("vec_id").as("cid"),
-        round(expr("aggregate(zip_with(qv, v, (x, y) -> x * y), 0D, (a, x) -> a + x)") /
+        round(VectorExprs.dot(col("qv"), col("v")) /
           (col("qn") * col("n")), 6).as("cos"))
       .withColumn("rk", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("qid")
@@ -339,12 +339,11 @@ object LlmPipeline {
       .withColumn("bucket",
         expr("aggregate(transform(sequence(0, 11), " +
           "i -> if(element_at(v, i + 1) > 0, shiftleft(1L, i), 0L)), 0L, (a, x) -> a + x)"))
-      .withColumn("n",
-        expr("sqrt(aggregate(transform(v, x -> x * x), 0D, (a, x) -> a + x))"))
+      .withColumn("n", VectorExprs.l2(col("v")))
     e.as("a").join(e.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("qid"), col("b.vec_id").as("cid"),
-        round(expr("aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)") /
+        round(VectorExprs.dot(col("a.v"), col("b.v")) /
           (col("a.n") * col("b.n")), 6).as("cos"))
       .withColumn("rk", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("qid")
@@ -387,8 +386,7 @@ object LlmPipeline {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"),
         expr("transform(embedding, x -> cast(x as double))").as("v"))
-      .withColumn("n",
-        expr("sqrt(aggregate(transform(v, x -> x * x), 0D, (a, x) -> a + x))"))
+      .withColumn("n", VectorExprs.l2(col("v")))
     val q = e.filter(col("vec_id") < 50)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("n").as("qn"))
     val ref = e.filter(col("vec_id") >= 50)

@@ -2,6 +2,7 @@ package graft.ps
 
 import graft.GQuery
 import graft.Det._
+import graft.functions.VectorExprs
 import graft.sources.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -371,8 +372,7 @@ object PsQueries {
   def mfTopk(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
-      .withColumn("nrm",
-        expr("sqrt(aggregate(transform(v, x -> x * x), 0D, (a, x) -> a + x))"))
+      .withColumn("nrm", VectorExprs.l2(col("v")))
     val users = e.filter(col("vec_id") < 50)
       .select(col("vec_id").as("uid"), col("v").as("uv"))
     val maxNorm = e.filter(col("vec_id") >= 50).agg(max("nrm").as("mx"))
@@ -382,8 +382,7 @@ object PsQueries {
       .select(col("vec_id").as("iid"), col("v").as("iv"))
     broadcast(users).join(items, lit(true))
       .select(col("uid"), col("iid"),
-        round(expr("aggregate(zip_with(uv, iv, (x, y) -> x * y), 0D, (a, x) -> a + x)"), 6)
-          .as("score"))
+        round(VectorExprs.dot(col("uv"), col("iv")), 6).as("score"))
       .withColumn("rk", row_number().over(
         Window.partitionBy("uid").orderBy(col("score").desc, col("iid"))))
       .filter(col("rk") <= 5)
@@ -472,8 +471,8 @@ object PsQueries {
         expr("transform(embedding, x -> cast(x as double))").as("x"))
       .withColumn("y", when(col("label") >= 5, 1.0).otherwise(-1.0))
       .withColumn("w", expr(s"transform(sequence(0, 63), j -> ${initFactor("'w'", "j", -0.1, 0.1)})"))
-      .withColumn("wx", expr("aggregate(zip_with(w, x, (a, b) -> a * b), 0D, (acc, v) -> acc + v)"))
-      .withColumn("xx", expr("aggregate(transform(x, v -> v * v), 0D, (acc, v) -> acc + v)"))
+      .withColumn("wx", VectorExprs.dot(col("w"), col("x")))
+      .withColumn("xx", VectorExprs.dot(col("x"), col("x")))
       .withColumn("loss", greatest(lit(0.0), lit(1.0) - col("y") * col("wx")))
       .withColumn("tau", least(lit(C), col("loss") / col("xx")))
       .select(col("vec_id"), col("y"),
