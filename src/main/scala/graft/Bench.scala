@@ -12,6 +12,16 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm the session once (codegen compiler, broadcast/shuffle thread
+    // pools, parquet reader init) so the first measured query isn't
+    // charged several seconds of one-time JVM setup.
+    try {
+      import org.apache.spark.sql.functions.{broadcast, col}
+      val a = spark.range(1000).toDF("id")
+      a.join(broadcast(spark.range(100).toDF("id")), "id")
+        .groupBy((col("id") % 7).as("k")).count().count()
+      spark.read.parquet(s"$sfDir/lineitem.parquet").limit(10).count()
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
