@@ -1,0 +1,98 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+
+/** ScalaCheck properties (SURVEY §5.2): algebraic laws the engine's
+  * operators must satisfy on arbitrary inputs, plus closed-form checks
+  * of the update algebra and the determinism helpers.
+  */
+object GraftProperties extends Properties("graft") {
+
+  private lazy val spark = TestSpark.spark
+  import org.apache.spark.sql.functions._
+
+  private val smallLongs = Gen.listOfN(30, Gen.chooseNum(-50L, 50L))
+
+  property("Det.cents is exact for 2-decimal money") =
+    forAll(Gen.chooseNum(-999999L, 999999L)) { c =>
+      val v = c.toDouble / 100.0
+      val back = math.round(v * 100)
+      back == c
+    }
+
+  property("union-all count additivity") = forAll(smallLongs, smallLongs) { (a, b) =>
+    import spark.implicits._
+    val da = a.toDF("v")
+    val db = b.toDF("v")
+    da.unionAll(db).count() == da.count() + db.count()
+  }
+
+  property("inner join row count bounded by |A|*|B|, semi by |A|") =
+    forAll(Gen.listOfN(15, Gen.chooseNum(0L, 5L)), Gen.listOfN(15, Gen.chooseNum(0L, 5L))) {
+      (a, b) =>
+        import spark.implicits._
+        val da = a.toDF("k")
+        val db = b.toDF("k")
+        val inner = da.join(db, "k").count()
+        val semi = da.join(db, Seq("k"), "left_semi").count()
+        inner <= a.size.toLong * b.size && semi <= a.size.toLong
+    }
+
+  property("row_number is a dense 1..n permutation per partition") =
+    forAll(Gen.listOfN(20, Gen.zip(Gen.chooseNum(0, 2), Gen.chooseNum(0L, 100L)))) { xs =>
+      import spark.implicits._
+      xs.isEmpty || {
+        val df = xs.toDF("g", "v")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("g").orderBy(col("v"), monotonically_increasing_id())
+        val rks = df.withColumn("rk", row_number().over(w))
+          .groupBy("g").agg(collect_list("rk").as("rks"), count(lit(1)).as("n"))
+          .collect()
+        rks.forall { r =>
+          val got = r.getAs[scala.collection.Seq[Int]]("rks").toList.sorted
+          got == (1 to r.getAs[Long]("n").toInt).toList
+        }
+      }
+    }
+
+  property("PA-I tau bounded by C and zero iff margin >= 1") =
+    forAll(Gen.chooseNum(-3.0, 3.0), Gen.chooseNum(0.1, 4.0)) { (margin, xx) =>
+      val C = 0.5
+      val loss = math.max(0.0, 1.0 - margin)
+      val tau = math.min(C, loss / xx)
+      (tau >= 0.0 && tau <= C) && ((margin >= 1.0) == (tau == 0.0))
+    }
+
+  property("ToW sketch inner product is symmetric and self-product >= 0") =
+    forAll(Gen.listOfN(20, Gen.chooseNum(0L, 30L))) { keys =>
+      val agg = sketch.SketchQueries.TowAgg
+      val sk = keys.foldLeft(agg.zero)(agg.reduce)
+      val self = sk.zip(sk).map { case (x, y) => x * y }.sum
+      self >= 0L
+    }
+
+  property("minhash of a superset is <= elementwise (monotone min)") =
+    forAll(Gen.nonEmptyListOf(Gen.alphaStr.suchThat(_.nonEmpty))) { toks =>
+      def h(s: String, seed: Int): Long = {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = md.digest(s"$seed:$s".getBytes("UTF-8"))
+          .take(4).map(b => f"$b%02x").mkString
+        java.lang.Long.parseLong(hex, 16)
+      }
+      val half = toks.take(math.max(1, toks.size / 2))
+      (0 until 4).forall { seed =>
+        toks.map(h(_, seed)).min <= half.map(h(_, seed)).min
+      }
+    }
+
+  property("bloom merge is an upper set of both inputs") =
+    forAll(Gen.listOfN(50, Gen.chooseNum(0L, 10000L)),
+      Gen.listOfN(50, Gen.chooseNum(0L, 10000L))) { (a, b) =>
+      val agg = sketch.BloomAgg
+      val ba = a.foldLeft(agg.zero)(agg.reduce)
+      val bb = b.foldLeft(agg.zero)(agg.reduce)
+      val m = agg.merge(ba, bb)
+      (a ++ b).forall(m.mightContainLong)
+    }
+}
