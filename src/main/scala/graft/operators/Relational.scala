@@ -473,7 +473,90 @@ object Relational {
       |SELECT l_partkey FROM lineitem WHERE l_quantity >= 48
       |ORDER BY partkey""".stripMargin
 
+  // ------------------------------------------------------------ join_skew_salt
+  /** Skew mitigation by salting: the orders⋈lineitem join is keyed on
+    * o_orderkey; under a skewed key distribution one reducer would drown.
+    * The salted form splits each hot key across S=8 partitions — the big
+    * side gets a deterministic salt from its secondary column, the small
+    * side is replicated ×8 via explode — and aggregates away the salt
+    * afterwards. The oracle is the UNSALTED join: identical results,
+    * different physical distribution. (AQE skew-join does this
+    * adaptively; the explicit form is the portable insurance policy.)
+    */
+  def joinSkewSalt(spark: SparkSession, dir: String): DataFrame = {
+    val S = 8
+    val fact = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_quantity"),
+        pmod(col("l_partkey") + col("l_linenumber"), lit(S)).as("salt"))
+    val dim = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+      .withColumn("salt", explode(lit((0 until S).toArray)))
+    fact.join(dim,
+        fact("l_orderkey") === dim("o_orderkey") && fact("salt") === dim("salt"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), sum(cents(col("l_quantity"))).as("qty_cents"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  private val joinSkewSaltOracle =
+    s"""SELECT o_orderpriority, COUNT(*) AS n,
+       |       SUM(${oCents("l_quantity")}) AS qty_cents
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // ------------------------------------------------------------ join_bucketed
+  /** Shuffle-free co-located join via bucketing: both sides are written
+    * `bucketBy(8, key)` as managed tables once per (sf, session), then
+    * joined — the scan partitioning satisfies the join requirement, so
+    * the plan has NO Exchange on either side (asserted in ScalaTest).
+    * At 100 TB this is the difference between re-shuffling petabytes per
+    * join and reading pre-bucketed data in place; the oracle checks the
+    * logical result against the plain join.
+    */
+  def joinBucketed(spark: SparkSession, dir: String): DataFrame = {
+    val tag = Integer.toHexString(dir.hashCode)
+    val lt = s"graft_bkt_lineitem_$tag"
+    val ot = s"graft_bkt_orders_$tag"
+    if (!spark.catalog.tableExists(lt)) {
+      // the in-memory catalog forgets tables across JVMs but their
+      // warehouse directories survive — clear them before re-creating
+      val wh = spark.conf.get("spark.sql.warehouse.dir")
+        .stripPrefix("file:")
+      Seq(lt, ot).foreach { t =>
+        val p = java.nio.file.Paths.get(wh, t)
+        if (java.nio.file.Files.exists(p)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+        }
+      }
+      Tables.lineitem(spark, dir)
+        .select("l_orderkey", "l_quantity")
+        .write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable(lt)
+      Tables.orders(spark, dir)
+        .select("o_orderkey", "o_orderstatus")
+        .write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable(ot)
+    }
+    spark.table(lt)
+      .join(spark.table(ot), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), sum(cents(col("l_quantity"))).as("qty_cents"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  private val joinBucketedOracle =
+    s"""SELECT o_orderstatus, COUNT(*) AS n,
+       |       SUM(${oCents("l_quantity")}) AS qty_cents
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   def queries: Seq[GQuery] = Seq(
+    GQuery("join_skew_salt", joinSkewSalt, Some(joinSkewSaltOracle),
+      "salted join for skewed keys (result-identical to plain join)"),
+    GQuery("join_bucketed", joinBucketed, Some(joinBucketedOracle),
+      "bucketed co-located join, shuffle-free on both sides"),
     GQuery("q1_pricing", q1Pricing, Some(q1Oracle),
       "flagship TPC-H Q1-shaped pricing summary (scan+filter+agg+sort)"),
     GQuery("scan_parquet", scanParquet, Some(scanParquetOracle),

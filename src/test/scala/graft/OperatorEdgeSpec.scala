@@ -74,3 +74,40 @@ class OperatorEdgeSpec extends SparkSpec {
     assert(ids.toSeq === Seq(1L, 1L, 2L, 2L))
   }
 }
+
+/** Physical-plan assertions for the scale-technique joins. */
+class ScaleJoinSpec extends SparkSpec {
+  test("bucketed join plan has no shuffle Exchange on either side") {
+    // disable auto-broadcast so the tiny sf0.001 tables take the
+    // sort-merge path the bucketing is designed for
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = operators.Relational.joinBucketed(spark, sfDir)
+      val plan = df.queryExecution.executedPlan.toString
+      val joinIdx = plan.indexOf("SortMergeJoin")
+      assert(joinIdx >= 0, plan)
+      // the aggregate above the join still exchanges on the group key;
+      // the JOIN inputs themselves must be Exchange-free (bucketed scans)
+      val afterJoin = plan.substring(joinIdx)
+      assert(!afterJoin.contains("Exchange hashpartitioning"), plan)
+      assert(afterJoin.contains("Bucketed: true"), plan)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("salted join equals plain join result") {
+    val salted = operators.Relational.joinSkewSalt(spark, sfDir).collect()
+    val plain = graft.sources.Tables.lineitem(spark, sfDir)
+      .join(graft.sources.Tables.orders(spark, sfDir),
+        org.apache.spark.sql.functions.col("l_orderkey") ===
+          org.apache.spark.sql.functions.col("o_orderkey"))
+      .groupBy(org.apache.spark.sql.functions.col("o_orderpriority"))
+      .agg(
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum(
+          Det.cents(org.apache.spark.sql.functions.col("l_quantity"))).as("qty_cents"))
+      .orderBy("o_orderpriority").collect()
+    assert(salted.map(_.toString).toSeq === plain.map(_.toString).toSeq)
+  }
+}
