@@ -84,3 +84,18 @@ object Tables0 {
         col("l_quantity").as("rating"))
   }
 }
+
+/** Full training-loop convergence (SURVEY §3.2/§3.4 harness). */
+class MfTrainerSpec extends SparkSpec {
+  test("MF training loop monotonically reduces MSE on the ratings matrix") {
+    val ratings = Tables0.ratings(spark, sfDir)
+    val (p, q, losses) = ps.MfTrainer.train(spark, ratings, k = 8, iters = 4)
+    assert(losses.size === 5)
+    // strictly decreasing loss trajectory (full-batch, small lr)
+    losses.sliding(2).foreach { case Seq(a, b) => assert(b < a, losses) }
+    // factors stay finite and k-dimensional
+    import org.apache.spark.sql.functions._
+    assert(p.filter(size(col("vec")) =!= 8).count() === 0)
+    assert(q.filter(size(col("vec")) =!= 8).count() === 0)
+  }
+}
