@@ -99,3 +99,18 @@ class MfTrainerSpec extends SparkSpec {
     assert(q.filter(size(col("vec")) =!= 8).count() === 0)
   }
 }
+
+/** PA full-loop training: hinge loss decreases, accuracy beats chance. */
+class PaTrainerSpec extends SparkSpec {
+  test("PA training loop reduces hinge loss on the embeddings") {
+    import org.apache.spark.sql.functions._
+    val data = graft.sources.Tables.embeddings(spark, sfDir)
+      .select(expr("transform(embedding, v -> cast(v as double))").as("x"),
+        when(col("label") >= 5, 1.0).otherwise(-1.0).as("y"))
+    val (w, metrics) = ps.PaTrainer.train(spark, data, dim = 64, iters = 5)
+    assert(w.length === 64)
+    assert(metrics.size === 5)
+    assert(metrics.last._1 < metrics.head._1, metrics)   // hinge decreased
+    assert(metrics.last._2 > 0.5, metrics)               // beats chance
+  }
+}
