@@ -720,6 +720,50 @@ object LlmPipeline {
       |  CAST(list_max(bs) AS INTEGER) AS max_byte
       |FROM bytes ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------- multimodal_frames
+  /** Video/audio frame-sampling shape: each document stands in for a
+    * media object whose frame count derives from its size (1 frame per
+    * 50 chars); frames explode to rows, every 2nd frame is sampled
+    * (stride sampling — the standard cost reducer before decode), the
+    * per-frame DECODE IS A STUB (md5-derived pseudo-bytes — no codecs
+    * in this container), and per-frame features aggregate back to one
+    * row per object. The explode → per-frame map → aggregate pipeline
+    * is exactly the production shape: frames parallelize across the
+    * cluster regardless of how large one object is.
+    */
+  def multimodalFrames(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"),
+        greatest(lit(1L), (col("n_chars") / 50).cast("long")).as("n_frames"))
+      .select(col("doc_id"), col("n_frames"),
+        posexplode(expr("sequence(0, n_frames - 1)")).as(Seq("fi", "frame")))
+      .filter(col("frame") % 2 === 0) // stride-2 frame sampling
+      // decode stub: first 4 bytes of md5(doc:frame) as the "feature"
+      .withColumn("feature",
+        expr(s"${h32("concat(doc_id, ':', frame)", 31)} % 1000"))
+      .groupBy("doc_id")
+      .agg(max(col("n_frames")).as("n_frames"),
+        count(lit(1)).as("n_sampled"),
+        sum(col("feature")).as("feature_sum"),
+        round(sum(col("feature")).cast("double") / count(lit(1)).cast("double"), 4)
+          .as("feature_avg"))
+      .orderBy(col("doc_id"))
+
+  private val multimodalFramesOracle =
+    s"""WITH f AS (
+       |  SELECT doc_id, greatest(1, n_chars // 50) AS n_frames,
+       |         unnest(generate_series(0, greatest(1, n_chars // 50) - 1)) AS frame
+       |  FROM documents),
+       |s AS (
+       |  SELECT doc_id, n_frames, frame,
+       |         (${oH32("concat(doc_id, ':', frame)", 31)}) % 1000 AS feature
+       |  FROM f WHERE frame % 2 = 0)
+       |SELECT doc_id, max(n_frames) AS n_frames, count(*) AS n_sampled,
+       |       sum(feature) AS feature_sum,
+       |       ROUND(CAST(sum(feature) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4)
+       |         AS feature_avg
+       |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   def queries: Seq[GQuery] = Seq(
     GQuery("dedup_exact", dedupExact, Some(dedupExactOracle),
       "exact dedup by normalized-text hash over a re-crawled corpus"),
@@ -750,6 +794,8 @@ object LlmPipeline {
     GQuery("multimodal_join", multimodalJoin, Some(multimodalJoinOracle),
       "documents x embeddings feature-store join, mixed measures"),
     GQuery("multimodal_binary", multimodalBinary, Some(multimodalBinaryOracle),
-      "opaque binary column + mapPartitions decode-stub batch path")
+      "opaque binary column + mapPartitions decode-stub batch path"),
+    GQuery("multimodal_frames", multimodalFrames, Some(multimodalFramesOracle),
+      "frame explode + stride sampling + decode-stub feature aggregation")
   )
 }
