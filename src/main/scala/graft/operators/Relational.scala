@@ -552,7 +552,79 @@ object Relational {
        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  // -------------------------------------------------------------- agg_pivot
+  /** Pivot (wide aggregation): order counts per customer segment pivoted
+    * by order status. Spark's `pivot` with an explicit value list keeps
+    * the plan a single pass (no second job to discover values) — the
+    * form that scales. */
+  def aggPivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy(col("c_mktsegment"))
+
+  private val aggPivotOracle =
+    """SELECT c_mktsegment,
+      |  COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END), 0) AS "F",
+      |  COALESCE(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END), 0) AS "O",
+      |  COALESCE(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END), 0) AS "P"
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  // ------------------------------------------------------------- sub_scalar
+  /** Scalar subquery: customers whose balance exceeds the global mean
+    * (exact integer-cents mean). Catalyst rewrites the scalar subquery
+    * into a broadcast cross join of the 1-row aggregate. */
+  def subScalar(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val meanBal = c.agg((sum(cents(col("c_acctbal"))).cast("double") / 100.0 /
+      count(lit(1)).cast("double")).as("m"))
+    c.crossJoin(broadcast(meanBal))
+      .filter(cents(col("c_acctbal")).cast("double") / 100.0 > col("m"))
+      .select(col("c_custkey"), col("c_acctbal"))
+      .orderBy(col("c_custkey"))
+  }
+
+  private val subScalarOracle =
+    s"""SELECT c_custkey, c_acctbal FROM customer
+       |WHERE CAST(${oCents("c_acctbal")} AS DOUBLE) / 100.0 >
+       |  (SELECT CAST(SUM(${oCents("c_acctbal")}) AS BIGINT) / 100.0
+       |     / CAST(COUNT(*) AS DOUBLE) FROM customer)
+       |ORDER BY c_custkey""".stripMargin
+
+  // ---------------------------------------------------------- sub_correlated
+  /** Correlated subquery (decorrelated by Catalyst): orders above their
+    * customer's average order value — expressed as SQL with a correlated
+    * scalar subquery so `DecorrelateInnerQuery` does the rewrite. */
+  def subCorrelated(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("graft_sub_orders")
+    spark.sql(
+      s"""SELECT o_orderkey, o_custkey
+         |FROM graft_sub_orders o
+         |WHERE ${"cast(round(o_totalprice * 100) as bigint)"} >
+         |  (SELECT 1.2 * avg(cast(round(i.o_totalprice * 100) as bigint))
+         |   FROM graft_sub_orders i WHERE i.o_custkey = o.o_custkey)
+         |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  private val subCorrelatedOracle =
+    """SELECT o_orderkey, o_custkey
+      |FROM orders o
+      |WHERE CAST(ROUND(o_totalprice * 100) AS BIGINT) >
+      |  (SELECT 1.2 * avg(CAST(ROUND(i.o_totalprice * 100) AS BIGINT))
+      |   FROM orders i WHERE i.o_custkey = o.o_custkey)
+      |ORDER BY o_orderkey""".stripMargin
+
   def queries: Seq[GQuery] = Seq(
+    GQuery("agg_pivot", aggPivot, Some(aggPivotOracle),
+      "pivot wide aggregation with explicit value list"),
+    GQuery("sub_scalar", subScalar, Some(subScalarOracle),
+      "scalar subquery vs global aggregate (broadcast 1-row join)"),
+    GQuery("sub_correlated", subCorrelated, Some(subCorrelatedOracle),
+      "correlated scalar subquery, Catalyst-decorrelated"),
     GQuery("join_skew_salt", joinSkewSalt, Some(joinSkewSaltOracle),
       "salted join for skewed keys (result-identical to plain join)"),
     GQuery("join_bucketed", joinBucketed, Some(joinBucketedOracle),
