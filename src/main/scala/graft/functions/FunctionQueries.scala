@@ -321,7 +321,98 @@ object FunctionQueries {
       |      FROM documents WHERE doc_id < 10)
       |ORDER BY doc_id, pos""".stripMargin
 
+  // ----------------------------------------------------------------- fn_bitwise
+  /** Bitwise family: & | ^ shifts, bit_count — the primitives under the
+    * simhash/band operators, exercised directly. */
+  def fnBitwise(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .filter(col("p_partkey") < 500)
+      .select(
+        col("p_partkey"),
+        expr("p_partkey & 255").as("b_and"),
+        expr("p_partkey | 4096").as("b_or"),
+        expr("p_partkey ^ 1365").as("b_xor"),
+        expr("shiftleft(p_partkey, 3)").as("b_shl"),
+        expr("shiftright(p_partkey, 2)").as("b_shr"),
+        expr("bit_count(p_partkey)").as("b_cnt"))
+      .orderBy(col("p_partkey"))
+
+  private val fnBitwiseOracle =
+    """SELECT p_partkey,
+      |  p_partkey & 255 AS b_and,
+      |  p_partkey | 4096 AS b_or,
+      |  xor(p_partkey, 1365) AS b_xor,
+      |  p_partkey << 3 AS b_shl,
+      |  p_partkey >> 2 AS b_shr,
+      |  CAST(bit_count(p_partkey) AS INTEGER) AS b_cnt
+      |FROM part WHERE p_partkey < 500
+      |ORDER BY p_partkey""".stripMargin
+
+  // ------------------------------------------------------------------ fn_struct
+  /** Struct family: create, nested access, re-projection — the row
+    * sub-assembly primitive the multimodal pipeline uses for typed
+    * metadata next to opaque payloads. */
+  def fnStruct(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .filter(col("c_custkey") < 300)
+      .select(col("c_custkey"),
+        struct(col("c_name").as("name"),
+          struct(col("c_acctbal").as("bal"), col("c_mktsegment").as("seg"))
+            .as("account")).as("profile"))
+      .select(col("c_custkey"),
+        col("profile.name").as("name"),
+        col("profile.account.seg").as("seg"),
+        cents(col("profile.account.bal")).as("bal_cents"))
+      .orderBy(col("c_custkey"))
+
+  private val fnStructOracle =
+    s"""WITH p AS (
+       |  SELECT c_custkey,
+       |    struct_pack(name := c_name,
+       |      account := struct_pack(bal := c_acctbal, seg := c_mktsegment))
+       |      AS profile
+       |  FROM customer WHERE c_custkey < 300)
+       |SELECT c_custkey,
+       |  profile.name AS name,
+       |  profile.account.seg AS seg,
+       |  ${oCents("profile.account.bal")} AS bal_cents
+       |FROM p ORDER BY c_custkey""".stripMargin
+
+  // ----------------------------------------------------------- scan_partitioned
+  /** Hive-style partitioned layout + partition pruning: orders written
+    * once per (sf, session) partitioned by order year; the filtered read
+    * shows `PartitionFilters` in the plan — at 100 TB this is the
+    * difference between scanning one year and scanning the decade. The
+    * oracle checks the logical result of the pruned read. */
+  def scanPartitioned(spark: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      "graft_part_orders_" + Integer.toHexString(dir.hashCode))
+    if (!java.nio.file.Files.exists(out)) {
+      Tables.orders(spark, dir)
+        .withColumn("o_year", year(col("o_orderdate")))
+        .write.mode("overwrite").partitionBy("o_year").parquet(out.toString)
+    }
+    spark.read.parquet(out.toString)
+      .filter(col("o_year") === 1997)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), sum(cents(col("o_totalprice"))).as("price_cents"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  private val scanPartitionedOracle =
+    s"""SELECT o_orderpriority, COUNT(*) AS n,
+       |       SUM(${oCents("o_totalprice")}) AS price_cents
+       |FROM orders WHERE year(o_orderdate) = 1997
+       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   def queries: Seq[GQuery] = Seq(
+    GQuery("fn_bitwise", fnBitwise, Some(fnBitwiseOracle),
+      "bitwise family: and/or/xor/shifts/bit_count"),
+    GQuery("fn_struct", fnStruct, Some(fnStructOracle),
+      "struct create + nested access"),
+    GQuery("scan_partitioned", scanPartitioned, Some(scanPartitionedOracle),
+      "hive-partitioned write + partition-pruned scan"),
     GQuery("fn_string", fnString, Some(fnStringOracle),
       "string family: case/trim/substr/split/regexp/levenshtein"),
     GQuery("fn_date", fnDate, Some(fnDateOracle),

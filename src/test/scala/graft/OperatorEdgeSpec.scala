@@ -111,3 +111,12 @@ class ScaleJoinSpec extends SparkSpec {
     assert(salted.map(_.toString).toSeq === plain.map(_.toString).toSeq)
   }
 }
+
+/** Partition pruning proof for the partitioned-layout scan. */
+class PartitionPruneSpec extends SparkSpec {
+  test("filtered read of the partitioned layout prunes partitions") {
+    val df = functions.FunctionQueries.scanPartitioned(spark, sfDir)
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [isnotnull(o_year"), scan)
+  }
+}
