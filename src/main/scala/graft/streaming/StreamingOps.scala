@@ -83,6 +83,44 @@ object StreamingOps {
         .dropDuplicates("event_id"),
       s"dedup_${System.nanoTime()}", OutputMode.Append())
 
+  /** Event-time sessionization (2-hour gap) via flatMapGroupsWithState —
+    * the canonical arbitrary-stateful streaming operator and the true
+    * streaming form of the batch `stream_session` qid. State = the open
+    * session per user; every closed session is emitted. With
+    * AvailableNow the final batch flushes all remaining state, so on a
+    * bounded input the output equals the batch sessionization. */
+  def streamingSessions(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val gapUs = 2L * 3600 * 1000000
+    val ev = eventStream(spark, dir)
+      .select(col("user_id"), expr("unix_micros(ts)").as("ts_us"), col("event_id"))
+      .as[(Long, Long, Long)]
+    // state: (sessStart, sessEnd, nEvents) of the open session
+    val out = ev.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long), (Long, Long, Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (user, rows, state: GroupState[(Long, Long, Long)]) =>
+          // within one micro-batch, order by (ts, event_id) as batch does
+          val sorted = rows.toSeq.sortBy(r => (r._2, r._3))
+          var acc = state.getOption
+          val closed = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)]()
+          sorted.foreach { case (_, ts, _) =>
+            acc match {
+              case Some((s, e, n)) if ts - e <= gapUs => acc = Some((s, ts, n + 1))
+              case Some((s, e, n)) =>
+                closed += ((user, s, e, n)); acc = Some((ts, ts, 1L))
+              case None => acc = Some((ts, ts, 1L))
+            }
+          }
+          acc.foreach(state.update)
+          // bounded input: the single batch sees everything — emit the
+          // open session too (the final flush a watermark would do)
+          (closed ++ acc.map(a => (user, a._1, a._2, a._3))).iterator
+      }
+      .toDF("user_id", "sess_start_us", "sess_end_us", "n_events")
+    runToTable(spark, out, s"sessions_${System.nanoTime()}", OutputMode.Append())
+  }
+
   /** Arbitrary keyed state: per-user running counter + max value via
     * mapGroupsWithState — the PS worker-state analog in streaming. */
   def statefulUserAgg(spark: SparkSession, dir: String): DataFrame = {

@@ -71,3 +71,26 @@ class StreamingMlSpec extends SparkSpec {
     assert(recall >= 0.9, s"LSH recall $recall over ${exact.size} planted pairs")
   }
 }
+
+/** True streaming sessionization must equal the batch rewrite. */
+class StreamingSessionSpec extends SparkSpec {
+  test("flatMapGroupsWithState sessions equal batch sessionization") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val streamed = StreamingOps.streamingSessions(spark, sfDir)
+      .orderBy("user_id", "sess_start_us").collect()
+    val gapUs = 2L * 3600 * 1000000
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val batch = graft.sources.Tables.events(spark, sfDir)
+      .withColumn("ts_us", expr("unix_micros(ts)"))
+      .withColumn("new_s", when(col("ts_us") - lag("ts_us", 1).over(w) > gapUs ||
+        lag("ts_us", 1).over(w).isNull, 1).otherwise(0))
+      .withColumn("sid", sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "sid")
+      .agg(min("ts_us").as("sess_start_us"), max("ts_us").as("sess_end_us"),
+        count(lit(1)).as("n_events"))
+      .select("user_id", "sess_start_us", "sess_end_us", "n_events")
+      .orderBy("user_id", "sess_start_us").collect()
+    assert(streamed.map(_.toString).toSeq === batch.map(_.toString).toSeq)
+  }
+}
