@@ -44,9 +44,14 @@ object LlmPipeline {
   private def oH32(sexpr: String, seed: Int): String =
     s"CAST(('0x' || substr(md5(concat('$seed:', $sexpr)), 1, 8)) AS BIGINT)"
 
-  /** Word 3-gram shingles of a text column (distinct per doc). */
+  /** Word 3-gram shingles of a text column (distinct per doc).
+    * The corpus parquet is a single small file → a single input split,
+    * but shingling + hashing are CPU-bound per row: spread the rows
+    * across the cores first (a ~KB-scale shuffle buying full
+    * parallelism — the classic fix for small-input/heavy-compute). */
   private def shingles(df: DataFrame): DataFrame =
-    df.select(col("doc_id"),
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"),
         expr("explode(array_distinct(transform(" +
           "sequence(1, greatest(size(split(text, ' ')) - 2, 1)), " +
           "i -> concat_ws(' ', slice(split(text, ' '), i, 3)))))").as("shingle"))
@@ -140,17 +145,22 @@ object LlmPipeline {
     val sh = shingles(Tables.documents(spark, dir)).cache()
     // (doc_id, seed, minhash): 16 seeded 32-bit hashes per shingle from
     // only 4 md5 evaluations — each 128-bit digest is sliced into four
-    // 8-hex-char words (seed = group*4 + slot)
+    // 8-hex-char words (seed = group*4 + slot). All 16 minima are taken
+    // in ONE wide aggregation pass (16 codegen'd min() columns over the
+    // shingle rows — no 16× row explosion, no extra shuffle), then
+    // melted to long format over the per-doc rows only.
     val hashed = sh
       .withColumn("d0", md5(concat(lit("100:"), col("shingle"))))
       .withColumn("d1", md5(concat(lit("101:"), col("shingle"))))
       .withColumn("d2", md5(concat(lit("102:"), col("shingle"))))
       .withColumn("d3", md5(concat(lit("103:"), col("shingle"))))
-      .select(col("doc_id"), col("shingle"),
-        posexplode(array((0 until 16).map { s =>
-          expr(s"cast(conv(substring(d${s / 4}, ${s % 4 * 8 + 1}, 8), 16, 10) as bigint)")
-        }: _*)).as(Seq("seed", "h")))
-    val sig = hashed.groupBy("doc_id", "seed").agg(min("h").as("mh"))
+    val minAggs = (0 until 16).map { s =>
+      min(expr(s"cast(conv(substring(d${s / 4}, ${s % 4 * 8 + 1}, 8), 16, 10) as bigint)"))
+        .as(s"mh$s")
+    }
+    val wide = hashed.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
+    val sig = wide.select(col("doc_id"),
+      posexplode(array((0 until 16).map(s => col(s"mh$s")): _*)).as(Seq("seed", "mh")))
     // band id = seed div 4; band value = md5 of the 4 minhashes in order
     val bands = sig.withColumn("band", expr("seed div 4"))
       .groupBy("doc_id", "band")
@@ -223,6 +233,7 @@ object LlmPipeline {
     */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
       // 63-bit positive hash: top word masked to 31 bits so every value
@@ -230,18 +241,19 @@ object LlmPipeline {
       // range in both engines — no sign-extension/overflow divergence.
       .withColumn("h",
         expr(s"shiftleft(${h32("tok", 7)} & 2147483647, 32) | ${h32("tok", 8)}"))
-    // per (doc, bit): signed tf sum via explode + two keyed aggregations
-    // (all codegen'd integer adds; an HOF fold over collected token
-    // lists benches ~20× slower — nested array expressions leave
-    // whole-stage codegen)
-    val bits = toks
-      .select(col("doc_id"), col("tf"), posexplode(
-        expr("transform(sequence(0, 62), i -> shiftright(h, i) & 1)"))
-        .as(Seq("bit", "isset")))
-      .groupBy("doc_id", "bit")
-      .agg(sum(when(col("isset") === 1, col("tf")).otherwise(-col("tf"))).as("s"))
-    val sim = bits.groupBy("doc_id")
-      .agg(sum(when(col("s") > 0, expr("shiftleft(1L, bit)")).otherwise(0L)).as("simhash"))
+    // per doc: all 63 signed bit-sums in ONE wide aggregation (63
+    // codegen'd conditional sums over the token rows — no 63× row
+    // explosion through a shuffle), then the simhash assembles from the
+    // 63 sum columns in a single projection
+    val bitAggs = (0 until 63).map { i =>
+      sum(when(expr(s"(shiftright(h, $i) & 1) = 1"), col("tf"))
+        .otherwise(-col("tf"))).as(s"s$i")
+    }
+    val sim = toks.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
+      .select(col("doc_id"),
+        (0 until 63).map(i =>
+          when(col(s"s$i") > 0, lit(1L << i)).otherwise(0L))
+          .reduce(_ + _).as("simhash"))
     val banded = sim.select(col("doc_id"), col("simhash"),
       posexplode(expr("transform(sequence(0, 7), b -> shiftright(simhash, b * 8) & 255)"))
         .as(Seq("band", "bv")))
