@@ -565,8 +565,13 @@ object LlmPipeline {
 
   // --------------------------------------------------------------- text_quality
   /** Document quality scoring: length band, stopword ratio, type/token
-    * ratio, mean token length → composite score. The pre-training
-    * filter pass; one narrow projection, no shuffle at all. */
+    * ratio, mean token length → composite score, all emitted as e6-scaled
+    * BIGINTs. Integer-scale rounding is the cross-engine-safe form: a
+    * .5 rounding boundary at integer scale is exactly representable
+    * (k + 0.5 is dyadic), and both engines round it away from zero —
+    * whereas fractional-scale boundaries sit between doubles and the
+    * engines disagree (found at sf0.1 row 719). One narrow projection,
+    * no shuffle at all. */
   def textQuality(spark: SparkSession, dir: String): DataFrame = {
     val stop = Seq("the", "and", "of", "data", "value", "row")
     Tables.documents(spark, dir)
@@ -575,15 +580,21 @@ object LlmPipeline {
       .withColumn("n_stop",
         expr(s"size(filter(toks, t -> t in (${stop.map("'" + _ + "'").mkString(",")})))"))
       .withColumn("n_uniq", size(array_distinct(col("toks"))))
-      .withColumn("stop_ratio", round(col("n_stop").cast("double") / col("n_tok"), 6))
-      .withColumn("uniq_ratio", round(col("n_uniq").cast("double") / col("n_tok"), 6))
-      .withColumn("mean_tok_len",
-        round((col("n_chars") - col("n_tok") + 1).cast("double") / col("n_tok"), 6))
-      .withColumn("quality", round(
-        when(col("n_tok").between(20, 80), 0.4).otherwise(0.1)
-          + (lit(1.0) - col("stop_ratio")) * 0.3 + col("uniq_ratio") * 0.3, 6))
-      .select(col("doc_id"), col("n_tok"), col("stop_ratio"), col("uniq_ratio"),
-        col("mean_tok_len"), col("quality"))
+      .withColumn("stop_ratio_e6",
+        round(col("n_stop") * lit(1000000L).cast("double") / col("n_tok")).cast("long"))
+      .withColumn("uniq_ratio_e6",
+        round(col("n_uniq") * lit(1000000L).cast("double") / col("n_tok")).cast("long"))
+      .withColumn("mean_tok_len_e6",
+        round((col("n_chars") - col("n_tok") + 1) * lit(1000000L).cast("double")
+          / col("n_tok")).cast("long"))
+      .withColumn("quality_e6",
+        (when(col("n_tok").between(20, 80), 400000L).otherwise(100000L)
+          + round((col("n_tok") - col("n_stop")) * lit(300000L).cast("double")
+            / col("n_tok")).cast("long")
+          + round(col("n_uniq") * lit(300000L).cast("double") / col("n_tok"))
+            .cast("long")))
+      .select(col("doc_id"), col("n_tok"), col("stop_ratio_e6"),
+        col("uniq_ratio_e6"), col("mean_tok_len_e6"), col("quality_e6"))
       .orderBy(col("doc_id"))
   }
 
@@ -597,12 +608,16 @@ object LlmPipeline {
       |         length(list_distinct(toks)) AS n_uniq
       |  FROM t)
       |SELECT doc_id, n_tok,
-      |  ROUND(CAST(n_stop AS DOUBLE) / n_tok, 6) AS stop_ratio,
-      |  ROUND(CAST(n_uniq AS DOUBLE) / n_tok, 6) AS uniq_ratio,
-      |  ROUND(CAST(n_chars - n_tok + 1 AS DOUBLE) / n_tok, 6) AS mean_tok_len,
-      |  ROUND(CASE WHEN n_tok BETWEEN 20 AND 80 THEN 0.4 ELSE 0.1 END
-      |        + (1.0 - ROUND(CAST(n_stop AS DOUBLE) / n_tok, 6)) * 0.3
-      |        + ROUND(CAST(n_uniq AS DOUBLE) / n_tok, 6) * 0.3, 6) AS quality
+      |  CAST(ROUND(n_stop * CAST(1000000 AS DOUBLE) / n_tok) AS BIGINT)
+      |    AS stop_ratio_e6,
+      |  CAST(ROUND(n_uniq * CAST(1000000 AS DOUBLE) / n_tok) AS BIGINT)
+      |    AS uniq_ratio_e6,
+      |  CAST(ROUND((n_chars - n_tok + 1) * CAST(1000000 AS DOUBLE) / n_tok) AS BIGINT)
+      |    AS mean_tok_len_e6,
+      |  CAST(CASE WHEN n_tok BETWEEN 20 AND 80 THEN 400000 ELSE 100000 END
+      |    + CAST(ROUND((n_tok - n_stop) * CAST(300000 AS DOUBLE) / n_tok) AS BIGINT)
+      |    + CAST(ROUND(n_uniq * CAST(300000 AS DOUBLE) / n_tok) AS BIGINT) AS BIGINT)
+      |    AS quality_e6
       |FROM m ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- text_tokens
