@@ -293,6 +293,64 @@ object LlmPipeline {
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
        |ORDER BY da, db""".stripMargin
 
+  // ---------------------------------------------------------------- dedup_embed
+  /** Embedding-cosine near-duplicate detection: pairs with cosine ≥ 0.9
+    * are near-dups. The fixture corpus has no natural embedding dups
+    * (max cosine ≈ 0.4), so — like dedup_exact — the query materializes
+    * a re-ingested corpus: every 50th vector re-enters under a shifted
+    * id with its first component scaled ×1.5 (a "re-encoded media"
+    * near-dup, cosine ≈ 0.99). Candidates come from the sign-bit LSH
+    * bucket join (12-bit key → ~4096 buckets; the perturbation
+    * preserves signs, so planted pairs always share a bucket), exact
+    * cosine verifies. The corpus shuffles once on the bucket id — never
+    * a cross join. */
+  def dedupEmbed(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+    val reingested = base.filter(col("vec_id") % 50 === 0)
+      .select((col("vec_id") + 1000000).as("vec_id"),
+        expr("transform(v, (x, i) -> if(i = 0, x * cast(1.5 as double), x))").as("v"))
+    val e = base.unionByName(reingested)
+      .withColumn("bucket",
+        expr("aggregate(transform(sequence(0, 11), " +
+          "i -> if(element_at(v, i + 1) > 0, shiftleft(1L, i), 0L)), 0L, (a, x) -> a + x)"))
+      .withColumn("n", VectorExprs.l2(col("v")))
+    e.as("a").join(e.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("da"), col("b.vec_id").as("db"),
+        round(VectorExprs.dot(col("a.v"), col("b.v")) /
+          (col("a.n") * col("b.n")), 6).as("cos"))
+      .filter(col("cos") >= 0.9)
+      .orderBy(col("da"), col("db"))
+  }
+
+  private val dedupEmbedOracle =
+    """WITH base AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |              FROM embeddings),
+      |corpus AS (
+      |  SELECT vec_id, v FROM base
+      |  UNION ALL
+      |  SELECT vec_id + 1000000,
+      |         list_transform(v, (x, i) -> CASE WHEN i = 1
+      |           THEN x * CAST(1.5 AS DOUBLE) ELSE x END)
+      |  FROM base WHERE vec_id % 50 = 0),
+      |e AS (SELECT vec_id, v,
+      |        list_reduce(list_prepend(0::BIGINT, list_transform(generate_series(0, 11),
+      |          i -> CASE WHEN v[i + 1] > 0 THEN (1::BIGINT << i) ELSE 0 END)),
+      |          (a, x) -> a + x) AS bucket,
+      |        sqrt(list_reduce(list_prepend(0.0, list_transform(v, x -> x * x)),
+      |                         (a, x) -> a + x)) AS n
+      |      FROM corpus)
+      |SELECT a.vec_id da, b.vec_id db,
+      |       ROUND(list_reduce(list_prepend(0.0,
+      |               list_transform(generate_series(1, 64), i -> a.v[i] * b.v[i])),
+      |             (acc, x) -> acc + x) / (a.n * b.n), 6) AS cos
+      |FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      |WHERE ROUND(list_reduce(list_prepend(0.0,
+      |        list_transform(generate_series(1, 64), i -> a.v[i] * b.v[i])),
+      |      (acc, x) -> acc + x) / (a.n * b.n), 6) >= 0.9
+      |ORDER BY da, db""".stripMargin
+
   // ----------------------------------------------------------------- sim_cosine
   /** Brute-force cosine top-k: the exact ANN baseline. Queries are a
     * bounded id range joined (broadcast — the query side is small by
@@ -799,7 +857,9 @@ object LlmPipeline {
     GQuery("dedup_minhash", dedupMinhash, Some(dedupMinhashOracle),
       "MinHash(16) + LSH 4x4 banding candidates, exact-Jaccard verify"),
     GQuery("dedup_simhash", dedupSimhash, Some(dedupSimhashOracle),
-      "32-bit tf-weighted SimHash, byte-band blocking, hamming<=6"),
+      "63-bit tf-weighted SimHash, byte-band blocking, hamming<=3"),
+    GQuery("dedup_embed", dedupEmbed, Some(dedupEmbedOracle),
+      "embedding-cosine near-dup via sign-bit LSH candidates"),
     GQuery("sim_cosine", simCosine, Some(simCosineOracle),
       "brute-force cosine top-5 (broadcast query side)"),
     GQuery("sim_ann_lsh", simAnnLsh, Some(simAnnLshOracle),
