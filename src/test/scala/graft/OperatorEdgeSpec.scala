@@ -120,3 +120,19 @@ class PartitionPruneSpec extends SparkSpec {
     assert(scan.contains("PartitionFilters: [isnotnull(o_year"), scan)
   }
 }
+
+/** AQE is active and re-plans at runtime (coalesces small shuffles). */
+class AqeSpec extends SparkSpec {
+  test("AQE coalesces an over-partitioned shuffle at runtime") {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "64")
+    try {
+      val df = graft.sources.Tables.orders(spark, sfDir)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+      df.collect() // execute so AQE finalizes the plan
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("AQEShuffleRead coalesced"), plan)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+}
