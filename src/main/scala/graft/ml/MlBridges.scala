@@ -60,6 +60,37 @@ object MlBridges {
       scored.count().toDouble
   }
 
+  /** IVF (inverted-file) approximate nearest neighbor: a KMeans coarse
+    * quantizer (fixed seed) assigns every vector to a centroid cell;
+    * queries search only their own cell (nprobe=1 here; widening to the
+    * p nearest centroids is the standard recall knob). At 100 TB the
+    * corpus partitions BY CELL, so a query touches one partition group
+    * instead of the whole corpus — the complementary design to the
+    * sign-bit LSH qid (`sim_ann_lsh`). Returns per-query top-k
+    * in-cell neighbors by exact cosine.
+    */
+  def ivfTopK(spark: SparkSession, dir: String, nCells: Int = 8, k: Int = 5)
+      : DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    val toVec = udf((a: Seq[Float]) => Vectors.dense(a.map(_.toDouble).toArray))
+    val base = graft.sources.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), toVec(col("embedding")).as("features"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+    val km = new KMeans().setK(nCells).setSeed(42L).setMaxIter(10)
+    val cells = km.fit(base).transform(base)
+      .select(col("vec_id"), col("v"), col("prediction").as("cell"))
+      .withColumn("n", graft.functions.VectorExprs.l2(col("v")))
+    cells.as("q").join(cells.as("c"),
+        col("q.cell") === col("c.cell") && col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id").as("qid"), col("c.vec_id").as("cid"),
+        (graft.functions.VectorExprs.dot(col("q.v"), col("c.v")) /
+          (col("q.n") * col("c.n"))).as("cos"))
+      .withColumn("rk", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("qid")
+          .orderBy(col("cos").desc, col("cid"))))
+      .filter(col("rk") <= k)
+  }
+
   /** MinHashLSH approximate-similarity join over token sets — the
     * near-dup scale path. Returns candidate pairs at Jaccard ≥ minJ
     * (LSH distance = 1 − Jaccard estimate). */

@@ -94,3 +94,34 @@ class StreamingSessionSpec extends SparkSpec {
     assert(streamed.map(_.toString).toSeq === batch.map(_.toString).toSeq)
   }
 }
+
+/** IVF ANN: in-cell top-k achieves useful recall vs brute force. */
+class IvfSpec extends SparkSpec {
+  test("IVF top-5 overlaps brute-force top-5 for most queries") {
+    import org.apache.spark.sql.functions._
+    val ivf = MlBridges.ivfTopK(spark, sfDir, nCells = 8, k = 5)
+      .select("qid", "cid").collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    // brute force top-5 cosine for the same vectors
+    val e = graft.sources.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .withColumn("n", graft.functions.VectorExprs.l2(col("v")))
+    val bf = e.as("a").join(e.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("qid"), col("b.vec_id").as("cid"),
+        (graft.functions.VectorExprs.dot(col("a.v"), col("b.v")) /
+          (col("a.n") * col("b.n"))).as("cos"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("qid")
+          .orderBy(col("cos").desc, col("cid"))))
+      .filter(col("rk") <= 5)
+      .select("qid", "cid").collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val recalls = bf.collect { case (q, truth) if ivf.contains(q) =>
+      ivf(q).intersect(truth).size.toDouble / truth.size
+    }.toSeq
+    assert(recalls.nonEmpty)
+    val mean = recalls.sum / recalls.size
+    // nprobe=1 over 8 cells on ~uniform vectors: modest but real recall
+    assert(mean > 0.25, s"mean IVF recall $mean")
+  }
+}
