@@ -176,8 +176,10 @@ object PsQueries {
       .groupBy("item")
       .agg(count(lit(1)).as("n_pulls"),
         round(max(col("f0")), 6).as("f0"),
-        round(sum(cents(col("rating"))).cast("double") / 100.0 * max(col("f0")), 4)
-          .as("weighted"))
+        // integer-scale rounding (e4) — the cross-engine-safe form for
+        // rounded products of a division (see text_quality)
+        round(sum(cents(col("rating"))).cast("double") / 100.0 * max(col("f0"))
+          * 10000.0).cast("long").as("weighted_e4"))
       .orderBy(col("item"))
   }
 
@@ -186,8 +188,8 @@ object PsQueries {
        |model AS (SELECT vec_id AS item, CAST(embedding[1] AS DOUBLE) AS f0
        |          FROM embeddings)
        |SELECT item, COUNT(*) AS n_pulls, ROUND(MAX(f0), 6) AS f0,
-       |       ROUND(CAST(SUM(${oCents("rating")}) AS BIGINT) / 100.0 * MAX(f0), 4)
-       |         AS weighted
+       |       CAST(ROUND(CAST(SUM(${oCents("rating")}) AS BIGINT) / 100.0 * MAX(f0)
+       |         * 10000.0) AS BIGINT) AS weighted_e4
        |FROM r JOIN model USING (item)
        |GROUP BY item ORDER BY item""".stripMargin
 
@@ -199,13 +201,15 @@ object PsQueries {
   def psOutput(spark: SparkSession, dir: String): DataFrame = {
     val r = ratings(spark, dir)
     val workerOut = r.groupBy(col("user"))
-      .agg(round(avg(cents(col("rating"))).cast("double") / 100.0, 4).as("prediction"))
+      // integer-cents prediction: exact sum, one division, integer round
+      .agg(round(sum(cents(col("rating"))).cast("double") /
+        count(lit(1)).cast("double")).cast("long").as("prediction_cents"))
       .withColumn("side", lit("worker"))
     val serverOut = r.groupBy(col("item"))
       .agg(sum(cents(col("rating"))).as("param_cents"))
       .withColumn("side", lit("server"))
     workerOut.unionByName(serverOut, allowMissingColumns = true)
-      .select(col("side"), col("user"), col("prediction"), col("item"),
+      .select(col("side"), col("user"), col("prediction_cents"), col("item"),
         col("param_cents"))
       .orderBy(col("side"), col("user").asc_nulls_last, col("item").asc_nulls_last)
   }
@@ -213,12 +217,13 @@ object PsQueries {
   private val psOutputOracle =
     s"""WITH r AS ($oRatings),
        |w AS (SELECT 'worker' AS side, "user",
-       |             ROUND(CAST(SUM(${oCents("rating")}) AS BIGINT)
-       |                   / CAST(COUNT(rating) AS DOUBLE) / 100.0, 4) AS prediction,
+       |             CAST(ROUND(CAST(SUM(${oCents("rating")}) AS BIGINT)
+       |                   / CAST(COUNT(rating) AS DOUBLE)) AS BIGINT)
+       |               AS prediction_cents,
        |             NULL::BIGINT AS item, NULL::BIGINT AS param_cents
        |      FROM r GROUP BY "user"),
        |s AS (SELECT 'server' AS side, NULL::BIGINT AS "user",
-       |             NULL::DOUBLE AS prediction, item,
+       |             NULL::BIGINT AS prediction_cents, item,
        |             SUM(${oCents("rating")}) AS param_cents
        |      FROM r GROUP BY item)
        |SELECT * FROM w UNION ALL SELECT * FROM s
