@@ -31,15 +31,18 @@ object Bench {
         Registry.byId.get(q).foreach(g => g.fn(spark, sfDir).count())
       }
     } catch { case _: Throwable => () }
+    // One line per query as it finishes, then a SHORT total line LAST:
+    // the driver keeps only the tail of stdout, so the parseable summary
+    // must be the final line and must stay small.
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"query":"$name","sec":$sec%.3f}""")
+      name -> sec
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -22,9 +22,21 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        // Output-dtype invariant: every integral output column is int64.
+        // Spark's row_number/rank/size/length emit int32 while the DuckDB
+        // oracle side emits BIGINT; the driver's pandas compare is dtype-
+        // sensitive, so narrow ints are upcast centrally here rather than
+        // per query.
+        import org.apache.spark.sql.functions.col
+        import org.apache.spark.sql.types.{ByteType, IntegerType, ShortType}
+        val widened = df.schema.fields.collect {
+          case f if f.dataType == IntegerType || f.dataType == ShortType ||
+            f.dataType == ByteType => f.name
+        }.foldLeft(df)((d, c) => d.withColumn(c, col(c).cast("long")))
+        widened.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

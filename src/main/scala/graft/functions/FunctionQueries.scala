@@ -111,7 +111,7 @@ object FunctionQueries {
       |  ROUND(AVG(LN(l_quantity + 1)), 6) AS avg_ln_qty,
       |  ROUND(AVG(LOG10(l_extendedprice)), 6) AS avg_log10_price,
       |  ROUND(AVG(POW(l_discount, 2)), 6) AS avg_disc_sq,
-      |  SUM(((l_orderkey % 7) + 7) % 7) AS sum_pmod,
+      |  CAST(SUM(((l_orderkey % 7) + 7) % 7) AS BIGINT) AS sum_pmod,
       |  CAST(SUM(CAST(ROUND(GREATEST(l_quantity, l_tax * 100)) AS BIGINT)) AS BIGINT) AS sum_greatest,
       |  CAST(SUM(ABS(SIGN(l_discount))) AS BIGINT) AS n_discounted
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
@@ -129,24 +129,25 @@ object FunctionQueries {
         expr("sequence(1, p_size)").as("seq"))
       .select(
         col("p_partkey"),
-        size(col("seq")).as("n"),
+        size(col("seq")).cast("long").as("n"),
         expr("aggregate(transform(seq, x -> x * 2), 0L, (acc, x) -> acc + x)").as("sum_doubled"),
-        expr("size(filter(seq, x -> x % 3 = 0))").as("n_div3"),
+        expr("size(filter(seq, x -> x % 3 = 0))").cast("long").as("n_div3"),
         expr("aggregate(zip_with(seq, seq, (a, b) -> a * b), 0L, (acc, x) -> acc + x)").as("dot_self"),
         array_contains(col("seq"), 10).as("has_10"),
-        expr("slice(seq, 1, 3)").as("first3"))
+        expr("array_join(transform(slice(seq, 1, 3), x -> cast(x AS string)), ',')")
+          .as("first3"))
       .orderBy(col("p_partkey"))
 
   private val fnArrayOracle =
     """WITH t AS (SELECT p_partkey, generate_series(1, p_size) AS seq
       |           FROM part WHERE p_partkey < 200)
       |SELECT p_partkey,
-      |  length(seq) AS n,
-      |  list_aggregate(list_transform(seq, x -> x * 2), 'sum') AS sum_doubled,
-      |  length(list_filter(seq, x -> x % 3 = 0)) AS n_div3,
-      |  list_aggregate(list_transform(seq, x -> x * x), 'sum') AS dot_self,
+      |  CAST(length(seq) AS BIGINT) AS n,
+      |  CAST(list_aggregate(list_transform(seq, x -> x * 2), 'sum') AS BIGINT) AS sum_doubled,
+      |  CAST(length(list_filter(seq, x -> x % 3 = 0)) AS BIGINT) AS n_div3,
+      |  CAST(list_aggregate(list_transform(seq, x -> x * x), 'sum') AS BIGINT) AS dot_self,
       |  list_contains(seq, 10) AS has_10,
-      |  seq[1:3] AS first3
+      |  array_to_string(seq[1:3], ',') AS first3
       |FROM t ORDER BY p_partkey""".stripMargin
 
   // --------------------------------------------------------------------- fn_map
@@ -161,16 +162,16 @@ object FunctionQueries {
         from_json(col("props"), MapType(StringType, LongType)).as("m"))
       .select(
         col("event_id"),
-        map_keys(col("m")).as("keys"),
+        concat_ws(",", array_sort(map_keys(col("m")))).as("keys"),
         element_at(col("m"), "k").as("k_value"),
         size(col("m")).as("n_entries"))
       .orderBy(col("event_id"))
 
   private val fnMapOracle =
     """SELECT event_id,
-      |  json_keys(props) AS keys,
+      |  array_to_string(list_sort(json_keys(props)), ',') AS keys,
       |  CAST(props->>'k' AS BIGINT) AS k_value,
-      |  CAST(length(json_keys(props)) AS INTEGER) AS n_entries
+      |  CAST(length(json_keys(props)) AS BIGINT) AS n_entries
       |FROM events
       |WHERE user_id <= 5
       |ORDER BY event_id""".stripMargin
@@ -402,7 +403,7 @@ object FunctionQueries {
 
   private val scanPartitionedOracle =
     s"""SELECT o_orderpriority, COUNT(*) AS n,
-       |       SUM(${oCents("o_totalprice")}) AS price_cents
+       |       CAST(SUM(${oCents("o_totalprice")}) AS BIGINT) AS price_cents
        |FROM orders WHERE year(o_orderdate) = 1997
        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 

@@ -102,8 +102,8 @@ object EventStream {
       |  FROM events),
       |sessions AS (
       |  SELECT user_id, ts_us,
-      |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+      |    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id
       |  FROM flagged)
       |SELECT user_id, sess_id, MIN(ts_us) AS sess_start_us,
       |  MAX(ts_us) AS sess_end_us, COUNT(*) AS n_events

@@ -287,7 +287,7 @@ object LlmPipeline {
        |  SELECT doc_id, simhash, b AS band, (simhash >> (b * 8)) & 255 AS bv
        |  FROM sim, unnest(generate_series(0, 7)) AS t(b))
        |SELECT DISTINCT a.doc_id da, b.doc_id db,
-       |       bit_count(xor(a.simhash, b.simhash)) AS hamming
+       |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
        |FROM banded a JOIN banded b
        |  ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
@@ -524,7 +524,7 @@ object LlmPipeline {
 
   private val textStatsOracle =
     """SELECT lang, count(*) n_docs, count(DISTINCT source) n_sources,
-      |  sum(length(string_split(text, ' '))) AS total_tokens,
+      |  CAST(sum(length(string_split(text, ' '))) AS BIGINT) AS total_tokens,
       |  ROUND(avg(length(string_split(text, ' '))), 4) AS avg_tokens,
       |  ROUND(avg(n_chars), 4) AS avg_chars,
       |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
@@ -615,7 +615,7 @@ object LlmPipeline {
       |  SELECT doc_id, 'lx_flow',
       |         sum(CASE WHEN tok IN ('stream','window','event') THEN 1 ELSE 0 END)
       |  FROM toks GROUP BY doc_id)
-      |SELECT doc_id, lx AS pred_lex, score FROM (
+      |SELECT doc_id, lx AS pred_lex, CAST(score AS BIGINT) AS score FROM (
       |  SELECT doc_id, lx, score,
       |         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lx) AS rk
       |  FROM scored)
@@ -843,8 +843,8 @@ object LlmPipeline {
        |  SELECT doc_id, n_frames, frame,
        |         (${oH32("concat(doc_id, ':', frame)", 31)}) % 1000 AS feature
        |  FROM f WHERE frame % 2 = 0)
-       |SELECT doc_id, max(n_frames) AS n_frames, count(*) AS n_sampled,
-       |       sum(feature) AS feature_sum,
+       |SELECT doc_id, CAST(max(n_frames) AS BIGINT) AS n_frames, count(*) AS n_sampled,
+       |       CAST(sum(feature) AS BIGINT) AS feature_sum,
        |       ROUND(CAST(sum(feature) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4)
        |         AS feature_avg
        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin

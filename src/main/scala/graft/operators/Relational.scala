@@ -313,10 +313,13 @@ object Relational {
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   // ------------------------------------------------------ agg_approx_distinct
-  /** HLL++ approximate distinct (sketch-family capability; declared
-    * WITHOUT an oracle — estimator internals differ across engines; the
-    * exact twin is checked in agg_distinct). At 100 TB this replaces a
-    * full distinct shuffle with fixed-size mergeable sketches.
+  /** HLL++ approximate distinct (sketch-family capability). Estimator
+    * internals differ across engines, so the estimate itself can't be
+    * oracled — instead the declared output is the exact count plus a
+    * `within_5pct` accuracy bound on the HLL estimate, which DuckDB can
+    * assert as a constant TRUE (the exact twin is agg_distinct). At
+    * 100 TB this replaces a full distinct shuffle with fixed-size
+    * mergeable sketches.
     */
   def aggApproxDistinct(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
@@ -324,7 +327,15 @@ object Relational {
       .agg(
         approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
         countDistinct(col("l_partkey")).as("exact_parts"))
+      .select(col("l_returnflag"), col("exact_parts"),
+        (abs(col("approx_parts") - col("exact_parts")) <=
+          col("exact_parts").cast("double") * 0.05).as("within_5pct"))
       .orderBy(col("l_returnflag"))
+
+  private val aggApproxDistinctOracle =
+    """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts,
+      |  TRUE AS within_5pct
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   // --------------------------------------------------------- agg_grouping_sets
   /** ROLLUP with grouping_id — multi-level aggregates in one pass. */
@@ -390,13 +401,13 @@ object Relational {
     Tables.orders(spark, dir)
       .groupBy(col("o_orderpriority"))
       .agg(
-        array_sort(collect_set(col("o_orderstatus"))).as("statuses"),
+        concat_ws(",", array_sort(collect_set(col("o_orderstatus")))).as("statuses"),
         count(lit(1)).as("n"))
       .orderBy(col("o_orderpriority"))
 
   private val aggCollectOracle =
     """SELECT o_orderpriority,
-      |  list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+      |  array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses,
       |  COUNT(*) AS n
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
@@ -500,7 +511,7 @@ object Relational {
 
   private val joinSkewSaltOracle =
     s"""SELECT o_orderpriority, COUNT(*) AS n,
-       |       SUM(${oCents("l_quantity")}) AS qty_cents
+       |       CAST(SUM(${oCents("l_quantity")}) AS BIGINT) AS qty_cents
        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
@@ -548,7 +559,7 @@ object Relational {
 
   private val joinBucketedOracle =
     s"""SELECT o_orderstatus, COUNT(*) AS n,
-       |       SUM(${oCents("l_quantity")}) AS qty_cents
+       |       CAST(SUM(${oCents("l_quantity")}) AS BIGINT) AS qty_cents
        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
@@ -568,9 +579,9 @@ object Relational {
 
   private val aggPivotOracle =
     """SELECT c_mktsegment,
-      |  COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END), 0) AS "F",
-      |  COALESCE(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END), 0) AS "O",
-      |  COALESCE(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END), 0) AS "P"
+      |  CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END), 0) AS BIGINT) AS "F",
+      |  CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END), 0) AS BIGINT) AS "O",
+      |  CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END), 0) AS BIGINT) AS "P"
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
@@ -659,8 +670,8 @@ object Relational {
       "partial+final hash aggregation, mixed aggregates"),
     GQuery("agg_distinct", aggDistinct, Some(aggDistinctOracle),
       "multi COUNT(DISTINCT) aggregation"),
-    GQuery("agg_approx_distinct", aggApproxDistinct, None,
-      "HLL++ approx distinct (no oracle: estimator-specific; exact twin in agg_distinct)"),
+    GQuery("agg_approx_distinct", aggApproxDistinct, Some(aggApproxDistinctOracle),
+      "HLL++ approx distinct: exact count + 5% accuracy-bound assertion"),
     GQuery("agg_grouping_sets", aggGroupingSets, Some(aggGroupingSetsOracle),
       "ROLLUP multi-level aggregation with grouping_id"),
     GQuery("agg_having", aggHaving, Some(aggHavingOracle),

@@ -131,7 +131,7 @@ object PsQueries {
        |model AS (SELECT DISTINCT item, item % 100 AS value FROM r WHERE item % 3 != 0),
        |deltas AS (SELECT item, SUM(${oCents("rating")}) AS delta FROM r GROUP BY item)
        |SELECT item,
-       |       COALESCE(value, 0) + COALESCE(delta, 0) AS new_value
+       |       CAST(COALESCE(value, 0) + COALESCE(delta, 0) AS BIGINT) AS new_value
        |FROM model FULL OUTER JOIN deltas USING (item)
        |ORDER BY item""".stripMargin
 
@@ -323,14 +323,16 @@ object PsQueries {
     ratings(spark, dir).select("item").distinct()
       .filter(col("item") < 300)
       .withColumn("factors",
-        expr(s"transform(sequence(0, 7), j -> round(${initFactor("item", "j", -0.1, 0.1)}, 6))"))
+        expr(s"array_join(transform(sequence(0, 7), j -> cast(cast(round(" +
+          s"(${initFactor("item", "j", -0.1, 0.1)}) * 1000000.0) AS bigint) AS string)), ',')"))
       .orderBy(col("item"))
 
   private val mfInitOracle =
     s"""WITH r AS ($oRatings)
        |SELECT item,
-       |       list_transform(generate_series(0, 7),
-       |         j -> ROUND(${oInitFactor("item", "j", -0.1, 0.1)}, 6)) AS factors
+       |       array_to_string(list_transform(generate_series(0, 7),
+       |         j -> CAST(ROUND((${oInitFactor("item", "j", -0.1, 0.1)}) * 1000000.0)
+       |              AS BIGINT)), ',') AS factors
        |FROM (SELECT DISTINCT item FROM r) WHERE item < 300
        |ORDER BY item""".stripMargin
 
@@ -456,9 +458,12 @@ object PsQueries {
       .withColumn("e", col("rating") -
         expr("aggregate(zip_with(p, q, (x, y) -> x * y), 0D, (a, x) -> a + x)"))
       .withColumn("q_new", expr(
-        s"transform(sequence(0, 3), j -> round(element_at(q, j + 1) + $lr * " +
-          s"(e * element_at(p, j + 1) - $reg * element_at(q, j + 1)), 6))"))
-      .select(col("user"), col("item"), col("rating"), round(col("e"), 6).as("err"),
+        s"array_join(transform(sequence(0, 3), j -> cast(cast(round(" +
+          s"(element_at(q, j + 1) + $lr * " +
+          s"(e * element_at(p, j + 1) - $reg * element_at(q, j + 1))) * 1000000.0) " +
+          s"AS bigint) AS string)), ',')"))
+      .select(col("user"), col("item"), col("rating"),
+        expr("cast(round(e * 1000000.0) AS bigint)").as("err_e6"),
         col("q_new"))
       .orderBy(col("user"), col("item"), col("rating"))
   }
@@ -477,9 +482,11 @@ object PsQueries {
        |      list_transform(generate_series(1, 4), i -> p[i] * q[i])),
        |      (a, x) -> a + x) AS e
        |  FROM base)
-       |SELECT "user", item, rating, ROUND(e, 6) AS err,
-       |  list_transform(generate_series(1, 4),
-       |    i -> ROUND(q[i] + 0.01 * (e * p[i] - 0.05 * q[i]), 6)) AS q_new
+       |SELECT "user", item, rating,
+       |  CAST(ROUND(e * 1000000.0) AS BIGINT) AS err_e6,
+       |  array_to_string(list_transform(generate_series(1, 4),
+       |    i -> CAST(ROUND((q[i] + 0.01 * (e * p[i] - 0.05 * q[i])) * 1000000.0)
+       |         AS BIGINT)), ',') AS q_new
        |FROM err
        |ORDER BY "user", item, rating""".stripMargin
 
@@ -615,7 +622,7 @@ object PsQueries {
 
   private val psPartitionOracle =
     s"""WITH r AS ($oRatings)
-       |SELECT item, COUNT(*) AS n, SUM(${oCents("rating")}) AS sum_cents
+       |SELECT item, COUNT(*) AS n, CAST(SUM(${oCents("rating")}) AS BIGINT) AS sum_cents
        |FROM r GROUP BY item ORDER BY item""".stripMargin
 
   // -------------------------------------------------------------- ps_pull_limit
@@ -657,7 +664,7 @@ object PsQueries {
     s"""WITH r AS ($oRatings),
        |partials AS (SELECT item, "user", SUM(${oCents("rating")}) AS partial
        |             FROM r GROUP BY item, "user")
-       |SELECT item, SUM(partial) AS total_cents, COUNT(*) AS n_senders
+       |SELECT item, CAST(SUM(partial) AS BIGINT) AS total_cents, COUNT(*) AS n_senders
        |FROM partials GROUP BY item ORDER BY item""".stripMargin
 
   // --------------------------------------------------------------- sink_parquet
@@ -677,7 +684,7 @@ object PsQueries {
 
   private val sinkParquetOracle =
     s"""WITH r AS ($oRatings)
-       |SELECT item, SUM(${oCents("rating")}) AS sum_cents
+       |SELECT item, CAST(SUM(${oCents("rating")}) AS BIGINT) AS sum_cents
        |FROM r GROUP BY item ORDER BY item""".stripMargin
 
   // --------------------------------------------------------------- ts_simsearch

@@ -105,7 +105,8 @@ object SketchQueries {
        |  GROUP BY 1, 2),
        |cnt AS (SELECT event_type, user_id, count(*) cnt FROM events GROUP BY 1, 2),
        |exact AS (
-       |  SELECT x.event_type ta, y.event_type tb, SUM(x.cnt * y.cnt) AS exact_inner
+       |  SELECT x.event_type ta, y.event_type tb,
+       |         CAST(SUM(x.cnt * y.cnt) AS BIGINT) AS exact_inner
        |  FROM cnt x JOIN cnt y
        |    ON x.user_id = y.user_id AND x.event_type < y.event_type
        |  GROUP BY 1, 2)

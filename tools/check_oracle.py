@@ -1,36 +1,44 @@
 #!/usr/bin/env python3
 """Local pre-check of SparkEntry queries against the DuckDB oracle.
 
-Mimics the driver's t2 compare: for each query result parquet written by
-graft.Verify, run the matching oracle SQL in DuckDB over the same sf
-tables, sort columns by name, and compare row-by-row values.
+Replicates the DRIVER's compare, which is pandas-dtype-sensitive: the
+spark result parquet is loaded with pandas/pyarrow, the oracle SQL runs
+in DuckDB and is fetched into pandas, columns are sorted by name, rows
+sorted by all columns, and the two frames are compared with
+pandas.util.hash_pandas_object.  A value-equal but dtype-different pair
+(e.g. DuckDB HUGEINT -> float64 vs Spark int64) therefore FAILS here,
+exactly as it does at the driver gate (see VERDICT.md round 1: the old
+stringified-value compare reported OK on 19 driver-red qids).
 
 Usage: python3 tools/check_oracle.py <verify_out_dir> [sf_dir] [qid...]
 """
 import json
-import math
 import sys
+import traceback
 from pathlib import Path
 
 import duckdb
+import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def canon(v):
-    """Canonical form for value compare (mirrors a hash-of-values check)."""
-    if v is None:
-        return "NULL"
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return repr(v)
-    if isinstance(v, bytes):
-        return v.hex()
-    if isinstance(v, list):
-        return "[" + ",".join(canon(x) for x in v) + "]"
-    return str(v)
+def canonical(df: pd.DataFrame) -> pd.DataFrame:
+    """Sort columns by name, rows by all columns — the driver's shape.
+
+    Integer WIDTH is normalized to int64 (the driver's value hash is
+    width-insensitive: int32 qids passed in r01), but int-vs-float and
+    int-vs-object are NOT normalized — those are exactly the divergences
+    the driver fails on (HUGEINT->float64 class).
+    """
+    df = df[sorted(df.columns)]
+    for c in df.columns:
+        if pd.api.types.is_integer_dtype(df[c].dtype):
+            df[c] = df[c].astype("int64")
+    if len(df.columns):
+        df = df.sort_values(by=list(df.columns), kind="mergesort")
+    return df.reset_index(drop=True)
 
 
 def main():
@@ -53,37 +61,57 @@ def main():
             print(f"MISSING-RESULT {qid}")
             n_noresult += 1
             continue
-        spark_rel = con.sql(f"SELECT * FROM read_parquet('{qdir}/*.parquet')")
-        scols = sorted(spark_rel.columns)
-        spark_rows = spark_rel.select(", ".join(f'"{c}"' for c in scols)).fetchall()
         try:
-            o_rel = con.sql(oracles[qid])
-        except Exception as e:
-            print(f"ORACLE-ERROR {qid}: {e}")
+            # Load the spark result through DuckDB like the oracle side so
+            # timestamp columns arrive in the same unit (us) on both sides;
+            # pandas.read_parquet would give ns and false-fail the compare.
+            sdf = canonical(
+                con.sql(f"SELECT * FROM read_parquet('{qdir}/*.parquet')").df())
+        except Exception:
+            print(f"HARNESS-ERROR {qid} (spark side):")
+            traceback.print_exc(limit=2)
             n_bad += 1
             continue
-        ocols = sorted(o_rel.columns)
-        if scols != ocols:
-            print(f"SCHEMA-MISMATCH {qid}: spark={scols} oracle={ocols}")
+        try:
+            odf = canonical(con.sql(oracles[qid]).df())
+        except Exception:
+            print(f"ORACLE-ERROR {qid}:")
+            traceback.print_exc(limit=2)
             n_bad += 1
             continue
-        o_rows = o_rel.select(", ".join(f'"{c}"' for c in ocols)).fetchall()
-        if len(spark_rows) != len(o_rows):
-            print(f"ROWCOUNT-MISMATCH {qid}: spark={len(spark_rows)} oracle={len(o_rows)}")
+        if list(sdf.columns) != list(odf.columns):
+            print(f"SCHEMA-MISMATCH {qid}: spark={list(sdf.columns)} "
+                  f"oracle={list(odf.columns)}")
             n_bad += 1
             continue
-        bad = None
-        for i, (sr, orr) in enumerate(zip(spark_rows, o_rows)):
-            cs, co = [canon(v) for v in sr], [canon(v) for v in orr]
-            if cs != co:
-                bad = (i, cs, co)
-                break
-        if bad:
-            i, cs, co = bad
-            print(f"VALUE-MISMATCH {qid} row {i}:\n  cols : {scols}\n  spark: {cs}\n  duck : {co}")
+        if len(sdf) != len(odf):
+            print(f"ROWCOUNT-MISMATCH {qid}: spark={len(sdf)} oracle={len(odf)}")
+            n_bad += 1
+            continue
+        # dtype check FIRST — this is what the old checker missed.
+        dt_bad = [(c, str(sdf[c].dtype), str(odf[c].dtype))
+                  for c in sdf.columns if sdf[c].dtype != odf[c].dtype]
+        if dt_bad:
+            print(f"DTYPE-MISMATCH {qid}: " +
+                  "; ".join(f"{c}: spark={a} oracle={b}" for c, a, b in dt_bad))
+            n_bad += 1
+            continue
+        try:
+            sh = pd.util.hash_pandas_object(sdf, index=False)
+            oh = pd.util.hash_pandas_object(odf, index=False)
+        except TypeError:
+            print(f"HARNESS-ERROR {qid}: unhashable column (array/map output?)")
+            traceback.print_exc(limit=1)
+            n_bad += 1
+            continue
+        if not sh.equals(oh):
+            diff = sdf.compare(odf) if sdf.shape == odf.shape else None
+            print(f"HASH-MISMATCH {qid}:")
+            if diff is not None and len(diff):
+                print(diff.head(5).to_string())
             n_bad += 1
         else:
-            print(f"OK {qid} ({len(spark_rows)} rows)")
+            print(f"OK {qid} ({len(sdf)} rows)")
             n_ok += 1
 
     print(f"\n{n_ok} ok, {n_bad} bad, {n_noresult} missing")
