@@ -27,6 +27,24 @@ object Bench {
       a.join(broadcast(spark.range(100).toDF("id")), "id")
         .groupBy((col("id") % 7).as("k")).count().count()
       spark.read.parquet(s"$sfDir/lineitem.parquet").limit(10).count()
+      // warm the text/vector codegen paths (md5, split/explode HOFs,
+      // array dot products) on a small slice so the first measured
+      // documents/embeddings query isn't charged the JIT setup
+      import org.apache.spark.sql.functions.{explode, md5, split}
+      // Spark 4's collation-aware string functions lazily <clinit>
+      // CollationAwareUTF8String, whose static block warms ICU
+      // title-case BreakIterator dictionaries — a multi-second one-time
+      // stall that every executor thread blocks on the first time a
+      // non-ASCII string hits lower()/initcap(). local[..] runs in this
+      // JVM, so force the class init here, in the quiet warmup window,
+      // instead of letting it land on a measured query.
+      Class.forName("org.apache.spark.sql.catalyst.util.CollationAwareUTF8String")
+      spark.read.parquet(s"$sfDir/documents.parquet").limit(500)
+        .select(md5(col("text")).as("h"), explode(split(col("text"), " ")).as("t"))
+        .groupBy("h", "t").count().count()
+      spark.read.parquet(s"$sfDir/embeddings.parquet").limit(100)
+        .selectExpr("aggregate(zip_with(embedding, embedding, (a, b) -> cast(a*b as double)), 0D, (s, v) -> s + v)")
+        .count()
       Seq("ps_combine", "join_bucketed", "scan_partitioned").foreach { q =>
         Registry.byId.get(q).foreach(g => g.fn(spark, sfDir).count())
       }

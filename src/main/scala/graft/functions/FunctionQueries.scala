@@ -389,12 +389,9 @@ object FunctionQueries {
     val out = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"),
       "graft_part_orders_" + Integer.toHexString(dir.hashCode))
-    if (!java.nio.file.Files.exists(out)) {
-      Tables.orders(spark, dir)
-        .withColumn("o_year", year(col("o_orderdate")))
-        .write.mode("overwrite").partitionBy("o_year").parquet(out.toString)
-    }
-    spark.read.parquet(out.toString)
+    graft.sources.Snapshots.parquet(spark, out,
+      Tables.orders(spark, dir).withColumn("o_year", year(col("o_orderdate"))),
+      (df, p) => df.write.mode("overwrite").partitionBy("o_year").parquet(p))
       .filter(col("o_year") === 1997)
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n"), sum(cents(col("o_totalprice"))).as("price_cents"))

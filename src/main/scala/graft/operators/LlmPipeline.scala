@@ -4,6 +4,7 @@ import graft.GQuery
 import graft.functions.VectorExprs
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
 /** LLM-data-pipeline operators (SURVEY.md §2.C north-star extension):
@@ -51,10 +52,15 @@ object LlmPipeline {
     * parallelism — the classic fix for small-input/heavy-compute). */
   private def shingles(df: DataFrame): DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
+      // split ONCE into an array column: `slice(split(text), i, 3)`
+      // inside the lambda would re-split the full text for every i —
+      // O(tokens²) character work per doc, and it was the dominant CPU
+      // cost of every shingle-based query in round 1's bench.
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
       .select(col("doc_id"),
         expr("explode(array_distinct(transform(" +
-          "sequence(1, greatest(size(split(text, ' ')) - 2, 1)), " +
-          "i -> concat_ws(' ', slice(split(text, ' '), i, 3)))))").as("shingle"))
+          "sequence(1, greatest(size(w) - 2, 1)), " +
+          "i -> concat_ws(' ', slice(w, i, 3)))))").as("shingle"))
 
   private val oShingles =
     """SELECT DISTINCT doc_id, unnest(list_transform(
@@ -102,7 +108,19 @@ object LlmPipeline {
     * at 100 TB you run those, and this, sampled, to audit their recall.
     */
   def dedupNear(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(Tables.documents(spark, dir))
+    // df-cap sampling contract: shingles hotter than dfCap documents are
+    // excluded from the inverted index AND from the size denominator, so
+    // the output is Jaccard over the df≤cap shingle universe. One
+    // ultra-hot shingle makes Σdf² quadratic at crawl scale while
+    // carrying no discriminative signal, so the cap is what bounds the
+    // operator unconditionally at 100 TB; at the test SFs max df ≈ 25,
+    // the cap never binds, and the result equals exact Jaccard. The hot
+    // set is ≤ |sh|/dfCap rows by construction → always broadcastable.
+    val dfCap = 1000
+    val shAll = shingles(Tables.documents(spark, dir)).cache()
+    val hot = shAll.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfCap).select("shingle")
+    val sh = shAll.join(broadcast(hot), Seq("shingle"), "left_anti")
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val inter = sh.as("x").join(sh.as("y"),
         col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
@@ -119,7 +137,10 @@ object LlmPipeline {
   }
 
   private val dedupNearOracle =
-    s"""WITH sh AS ($oShingles),
+    s"""WITH sh_all AS ($oShingles),
+       |hot AS (SELECT shingle FROM sh_all GROUP BY shingle HAVING count(*) > 1000),
+       |sh AS (SELECT * FROM sh_all
+       |       WHERE shingle NOT IN (SELECT shingle FROM hot)),
        |sizes AS (SELECT doc_id, count(*) n_sh FROM sh GROUP BY doc_id),
        |inter AS (SELECT x.doc_id da, y.doc_id db, count(*) inter
        |          FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
@@ -223,6 +244,41 @@ object LlmPipeline {
   }
 
   // ------------------------------------------------------------- dedup_simhash
+  /** Tf-weighted 63-bit simhash fold as a typed Aggregator: the buffer
+    * is the 63 signed bit-sums, `reduce` folds one (hash, tf) token row
+    * in a tight JVM loop, `merge` is vector add (mergeable partials →
+    * map-side combine works), and `finish` assembles the simhash long
+    * directly. This replaces 63 codegen'd conditional `sum(when(...))`
+    * expressions per group — which risked codegen-size fallback and was
+    * the CPU hot spot of round 1's bench — with one ObjectHashAggregate
+    * whose per-row cost is a 63-iteration primitive loop.
+    */
+  object SimHashAgg extends Aggregator[(Long, Long), Array[Long], Long] {
+    def zero: Array[Long] = new Array[Long](63)
+    def reduce(b: Array[Long], in: (Long, Long)): Array[Long] = {
+      val h = in._1; val tf = in._2
+      var i = 0
+      while (i < 63) {
+        b(i) += (if (((h >> i) & 1L) == 1L) tf else -tf); i += 1
+      }
+      b
+    }
+    def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < 63) { a(i) += b(i); i += 1 }
+      a
+    }
+    def finish(b: Array[Long]): Long = {
+      var sim = 0L; var i = 0
+      while (i < 63) { if (b(i) > 0) sim |= (1L << i); i += 1 }
+      sim
+    }
+    def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.Encoders.javaSerialization[Array[Long]]
+    def outputEncoder: org.apache.spark.sql.Encoder[Long] =
+      org.apache.spark.sql.Encoders.scalaLong
+  }
+
   /** SimHash near-dup: 64-bit tf-weighted simhash per doc (two seeded
     * 32-bit md5 hashes per token concatenated); pairs within Hamming
     * distance ≤ 3 found by *band blocking* over 8 bytes — by pigeonhole
@@ -241,19 +297,9 @@ object LlmPipeline {
       // range in both engines — no sign-extension/overflow divergence.
       .withColumn("h",
         expr(s"shiftleft(${h32("tok", 7)} & 2147483647, 32) | ${h32("tok", 8)}"))
-    // per doc: all 63 signed bit-sums in ONE wide aggregation (63
-    // codegen'd conditional sums over the token rows — no 63× row
-    // explosion through a shuffle), then the simhash assembles from the
-    // 63 sum columns in a single projection
-    val bitAggs = (0 until 63).map { i =>
-      sum(when(expr(s"(shiftright(h, $i) & 1) = 1"), col("tf"))
-        .otherwise(-col("tf"))).as(s"s$i")
-    }
-    val sim = toks.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
-      .select(col("doc_id"),
-        (0 until 63).map(i =>
-          when(col(s"s$i") > 0, lit(1L << i)).otherwise(0L))
-          .reduce(_ + _).as("simhash"))
+    val simAgg = udaf(SimHashAgg)
+    val sim = toks.groupBy("doc_id")
+      .agg(simAgg(col("h"), col("tf")).as("simhash"))
     val banded = sim.select(col("doc_id"), col("simhash"),
       posexplode(expr("transform(sequence(0, 7), b -> shiftright(simhash, b * 8) & 255)"))
         .as(Seq("band", "bv")))

@@ -59,12 +59,7 @@ object PsQueries {
     val snap = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"),
       "graft_ratings_" + Integer.toHexString(dir.hashCode))
-    try {
-      if (!java.nio.file.Files.exists(snap)) {
-        live.write.mode("overwrite").parquet(snap.toString)
-      }
-      spark.read.parquet(snap.toString)
-    } catch { case _: Throwable => live }
+    graft.sources.Snapshots.parquet(spark, snap, live)
   }
 
   private val oRatings =
@@ -546,17 +541,24 @@ object PsQueries {
     * the true class and the winner, τ = min(C, ℓ/2‖x‖²) (shared update
     * norm for the two touched prototypes). */
   def paMulti(spark: SparkSession, dir: String): DataFrame = {
+    // The reference worker PULLs the class prototypes from the server —
+    // it does not re-derive them per example. Spark analog: build the
+    // 10-row class-weight table ONCE (640 md5 evaluations total, vs 640
+    // per input row in the naive per-row transform), broadcast it onto
+    // the examples, and take the score with the native codegen'd
+    // ArrayDotProduct. At scale the prototype table is exactly the
+    // "pulled model" — tiny, broadcast, never shuffled.
+    val classes = spark.range(10).toDF("cls")
+      .withColumn("w",
+        expr(s"transform(sequence(0, 63), j -> ${initFactor("cls", "j", -0.1, 0.1)})"))
     Tables.embeddings(spark, dir)
       .filter(col("vec_id") < 200)
       .select(col("vec_id"), col("label"),
         expr("transform(embedding, x -> cast(x as double))").as("x"))
       .withColumn("xx", expr("aggregate(transform(x, v -> v * v), 0D, (acc, v) -> acc + v)"))
-      .select(col("vec_id"), col("label"), col("xx"),
-        posexplode(expr(
-          s"transform(sequence(0, 9), c -> aggregate(zip_with(" +
-            s"transform(sequence(0, 63), j -> ${initFactor("c", "j", -0.1, 0.1)}), x, " +
-            s"(a, b) -> a * b), 0D, (acc, v) -> acc + v))"))
-          .as(Seq("cls", "score")))
+      .crossJoin(broadcast(classes))
+      .withColumn("score", VectorExprs.dot(col("w"), col("x")))
+      .select(col("vec_id"), col("label"), col("xx"), col("cls"), col("score"))
       .withColumn("true_score", max(when(col("cls") === col("label"), col("score"))).over(
         Window.partitionBy("vec_id")))
       .filter(col("cls") =!= col("label"))

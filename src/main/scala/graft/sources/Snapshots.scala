@@ -1,0 +1,45 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.nio.file.{Files, Path, StandardCopyOption}
+
+/** Crash-safe local parquet snapshots (materialized-view style reuse of
+  * a derived layout across queries in one JVM or across JVMs).
+  *
+  * A snapshot is only ever trusted when Spark's `_SUCCESS` marker is
+  * present; the data is written to a pid-tagged temp directory first
+  * and atomically renamed into place. A JVM dying mid-write therefore
+  * can never leave a partial directory that a later run would silently
+  * read as complete (the round-1 advisory: `Files.exists` on the bare
+  * directory validated half-written snapshots). Unwritable locations
+  * and publish races fall back to the live plan.
+  */
+object Snapshots {
+
+  def parquet(spark: SparkSession, path: Path, live: => DataFrame,
+      write: (DataFrame, String) => Unit =
+        (df, p) => df.write.mode("overwrite").parquet(p)): DataFrame = {
+    try {
+      val marker = path.resolve("_SUCCESS")
+      if (!Files.exists(marker)) {
+        val tmp = path.resolveSibling(
+          path.getFileName.toString + ".tmp." + ProcessHandle.current().pid())
+        write(live, tmp.toString)
+        deleteRecursively(path) // a stale partial dir, if any
+        try Files.move(tmp, path, StandardCopyOption.ATOMIC_MOVE)
+        catch { case _: java.io.IOException =>
+          // lost the publish race to another JVM — use theirs
+          deleteRecursively(tmp)
+        }
+      }
+      if (Files.exists(marker)) spark.read.parquet(path.toString) else live
+    } catch { case _: Throwable => live }
+  }
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(Files.deleteIfExists(_))
+    }
+}
