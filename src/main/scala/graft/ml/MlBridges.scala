@@ -62,29 +62,46 @@ object MlBridges {
 
   /** IVF (inverted-file) approximate nearest neighbor: a KMeans coarse
     * quantizer (fixed seed) assigns every vector to a centroid cell;
-    * queries search only their own cell (nprobe=1 here; widening to the
-    * p nearest centroids is the standard recall knob). At 100 TB the
-    * corpus partitions BY CELL, so a query touches one partition group
-    * instead of the whole corpus — the complementary design to the
-    * sign-bit LSH qid (`sim_ann_lsh`). Returns per-query top-k
-    * in-cell neighbors by exact cosine.
+    * each query probes its `nprobe` nearest cells (the standard IVF
+    * recall knob: nprobe=1 → only the query's own cell, nprobe=nCells →
+    * exact). Probe assignment ranks the tiny broadcast centroid table
+    * by squared L2 distance (only the `|c|² − 2 q·c` terms — `|q|²` is
+    * constant per query). At 100 TB the corpus partitions BY CELL, so a
+    * query touches nprobe partition groups instead of the whole corpus —
+    * the complementary design to the sign-bit LSH qid (`sim_ann_lsh`).
+    * Returns per-query top-k probed neighbors by exact cosine.
     */
-  def ivfTopK(spark: SparkSession, dir: String, nCells: Int = 8, k: Int = 5)
-      : DataFrame = {
+  def ivfTopK(spark: SparkSession, dir: String, nCells: Int = 8, k: Int = 5,
+      nprobe: Int = 1): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
+    import spark.implicits._
     val toVec = udf((a: Seq[Float]) => Vectors.dense(a.map(_.toDouble).toArray))
     val base = graft.sources.Tables.embeddings(spark, dir)
       .select(col("vec_id"), toVec(col("embedding")).as("features"),
         expr("transform(embedding, x -> cast(x as double))").as("v"))
-    val km = new KMeans().setK(nCells).setSeed(42L).setMaxIter(10)
-    val cells = km.fit(base).transform(base)
+    val model = new KMeans().setK(nCells).setSeed(42L).setMaxIter(10).fit(base)
+    val cells = model.transform(base)
       .select(col("vec_id"), col("v"), col("prediction").as("cell"))
       .withColumn("n", graft.functions.VectorExprs.l2(col("v")))
-    cells.as("q").join(cells.as("c"),
-        col("q.cell") === col("c.cell") && col("q.vec_id") =!= col("c.vec_id"))
-      .select(col("q.vec_id").as("qid"), col("c.vec_id").as("cid"),
-        (graft.functions.VectorExprs.dot(col("q.v"), col("c.v")) /
-          (col("q.n") * col("c.n"))).as("cos"))
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray) }.toSeq
+      .toDF("cell", "cvec")
+      .withColumn("cc", graft.functions.VectorExprs.dot(col("cvec"), col("cvec")))
+    val probes = cells
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("n").as("qn"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("d2", col("cc") -
+        lit(2.0) * graft.functions.VectorExprs.dot(col("qv"), col("cvec")))
+      .withColumn("pr", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("qid")
+          .orderBy(col("d2"), col("cell"))))
+      .filter(col("pr") <= nprobe)
+      .select(col("qid"), col("qv"), col("qn"), col("cell"))
+    probes.join(cells.as("c"),
+        probes("cell") === col("c.cell") && probes("qid") =!= col("c.vec_id"))
+      .select(col("qid"), col("c.vec_id").as("cid"),
+        (graft.functions.VectorExprs.dot(col("qv"), col("c.v")) /
+          (col("qn") * col("c.n"))).as("cos"))
       .withColumn("rk", org.apache.spark.sql.functions.row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("qid")
           .orderBy(col("cos").desc, col("cid"))))

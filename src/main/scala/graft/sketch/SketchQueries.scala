@@ -217,11 +217,69 @@ object SketchQueries {
        |ORDER BY sa, sb""".stripMargin
   }
 
+  // ------------------------------------------------- sketch_bloom_portable
+  /** Per-group Bloom filter with an md5-portable bit layout, oracle-
+    * checked bit-for-bit — the reference's bloom module made engine-
+    * reproducible (unlike `BloomAgg`, whose Spark-internal layout is
+    * test-only). m = 252 bits stored as four 63-bit lanes (63 keeps
+    * every lane a positive BIGINT in both engines), k = 3 seeded md5
+    * hashes per element. The bitmap OR is `SUM(DISTINCT 2^bit)` per
+    * lane — exactly the mergeable `paramUpdate` shape, one hash-shuffle
+    * groupBy at any scale. Missing lanes materialize as 0 from the
+    * (group × lane) grid so the sketch always has its full fixed size.
+    */
+  def sketchBloomPortable(spark: SparkSession, dir: String): DataFrame = {
+    val du = Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id")).distinct()
+    val pos = du.select(col("event_type"),
+      explode(expr(
+        s"transform(sequence(0, 2), j -> ${h32("concat(j, ':', user_id)", 23)} % 252)"))
+        .as("pos"))
+    val lanes = pos
+      .select(col("event_type"), expr("pos div 63").as("lane"),
+        expr("shiftleft(1L, cast(pos % 63 AS int))").as("bv"))
+      .groupBy("event_type", "lane")
+      .agg(sum_distinct(col("bv")).as("bits"),
+        countDistinct(col("bv")).as("n_set"))
+    val grid = du.select("event_type").distinct()
+      .crossJoin(broadcast(spark.range(4).toDF("lane")))
+    grid.join(lanes, Seq("event_type", "lane"), "left")
+      .select(col("event_type"), col("lane"),
+        coalesce(col("bits"), lit(0L)).as("bits"),
+        coalesce(col("n_set"), lit(0L)).as("n_set"))
+      .orderBy(col("event_type"), col("lane"))
+  }
+
+  private val sketchBloomPortableOracle =
+    s"""WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+       |pos AS (
+       |  SELECT event_type,
+       |         (${oH32("concat(j, ':', user_id)", 23)}) % 252 AS pos
+       |  FROM du, unnest(generate_series(0, 2)) AS t(j)),
+       |lanes AS (
+       |  SELECT event_type, pos // 63 AS lane, (1::BIGINT << (pos % 63)) AS bv
+       |  FROM pos),
+       |bloom AS (
+       |  SELECT event_type, lane, SUM(DISTINCT bv) AS bits,
+       |         count(DISTINCT bv) AS n_set
+       |  FROM lanes GROUP BY 1, 2),
+       |grid AS (
+       |  SELECT event_type, lane
+       |  FROM (SELECT DISTINCT event_type FROM du),
+       |       unnest(generate_series(0, 3)) AS g(lane))
+       |SELECT event_type, CAST(lane AS BIGINT) AS lane,
+       |       CAST(COALESCE(bits, 0) AS BIGINT) AS bits,
+       |       CAST(COALESCE(n_set, 0) AS BIGINT) AS n_set
+       |FROM grid LEFT JOIN bloom USING (event_type, lane)
+       |ORDER BY event_type, lane""".stripMargin
+
   def queries: Seq[GQuery] = Seq(
     GQuery("sketch_tow", sketchTow, Some(sketchTowOracle),
       "Tug-of-War (AMS) Aggregator sketch + exact inner-product twin"),
     GQuery("sketch_bloom", sketchBloom, Some(sketchBloomOracle),
       "bloom-family set similarity, exact distinct-set Jaccard form"),
+    GQuery("sketch_bloom_portable", sketchBloomPortable, Some(sketchBloomPortableOracle),
+      "md5-portable per-group bloom bitmap, oracle-checked bit-for-bit"),
     GQuery("sketch_minhash", sketchMinhash, Some(sketchMinhashOracle),
       "minhash signature agreement vs exact Jaccard per source pair")
   )

@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 
 /** True Structured Streaming restatements of the reference's streaming
   * semantics (SURVEY §2.C stream_* rows, §7.3 step 7). The oracle-checked
@@ -140,5 +141,55 @@ object StreamingOps {
       }
       .toDF("user_id", "n_events", "max_value")
     runToTable(spark, out, s"stateful_${System.nanoTime()}", OutputMode.Update())
+  }
+
+  /** Per-user running (count, max) as a Spark 4 `StatefulProcessor` —
+    * the state-v2 `transformWithState` form of [[statefulUserAgg]].
+    * State is an explicit named `ValueState` handle (RocksDB-backed;
+    * the v2 API requires the RocksDB state store provider), which is
+    * the closest Spark analog yet of the reference's per-worker mutable
+    * parameter storage [K-high]: named state slots per key, TTL
+    * support, and timers — mapGroupsWithState's single opaque state
+    * value, generalized. */
+  class RunningUserAgg
+      extends StatefulProcessor[Long, (Long, Double), (Long, Long, Double)] {
+    @transient private var agg: ValueState[(Long, Double)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      agg = getHandle.getValueState[(Long, Double)]("agg",
+        Encoders.product[(Long, Double)], TTLConfig.NONE)
+    override def handleInputRows(user: Long, rows: Iterator[(Long, Double)],
+        timerValues: TimerValues): Iterator[(Long, Long, Double)] = {
+      val (n0, mx0) = if (agg.exists()) agg.get() else (0L, Double.MinValue)
+      var n = n0
+      var mx = mx0
+      rows.foreach { case (_, v) => n += 1; if (v > mx) mx = v }
+      agg.update((n, mx))
+      Iterator.single((user, n, mx))
+    }
+  }
+
+  /** Run [[RunningUserAgg]] over the event stream via
+    * `transformWithState` and return the final per-user table. */
+  def statefulUserAggV2(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ev: Dataset[(Long, Double)] = eventStream(spark, dir)
+        .select(col("user_id"), col("value")).as[(Long, Double)]
+      val out = ev.groupByKey(_._1)
+        .transformWithState(new RunningUserAgg, TimeMode.None(),
+          OutputMode.Update())
+        .toDF("user_id", "n_events", "max_value")
+      runToTable(spark, out, s"stateful_v2_${System.nanoTime()}",
+        OutputMode.Update())
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
   }
 }

@@ -57,6 +57,30 @@ class SketchSpec extends SparkSpec with Matchers {
     assert(read(byG(2)).mightContainLong(99L))
   }
 
+  test("portable bloom: no false negatives against the built bitmap") {
+    val bloom = SketchQueries.queries.find(_.id == "sketch_bloom_portable").get
+      .fn(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("lane")) ->
+        r.getAs[Long]("bits")).toMap
+    // every inserted (event_type, user_id) must test positive on all 3 bits
+    val h32 = (s: String) => {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      java.lang.Long.parseLong(
+        md.digest(s.getBytes("UTF-8")).take(4).map(b => f"$b%02x").mkString, 16)
+    }
+    val members = graft.sources.Tables.events(spark, sfDir)
+      .select("event_type", "user_id").distinct().collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("user_id")))
+    assert(members.nonEmpty)
+    members.foreach { case (et, uid) =>
+      (0 to 2).foreach { j =>
+        val pos = h32(s"23:$j:$uid") % 252
+        val set = (bloom((et, pos / 63)) >> (pos % 63).toInt & 1L) == 1L
+        assert(set, s"bloom lost ($et, $uid) hash $j")
+      }
+    }
+  }
+
   test("minhash estimate within 0.4 of exact Jaccard (8 seeds, coarse)") {
     val q = SketchQueries.queries.find(_.id == "sketch_minhash").get
     val out = q.fn(spark, sfDir).collect()

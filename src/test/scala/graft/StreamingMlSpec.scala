@@ -44,6 +44,17 @@ class StreamingMlSpec extends SparkSpec {
     assert(streamed.map(_.toString).toSeq === batch.map(_.toString).toSeq)
   }
 
+  test("transformWithState (state v2) matches batch aggregation") {
+    val streamed = StreamingOps.statefulUserAggV2(spark, sfDir)
+      .orderBy("user_id").collect()
+    val batch = graft.sources.Tables.events(spark, sfDir)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), max("value").as("max_value"))
+      .orderBy("user_id").collect()
+    assert(streamed.nonEmpty)
+    assert(streamed.map(_.toString).toSeq === batch.map(_.toString).toSeq)
+  }
+
   test("ALS bridge fits the ratings matrix to reasonable RMSE") {
     val scored = MlBridges.alsModel(spark, sfDir).cache()
     val rmse = math.sqrt(scored
@@ -123,5 +134,24 @@ class IvfSpec extends SparkSpec {
     val mean = recalls.sum / recalls.size
     // nprobe=1 over 8 cells on ~uniform vectors: modest but real recall
     assert(mean > 0.25, s"mean IVF recall $mean")
+
+    // widening the probe count must raise recall (the IVF contract);
+    // probing all cells makes the search exact (recall 1.0)
+    val ivf3 = MlBridges.ivfTopK(spark, sfDir, nCells = 8, k = 5, nprobe = 3)
+      .select("qid", "cid").collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val recalls3 = bf.collect { case (q, truth) if ivf3.contains(q) =>
+      ivf3(q).intersect(truth).size.toDouble / truth.size
+    }.toSeq
+    val mean3 = recalls3.sum / recalls3.size
+    assert(mean3 >= mean, s"nprobe=3 recall $mean3 should be >= nprobe=1 $mean")
+    val ivfAll = MlBridges.ivfTopK(spark, sfDir, nCells = 8, k = 5, nprobe = 8)
+      .select("qid", "cid").collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val recallsAll = bf.collect { case (q, truth) if ivfAll.contains(q) =>
+      ivfAll(q).intersect(truth).size.toDouble / truth.size
+    }.toSeq
+    val meanAll = recallsAll.sum / recallsAll.size
+    assert(meanAll > 0.999, s"nprobe=nCells must be exact, got $meanAll")
   }
 }
