@@ -57,6 +57,10 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"""{"query":"$name","sec":$sec%.3f}""")
+      // intra-query caches (shingle relations etc.) are per-plan and
+      // never reused across queries — drop them so storage memory and
+      // GC pressure stay flat across the 98-query sweep
+      try spark.catalog.clearCache() catch { case _: Throwable => () }
       name -> sec
     }
     val total = if (results.nonEmpty) results.values.sum else 0.0

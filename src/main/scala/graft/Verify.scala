@@ -38,6 +38,9 @@ object Verify {
         widened.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      } finally {
+        // intra-query caches are never reused across queries
+        try spark.catalog.clearCache() catch { case _: Throwable => () }
       }
     }
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"),

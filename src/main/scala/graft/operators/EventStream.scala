@@ -120,7 +120,7 @@ object EventStream {
   def streamWatermark(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
     val cutoff = ev.agg((max(unix_micros(col("ts"))) - 600L * 1000000L).as("cut_us"))
-    ev.crossJoin(cutoff)
+    ev.crossJoin(broadcast(cutoff))
       .filter(unix_micros(col("ts")) <= col("cut_us"))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_on_time"))

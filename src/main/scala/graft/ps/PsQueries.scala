@@ -680,6 +680,9 @@ object PsQueries {
       "graft_sink_" + Integer.toHexString(dir.hashCode)).toString
     ratings(spark, dir)
       .groupBy("item").agg(sum(cents(col("rating"))).as("sum_cents"))
+      // model-sized output: write a handful of right-sized files, not one
+      // per shuffle partition (petabyte sinks instead keep partitioning)
+      .coalesce(4)
       .write.mode("overwrite").parquet(out)
     spark.read.parquet(out).orderBy("item")
   }
