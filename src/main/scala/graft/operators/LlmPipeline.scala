@@ -506,9 +506,13 @@ object LlmPipeline {
     val q = e.filter(col("vec_id") < 50)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("n").as("qn"))
     val ref = e.filter(col("vec_id") >= 50)
+    // native codegen'd dot product: the zip_with/aggregate HOF form
+    // allocates an intermediate 64-element array per candidate pair
+    // (~250k/query-batch), which showed up as GC-driven run-to-run
+    // variance in round 1's bench
     val top10 = broadcast(q).join(ref, col("qid") =!= col("vec_id"))
       .select(col("qid"), col("label"),
-        round(expr("aggregate(zip_with(qv, v, (x, y) -> x * y), 0D, (a, x) -> a + x)") /
+        round(VectorExprs.dot(col("qv"), col("v")) /
           (col("qn") * col("n")), 6).as("cos"),
         col("vec_id"))
       .withColumn("rk", row_number().over(

@@ -94,6 +94,42 @@ object Relational {
     """SELECT CAST(props->>'k' AS BIGINT) AS k, COUNT(*) AS n
       |FROM events GROUP BY 1 ORDER BY k""".stripMargin
 
+  // ------------------------------------------------------------- source_csv
+  /** CSV source with an EXPLICIT schema — at 100 TB a schema-inference
+    * pass is a full extra scan of the input, so production CSV reads
+    * always pin the schema. The parquet-only fixture is staged to a csv
+    * layout once (crash-safe snapshot: atomic publish, `_SUCCESS`-gated
+    * reuse), then read back with header+delimiter options and joined to
+    * the broadcast parquet dim — the mixed-format ingest shape. Money
+    * survives the text round trip because the aggregation integerizes
+    * to cents before summing (Det contract). */
+  def sourceCsv(spark: SparkSession, dir: String): DataFrame = {
+    val staged = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      "graft_csv_supplier_" + Integer.toHexString(dir.hashCode))
+    val csv = graft.sources.Snapshots.materialize(spark, staged,
+      Tables.supplier(spark, dir)
+        .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal"),
+      (df, p) => df.coalesce(1).write.mode("overwrite")
+        .option("header", "true").option("sep", "|").csv(p),
+      (s, p) => s.read
+        .schema("s_suppkey BIGINT, s_name STRING, s_nationkey INT, s_acctbal DOUBLE")
+        .option("header", "true").option("sep", "|").csv(p))
+    csv.groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum(cents(col("s_acctbal"))).as("bal_cents"))
+      .join(broadcast(Tables.nation(spark, dir)
+        .select(col("n_nationkey").as("s_nationkey"), col("n_name"))), "s_nationkey")
+      .select(col("n_name"), col("n_suppliers"), col("bal_cents"))
+      .orderBy(col("n_name"))
+  }
+
+  private val sourceCsvOracle =
+    s"""SELECT n_name, COUNT(*) AS n_suppliers,
+       |       CAST(SUM(${oCents("s_acctbal")}) AS BIGINT) AS bal_cents
+       |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+       |GROUP BY n_name ORDER BY n_name""".stripMargin
+
   // ------------------------------------------------------------ filter_pred
   /** Predicate families: BETWEEN, IN, LIKE, modular arithmetic, NOT. */
   def filterPred(spark: SparkSession, dir: String): DataFrame =
@@ -646,6 +682,8 @@ object Relational {
       "plain vectorized parquet scan"),
     GQuery("scan_pruned", scanPruned, Some(scanPrunedOracle),
       "column pruning + predicate pushdown into parquet"),
+    GQuery("source_csv", sourceCsv, Some(sourceCsvOracle),
+      "CSV source round trip: explicit schema, header/sep options, broadcast dim join"),
     GQuery("source_json_col", sourceJsonCol, Some(sourceJsonColOracle),
       "JSON-in-string extraction (events.props)"),
     GQuery("filter_pred", filterPred, Some(filterPredOracle),

@@ -18,7 +18,16 @@ object Snapshots {
 
   def parquet(spark: SparkSession, path: Path, live: => DataFrame,
       write: (DataFrame, String) => Unit =
-        (df, p) => df.write.mode("overwrite").parquet(p)): DataFrame = {
+        (df, p) => df.write.mode("overwrite").parquet(p)): DataFrame =
+    materialize(spark, path, live, write,
+      (s, p) => s.read.parquet(p))
+
+  /** Format-agnostic core: publish `write`'s output atomically at
+    * `path`, read it back with `read` when the `_SUCCESS` marker proves
+    * the layout is complete, fall back to `live` otherwise. */
+  def materialize(spark: SparkSession, path: Path, live: => DataFrame,
+      write: (DataFrame, String) => Unit,
+      read: (SparkSession, String) => DataFrame): DataFrame = {
     try {
       val marker = path.resolve("_SUCCESS")
       if (!Files.exists(marker)) {
@@ -32,7 +41,7 @@ object Snapshots {
           deleteRecursively(tmp)
         }
       }
-      if (Files.exists(marker)) spark.read.parquet(path.toString) else live
+      if (Files.exists(marker)) read(spark, path.toString) else live
     } catch { case _: Throwable => live }
   }
 

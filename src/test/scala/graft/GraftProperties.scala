@@ -95,4 +95,30 @@ object GraftProperties extends Properties("graft") {
       val m = agg.merge(ba, bb)
       (a ++ b).forall(m.mightContainLong)
     }
+
+  private val hashTfRows = Gen.listOfN(40,
+    Gen.zip(Gen.chooseNum(0L, Long.MaxValue), Gen.chooseNum(1L, 20L)))
+
+  property("SimHashAgg is partition-invariant (split+merge == serial fold)") =
+    forAll(hashTfRows, Gen.chooseNum(0, 40)) { (rows, cut) =>
+      val agg = operators.LlmPipeline.SimHashAgg
+      val serial = rows.foldLeft(agg.zero)(agg.reduce)
+      val k = math.min(cut, rows.size)
+      val (l, r) = rows.splitAt(k)
+      val merged = agg.merge(
+        l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce))
+      agg.finish(serial) == agg.finish(merged) &&
+        serial.sameElements(merged)
+    }
+
+  property("SimHashAgg.finish sets bit i iff the signed tf-sum is positive") =
+    forAll(hashTfRows.suchThat(_.nonEmpty)) { rows =>
+      val agg = operators.LlmPipeline.SimHashAgg
+      val sim = agg.finish(rows.foldLeft(agg.zero)(agg.reduce))
+      (0 until 63).forall { i =>
+        val s = rows.map { case (h, tf) =>
+          if (((h >> i) & 1L) == 1L) tf else -tf }.sum
+        (((sim >> i) & 1L) == 1L) == (s > 0)
+      }
+    }
 }
