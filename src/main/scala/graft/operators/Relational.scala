@@ -130,6 +130,35 @@ object Relational {
        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
        |GROUP BY n_name ORDER BY n_name""".stripMargin
 
+  // ------------------------------------------------------------- source_orc
+  /** ORC source round trip — the other columnar format Spark reads
+    * natively with vectorization + predicate pushdown (the plan shows
+    * `PushedFilters` against the ORC scan exactly as for parquet). The
+    * orders table is staged to an ORC layout once (crash-safe snapshot),
+    * re-read with a pushed filter, and aggregated. At 100 TB this is the
+    * "engine reads the lake format you already have" capability. */
+  def sourceOrc(spark: SparkSession, dir: String): DataFrame = {
+    val staged = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      "graft_orc_orders_" + Integer.toHexString(dir.hashCode))
+    val orc = graft.sources.Snapshots.materialize(spark, staged,
+      Tables.orders(spark, dir)
+        .select("o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"),
+      (df, p) => df.write.mode("overwrite").orc(p),
+      (s, p) => s.read.orc(p))
+    orc.filter(col("o_totalprice") > 200000)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(cents(col("o_totalprice"))).as("price_cents"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  private val sourceOrcOracle =
+    s"""SELECT o_orderpriority, COUNT(*) AS n,
+       |       CAST(SUM(${oCents("o_totalprice")}) AS BIGINT) AS price_cents
+       |FROM orders WHERE o_totalprice > 200000
+       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   // ------------------------------------------------------------ filter_pred
   /** Predicate families: BETWEEN, IN, LIKE, modular arithmetic, NOT. */
   def filterPred(spark: SparkSession, dir: String): DataFrame =
@@ -684,6 +713,8 @@ object Relational {
       "column pruning + predicate pushdown into parquet"),
     GQuery("source_csv", sourceCsv, Some(sourceCsvOracle),
       "CSV source round trip: explicit schema, header/sep options, broadcast dim join"),
+    GQuery("source_orc", sourceOrc, Some(sourceOrcOracle),
+      "ORC source round trip with predicate pushdown on the ORC scan"),
     GQuery("source_json_col", sourceJsonCol, Some(sourceJsonColOracle),
       "JSON-in-string extraction (events.props)"),
     GQuery("filter_pred", filterPred, Some(filterPredOracle),

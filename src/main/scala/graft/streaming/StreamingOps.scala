@@ -2,8 +2,9 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
-  StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
+  GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode,
+  TimerValues, Trigger, ValueState}
 
 /** True Structured Streaming restatements of the reference's streaming
   * semantics (SURVEY §2.C stream_* rows, §7.3 step 7). The oracle-checked
@@ -165,6 +166,83 @@ object StreamingOps {
       rows.foreach { case (_, v) => n += 1; if (v > mx) mx = v }
       agg.update((n, mx))
       Iterator.single((user, n, mx))
+    }
+  }
+
+  /** Event-time sessionization with TIMERS (state v2): the open session
+    * per user lives in a named ValueState; every arriving batch extends
+    * or closes it, and an event-time timer registered at
+    * `sessionEnd + gap` closes quiet sessions when the WATERMARK passes
+    * that instant — the push-based expiry the reference's windowed
+    * worker state needs, which mapGroupsWithState could only poll for.
+    * In-batch closures emit immediately; timer closures emit from
+    * `handleExpiredTimer`. Sessions still open when the watermark stops
+    * advancing (each user's last burst on a bounded input) stay in
+    * state, exactly as on an unbounded stream. */
+  class SessionProcessor(gapUs: Long)
+      extends StatefulProcessor[Long, (Long, Long, Long), (Long, Long, Long, Long)] {
+    @transient private var sess: ValueState[(Long, Long, Long)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      sess = getHandle.getValueState[(Long, Long, Long)]("open_session",
+        Encoders.product[(Long, Long, Long)], TTLConfig.NONE)
+    override def handleInputRows(user: Long, rows: Iterator[(Long, Long, Long)],
+        timerValues: TimerValues): Iterator[(Long, Long, Long, Long)] = {
+      val sorted = rows.toSeq.sortBy(r => (r._2, r._3))
+      var acc = if (sess.exists()) Some(sess.get()) else None
+      acc.foreach { case (_, e, _) => getHandle.deleteTimer(e / 1000 + gapUs / 1000) }
+      val closed = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)]()
+      sorted.foreach { case (_, ts, _) =>
+        acc match {
+          case Some((s, e, n)) if ts - e <= gapUs => acc = Some((s, ts, n + 1))
+          case Some((s, e, n)) =>
+            closed += ((user, s, e, n)); acc = Some((ts, ts, 1L))
+          case None => acc = Some((ts, ts, 1L))
+        }
+      }
+      acc.foreach { a =>
+        sess.update(a)
+        getHandle.registerTimer(a._2 / 1000 + gapUs / 1000)
+      }
+      closed.iterator
+    }
+    override def handleExpiredTimer(user: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[(Long, Long, Long, Long)] = {
+      if (!sess.exists()) Iterator.empty
+      else {
+        val (s, e, n) = sess.get()
+        if (e / 1000 + gapUs / 1000 <= expiredTimerInfo.getExpiryTimeInMs) {
+          sess.clear()
+          Iterator.single((user, s, e, n))
+        } else Iterator.empty
+      }
+    }
+  }
+
+  /** Run [[SessionProcessor]] (2-hour gap) over the event stream and
+    * return every session closed either in-batch or by timer expiry. */
+  def timerSessions(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val gapUs = 2L * 3600 * 1000000
+      val ev = eventStream(spark, dir)
+        .withWatermark("ts", "10 minutes")
+        .select(col("user_id"), expr("unix_micros(ts)").as("ts_us"), col("event_id"))
+        .as[(Long, Long, Long)]
+      val out = ev.groupByKey(_._1)
+        .transformWithState(new SessionProcessor(gapUs), TimeMode.EventTime(),
+          OutputMode.Append())
+        .toDF("user_id", "sess_start_us", "sess_end_us", "n_events")
+      runToTable(spark, out, s"timer_sessions_${System.nanoTime()}",
+        OutputMode.Append())
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
     }
   }
 

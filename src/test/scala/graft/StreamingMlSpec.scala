@@ -106,6 +106,42 @@ class StreamingSessionSpec extends SparkSpec {
   }
 }
 
+/** Timer-driven sessionization (state v2): in-batch closures plus
+  * watermark-timer closures must equal the batch sessionization minus
+  * the sessions the watermark legitimately leaves open. */
+class TimerSessionSpec extends SparkSpec {
+  test("transformWithState timers close exactly the watermark-passed sessions") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val streamed = StreamingOps.timerSessions(spark, sfDir)
+      .orderBy("user_id", "sess_start_us").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val gapUs = 2L * 3600 * 1000000
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val sessions = graft.sources.Tables.events(spark, sfDir)
+      .withColumn("ts_us", expr("unix_micros(ts)"))
+      .withColumn("new_s", when(col("ts_us") - lag("ts_us", 1).over(w) > gapUs ||
+        lag("ts_us", 1).over(w).isNull, 1).otherwise(0))
+      .withColumn("sid", sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "sid")
+      .agg(min("ts_us").as("s"), max("ts_us").as("e"), count(lit(1)).as("n"))
+    val maxTsUs = graft.sources.Tables.events(spark, sfDir)
+      .agg(max(expr("unix_micros(ts)"))).head().getLong(0)
+    val wmMs = maxTsUs / 1000 - 600000 // 10-minute watermark delay, ms
+    val lastSid = sessions.groupBy("user_id").agg(max("sid").as("last_sid"))
+    val expected = sessions.join(lastSid, "user_id")
+      // closed in-batch (a later session exists) or closed by timer
+      // (watermark passed end + gap at ms granularity)
+      .filter(col("sid") < col("last_sid") ||
+        col("e") / 1000 + lit(gapUs / 1000) <= lit(wmMs))
+      .select("user_id", "s", "e", "n")
+      .orderBy("user_id", "s").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(expected.nonEmpty)
+    assert(streamed === expected)
+  }
+}
+
 /** IVF ANN: in-cell top-k achieves useful recall vs brute force. */
 class IvfSpec extends SparkSpec {
   test("IVF top-5 overlaps brute-force top-5 for most queries") {
