@@ -112,6 +112,37 @@ class ScaleJoinSpec extends SparkSpec {
   }
 }
 
+/** Round-2 plan-shape locks: the rewritten queries must keep the plans
+  * that made them fast. */
+class Round2PlanSpec extends SparkSpec {
+  test("pa_multi broadcasts the class-prototype table") {
+    val plan = ps.PsQueries.queries.find(_.id == "pa_multi").get
+      .fn(spark, sfDir).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"), plan)
+    assert(plan.contains("array_dot_product"), plan)
+  }
+
+  test("dedup_simhash aggregates via the typed SimHashAgg (object hash agg)") {
+    val plan = operators.LlmPipeline.queries.find(_.id == "dedup_simhash").get
+      .fn(spark, sfDir).queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), plan)
+  }
+
+  test("source_orc pushes the price predicate into the ORC scan") {
+    val plan = operators.Relational.sourceOrc(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Format: orc") || plan.contains("Scan orc"), plan)
+    assert(plan.contains("PushedFilters: [IsNotNull(o_totalprice), " +
+      "GreaterThan(o_totalprice,200000.0)]"), plan)
+  }
+
+  test("dedup_near df-cap anti-join broadcasts the hot-shingle set") {
+    val plan = operators.LlmPipeline.queries.find(_.id == "dedup_near").get
+      .fn(spark, sfDir).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"), plan)
+  }
+}
+
 /** Partition pruning proof for the partitioned-layout scan. */
 class PartitionPruneSpec extends SparkSpec {
   test("filtered read of the partitioned layout prunes partitions") {
