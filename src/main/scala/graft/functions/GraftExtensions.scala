@@ -17,6 +17,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.arrayDotProduct)
     ext.injectFunction(GraftExtensions.arrayL2Norm)
+    // fuse the declarative HOF dot-product pattern into the native
+    // kernel plan-wide (see graft.plans.FuseArrayDotProduct scaladoc
+    // for the semantics contract)
+    ext.injectOptimizerRule(_ => graft.plans.FuseArrayDotProduct)
   }
 }
 

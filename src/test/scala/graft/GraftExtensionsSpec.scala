@@ -32,6 +32,58 @@ class GraftExtensionsSpec extends SparkSpec {
   }
 }
 
+/** Optimizer fusion of the HOF dot-product pattern into the native
+  * kernel (graft.plans.FuseArrayDotProduct). */
+class FuseDotSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  private val hof =
+    "aggregate(zip_with(a, b, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
+
+  private def frame = {
+    import spark.implicits._
+    Seq((Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0)),
+      (Array(0.5, -1.0, 2.0), Array(2.0, 2.0, 2.0))).toDF("a", "b")
+  }
+
+  test("rule rewrites the analyzed plan to array_dot_product") {
+    val analyzed = frame.selectExpr(s"$hof AS dot").queryExecution.analyzed
+    val fused = graft.plans.FuseArrayDotProduct(analyzed)
+    assert(fused.expressions.exists(_.exists(
+      _.isInstanceOf[graft.functions.ArrayDotProduct])), fused.toString)
+    // commuted lambdas fuse too (IEEE * and + are commutative)
+    val commuted = frame.selectExpr(
+      "aggregate(zip_with(a, b, (x, y) -> y * x), 0D, (acc, v) -> v + acc) AS dot")
+      .queryExecution.analyzed
+    assert(graft.plans.FuseArrayDotProduct(commuted).expressions.exists(_.exists(
+      _.isInstanceOf[graft.functions.ArrayDotProduct])))
+  }
+
+  test("rule leaves non-dot aggregates alone") {
+    val sumAgg = frame.selectExpr(
+      "aggregate(zip_with(a, b, (x, y) -> x + y), 0D, (acc, v) -> acc + v) AS s")
+      .queryExecution.analyzed
+    assert(!graft.plans.FuseArrayDotProduct(sumAgg).expressions.exists(_.exists(
+      _.isInstanceOf[graft.functions.ArrayDotProduct])))
+  }
+
+  test("injected at runtime, fusion preserves results end to end") {
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev :+ graft.plans.FuseArrayDotProduct
+    try {
+      // range-derived arrays: literal rows would collapse to a
+      // LocalTableScan at plan time and hide the fused expression
+      val df = spark.range(2)
+        .selectExpr("transform(sequence(0, 2), i -> cast(i + id AS double)) AS a",
+          "transform(sequence(0, 2), i -> 2.0D) AS b")
+        .selectExpr(s"$hof AS dot")
+      assert(df.queryExecution.executedPlan.toString.contains("array_dot_product"),
+        df.queryExecution.executedPlan.toString)
+      assert(df.orderBy("dot").collect().map(_.getDouble(0)).toSeq === Seq(6.0, 12.0))
+    } finally spark.experimental.extraOptimizations = prev
+  }
+}
+
 /** GraftSession builder produces a working, function-registered session. */
 class GraftSessionSpec extends SparkSpec {
   test("builder yields a session with graft functions registered") {
