@@ -31,6 +31,10 @@ object GraftSession {
       var b = SparkSession.builder().appName(appName)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        // full extension set (SQL functions + optimizer fusion rules)
+        // for sessions the builder actually constructs; registerOn
+        // below covers the pre-existing-session path for functions
+        .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       masterOpt.foreach(m => b = b.master(m))
       // default: one shuffle partition per core locally; on a cluster
       // leave it to AQE coalescing unless pinned explicitly

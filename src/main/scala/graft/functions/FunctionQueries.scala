@@ -51,6 +51,66 @@ object FunctionQueries {
       |WHERE doc_id < 100
       |ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------------ fn_regexp
+  /** Regexp family: extract (group), replace-all, match test, and
+    * extract_all counting — the primitives the text pipeline's BPE-ish
+    * tokenizer and quality filters build on. Patterns stay in the
+    * dialect-portable subset (char classes, quantifiers, word
+    * boundaries — identical semantics in Java regex and RE2); DuckDB's
+    * `regexp_replace` needs the explicit 'g' flag to match Spark's
+    * replace-ALL default. */
+  def fnRegexp(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(col("doc_id") < 300)
+      .select(
+        col("doc_id"),
+        regexp_extract(col("text"), "^([a-z]+) ([a-z]+)", 2).as("second_word"),
+        (length(col("text")) -
+          length(regexp_replace(col("text"), "[aeiou]", ""))).cast("long")
+          .as("n_vowels"),
+        col("text").rlike("(key|row|event)").as("has_marker"),
+        size(expr("regexp_extract_all(text, '\\\\b[a-z]{4}\\\\b', 0)"))
+          .cast("long").as("n_four_letter"))
+      .orderBy(col("doc_id"))
+
+  private val fnRegexpOracle =
+    """SELECT doc_id,
+      |  regexp_extract(text, '^([a-z]+) ([a-z]+)', 2) AS second_word,
+      |  CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[aeiou]', '', 'g'))
+      |       AS BIGINT) AS n_vowels,
+      |  regexp_matches(text, '(key|row|event)') AS has_marker,
+      |  CAST(len(regexp_extract_all(text, '\b[a-z]{4}\b')) AS BIGINT)
+      |    AS n_four_letter
+      |FROM documents
+      |WHERE doc_id < 300
+      |ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------------ fn_encode
+  /** Encoding family: base64 encode + decode round trip, ascii code
+    * points, chr — the binary/text boundary functions the multimodal
+    * path relies on (binary payloads travel base64 in JSON exports). */
+  def fnEncode(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(col("doc_id") < 200)
+      .select(
+        col("doc_id"),
+        base64(substring(col("text"), 1, 9).cast("binary")).as("head_b64"),
+        unbase64(base64(substring(col("text"), 1, 9).cast("binary")))
+          .cast("string").as("head_back"),
+        ascii(substring(col("text"), 1, 1)).cast("long").as("first_cp"),
+        chr(lit(65) + col("doc_id") % 26).as("bucket_chr"))
+      .orderBy(col("doc_id"))
+
+  private val fnEncodeOracle =
+    """SELECT doc_id,
+      |  base64(encode(substring(text, 1, 9))) AS head_b64,
+      |  decode(from_base64(base64(encode(substring(text, 1, 9))))) AS head_back,
+      |  CAST(ascii(substring(text, 1, 1)) AS BIGINT) AS first_cp,
+      |  chr(CAST(65 + doc_id % 26 AS INTEGER)) AS bucket_chr
+      |FROM documents
+      |WHERE doc_id < 200
+      |ORDER BY doc_id""".stripMargin
+
   // -------------------------------------------------------------------- fn_date
   /** Date/time family on order dates: parts, trunc, arithmetic, diff.
     * Parts are cast to BIGINT on the Spark side — DuckDB date parts are
@@ -413,6 +473,10 @@ object FunctionQueries {
       "hive-partitioned write + partition-pruned scan"),
     GQuery("fn_string", fnString, Some(fnStringOracle),
       "string family: case/trim/substr/split/regexp/levenshtein"),
+    GQuery("fn_regexp", fnRegexp, Some(fnRegexpOracle),
+      "regexp family: group extract, replace-all, match test, extract_all count"),
+    GQuery("fn_encode", fnEncode, Some(fnEncodeOracle),
+      "encoding family: base64 round trip, ascii code points, chr"),
     GQuery("fn_date", fnDate, Some(fnDateOracle),
       "date family: parts/trunc/arith/diff"),
     GQuery("fn_math", fnMath, Some(fnMathOracle),

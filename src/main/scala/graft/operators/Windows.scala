@@ -49,6 +49,32 @@ object Windows {
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
       |ORDER BY o_custkey, rn""".stripMargin
 
+  // ------------------------------------------------------------ win_percentile
+  /** Distribution family: percent_rank / cume_dist per customer. Both
+    * are single IEEE divisions of identical integer counts, so the
+    * doubles are bit-identical cross-engine with no rounding contract
+    * needed; the usual total-order tiebreak keeps ranks deterministic. */
+  def winPercentile(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .filter(col("o_custkey") <= 200)
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"))
+      .orderBy(col("o_custkey"), col("pr"), col("o_orderkey"))
+  }
+
+  private val winPercentileOracle =
+    """SELECT o_custkey, o_orderkey,
+      |  PERCENT_RANK() OVER w AS pr,
+      |  CUME_DIST() OVER w AS cd
+      |FROM orders
+      |WHERE o_custkey <= 200
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+      |ORDER BY o_custkey, pr, o_orderkey""".stripMargin
+
   // -------------------------------------------------------------- win_analytic
   /** Analytic family: lag / lead / first / last over per-user event time.
     * Explicit frames everywhere — engine default frames differ subtly.
@@ -203,6 +229,8 @@ object Windows {
       |ORDER BY event_id""".stripMargin
 
   def queries: Seq[GQuery] = Seq(
+    GQuery("win_percentile", winPercentile, Some(winPercentileOracle),
+      "distribution window family: percent_rank / cume_dist"),
     GQuery("win_rank", winRank, Some(winRankOracle),
       "row_number/rank/dense_rank/ntile ranking window"),
     GQuery("win_analytic", winAnalytic, Some(winAnalyticOracle),
