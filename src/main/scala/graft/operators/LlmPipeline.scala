@@ -775,6 +775,45 @@ object LlmPipeline {
       |    (acc, x) -> (acc * 31 + x) % 1000000007) AS fingerprint
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- sample_split
+  /** Deterministic train/valid/test split — the sampling primitive every
+    * training-data pipeline needs. Bucket = portable 32-bit md5 hash of
+    * the doc id mod 100, then 80/10/10 by bucket range. Hash-based (not
+    * random) so the split is reproducible run-to-run, stable under
+    * re-partitioning, and consistent across engines/backfills; a pure
+    * shuffle-free projection followed by a 3-group aggregate, so at
+    * 100 TB it is one map-side-combined pass. Declared output is the
+    * per-split audit (counts + char volume); the projection itself is
+    * the reusable operator.
+    */
+  def sampleSplit(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"),
+        expr(s"pmod(${h32("cast(doc_id as string)", 7001)}, 100)").as("bucket"))
+      .select(col("doc_id"), col("n_chars"),
+        when(col("bucket") < 80, lit("train"))
+          .when(col("bucket") < 90, lit("valid"))
+          .otherwise(lit("test")).as("split"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+      .orderBy(col("split"))
+
+  private val sampleSplitOracle =
+    s"""WITH b AS (
+       |  SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS n_chars,
+       |    ${oH32("CAST(doc_id AS VARCHAR)", 7001)} % 100 AS bucket
+       |  FROM documents)
+       |SELECT CASE WHEN bucket < 80 THEN 'train'
+       |            WHEN bucket < 90 THEN 'valid'
+       |            ELSE 'test' END AS split,
+       |  COUNT(*) AS n_docs,
+       |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+       |FROM b GROUP BY 1 ORDER BY split""".stripMargin
+
   // ------------------------------------------------------------ multimodal_join
   /** Multimodal row assembly: documents ⋈ embeddings (doc_id = vec_id)
     * with mixed text + vector measures per language — the feature-store
@@ -928,6 +967,8 @@ object LlmPipeline {
       "token counting: whitespace vs BPE-ish regex"),
     GQuery("text_fingerprint", textFingerprint, Some(textFingerprintOracle),
       "order-sensitive rolling polynomial fingerprint"),
+    GQuery("sample_split", sampleSplit, Some(sampleSplitOracle),
+      "deterministic hash-bucketed 80/10/10 train/valid/test split"),
     GQuery("multimodal_join", multimodalJoin, Some(multimodalJoinOracle),
       "documents x embeddings feature-store join, mixed measures"),
     GQuery("multimodal_binary", multimodalBinary, Some(multimodalBinaryOracle),

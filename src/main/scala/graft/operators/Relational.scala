@@ -476,6 +476,100 @@ object Relational {
       |  COUNT(*) AS n
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  // ------------------------------------------------------------ agg_percentile
+  /** Exact quantile family: p25 / median / p75 per group. Computed over
+    * integer cents so every interpolation weight is an exact binary
+    * quarter — `(n-1)*p` is exact for p ∈ {.25,.5,.75} and both engines'
+    * linear interpolation of integers at exact-quarter fractions yields
+    * the identical double, so no rounding contract is needed. At 100 TB
+    * exact percentiles need a per-group sort (here: hash agg over sorted
+    * partial buffers); the sketch path for huge groups is
+    * `approx_percentile` (t-digest), same API shape.
+    */
+  def aggPercentile(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        expr(s"percentile(CAST(ROUND(o_totalprice*100) AS BIGINT), 0.25)").as("p25_cents"),
+        expr(s"percentile(CAST(ROUND(o_totalprice*100) AS BIGINT), 0.5)").as("p50_cents"),
+        expr(s"percentile(CAST(ROUND(o_totalprice*100) AS BIGINT), 0.75)").as("p75_cents"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderpriority"))
+
+  private val aggPercentileOracle =
+    s"""SELECT o_orderpriority,
+       |  QUANTILE_CONT(${oCents("o_totalprice")}, 0.25) AS p25_cents,
+       |  QUANTILE_CONT(${oCents("o_totalprice")}, 0.5)  AS p50_cents,
+       |  QUANTILE_CONT(${oCents("o_totalprice")}, 0.75) AS p75_cents,
+       |  COUNT(*) AS n
+       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // --------------------------------------------------------------- agg_listagg
+  /** Ordered string aggregation (LISTAGG/string_agg): concatenate one
+    * column ordered by ANOTHER key — distinct from agg_collect's
+    * value-sorted set. Spark has no ordered collect_list, so the order
+    * key rides along in a struct, `array_sort` orders by it (struct sort
+    * is field-order lexicographic), and `transform` projects the payload
+    * back out before joining. Per-group cost is O(group size) memory in
+    * the ObjectHashAggregate buffer — bounded here by orders-per-customer;
+    * at 100 TB cap group size upstream (top-N per group) before listagg.
+    */
+  def aggListagg(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .filter(col("o_custkey") <= 50)
+      .groupBy(col("o_custkey"))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("o_orderdate"), col("o_orderkey")))),
+            x => x.getField("o_orderkey").cast("string")),
+          ",").as("order_seq"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("o_custkey"))
+
+  private val aggListaggOracle =
+    """SELECT o_custkey,
+      |  string_agg(CAST(o_orderkey AS VARCHAR), ','
+      |             ORDER BY o_orderdate, o_orderkey) AS order_seq,
+      |  COUNT(*) AS n_orders
+      |FROM orders WHERE o_custkey <= 50
+      |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+
+  // -------------------------------------------------------------- unpivot_long
+  /** Wide→long reshape (UNPIVOT / melt) via the Dataset unpivot API —
+    * the inverse of agg_pivot. The unpivot itself is a zero-shuffle
+    * projection (each input row expands to k metric rows in place); only
+    * the upstream aggregate shuffles. Value columns are unified to int64
+    * per the output-dtype invariant.
+    */
+  def unpivotLong(spark: SparkSession, dir: String): DataFrame = {
+    val wide = Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(cents(col("l_quantity"))).as("qty_cents"),
+        sum(cents(col("l_extendedprice"))).as("price_cents"),
+        count(lit(1)).as("n_rows"))
+    wide.unpivot(
+        Array(col("l_returnflag")),
+        Array(col("qty_cents"), col("price_cents"), col("n_rows")),
+        "metric", "value")
+      .orderBy(col("l_returnflag"), col("metric"))
+  }
+
+  private val unpivotLongOracle =
+    s"""WITH w AS (
+       |  SELECT l_returnflag,
+       |    CAST(SUM(${oCents("l_quantity")}) AS BIGINT) AS qty_cents,
+       |    CAST(SUM(${oCents("l_extendedprice")}) AS BIGINT) AS price_cents,
+       |    COUNT(*) AS n_rows
+       |  FROM lineitem GROUP BY l_returnflag)
+       |SELECT l_returnflag, 'qty_cents' AS metric, qty_cents AS value FROM w
+       |UNION ALL
+       |SELECT l_returnflag, 'price_cents', price_cents FROM w
+       |UNION ALL
+       |SELECT l_returnflag, 'n_rows', n_rows FROM w
+       |ORDER BY l_returnflag, metric""".stripMargin
+
   // ---------------------------------------------------------------- sort_multi
   /** Multi-key sort with explicit direction and NULL placement. */
   def sortMulti(spark: SparkSession, dir: String): DataFrame =
@@ -747,6 +841,12 @@ object Relational {
       "post-aggregation HAVING filter"),
     GQuery("agg_stats", aggStats, Some(aggStatsOracle),
       "stddev/var/corr/covar/percentile statistics"),
+    GQuery("agg_percentile", aggPercentile, Some(aggPercentileOracle),
+      "exact p25/p50/p75 quantiles per group over integer cents"),
+    GQuery("agg_listagg", aggListagg, Some(aggListaggOracle),
+      "ordered string aggregation (LISTAGG) keyed by a second column"),
+    GQuery("unpivot_long", unpivotLong, Some(unpivotLongOracle),
+      "wide-to-long UNPIVOT/melt of an aggregated relation"),
     GQuery("agg_collect", aggCollect, Some(aggCollectOracle),
       "collect_set list aggregation (sorted for determinism)"),
     GQuery("sort_multi", sortMulti, Some(sortMultiOracle),

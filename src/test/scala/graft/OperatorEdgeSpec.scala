@@ -150,6 +150,38 @@ class PartitionPruneSpec extends SparkSpec {
     val scan = df.queryExecution.executedPlan.toString
     assert(scan.contains("PartitionFilters: [isnotnull(o_year"), scan)
   }
+
+  test("sample_split partitions every doc exactly once, roughly 80/10/10") {
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val total = docs.count()
+    val splits = graft.operators.LlmPipeline.sampleSplit(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(splits.values.sum === total) // disjoint + exhaustive
+    // hash buckets are uniform-ish; allow wide slack on the tiny SF
+    assert(splits("train").toDouble / total > 0.6)
+    assert(splits.getOrElse("valid", 0L) + splits.getOrElse("test", 0L) > 0)
+  }
+
+  test("unpivot_long emits one row per (group, metric)") {
+    val long = graft.operators.Relational.unpivotLong(spark, sfDir)
+    val groups = graft.sources.Tables.lineitem(spark, sfDir)
+      .select("l_returnflag").distinct().count()
+    assert(long.count() === groups * 3)
+    assert(long.columns.toSeq === Seq("l_returnflag", "metric", "value"))
+  }
+
+  test("agg_listagg orders payloads by the secondary key, not value order") {
+    import spark.implicits._
+    val df = Seq((1L, "2024-02-01", 9L), (1L, "2024-01-01", 20L), (1L, "2024-03-01", 3L))
+      .toDF("ck", "d", "ok")
+      .select(col("ck"), col("d").cast("date").as("d"), col("ok"))
+    val seq = df.groupBy("ck")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("d"), col("ok")))),
+          x => x.getField("ok").cast("string")), ",").as("s"))
+      .head().getString(1)
+    assert(seq === "20,9,3") // date order, not numeric order of ok
+  }
 }
 
 /** AQE is active and re-plans at runtime (coalesces small shuffles). */
