@@ -159,6 +159,39 @@ object Relational {
        |FROM orders WHERE o_totalprice > 200000
        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  // ------------------------------------------------------------ source_jsonl
+  /** JSON-lines sink + source round trip — the interchange format crawl
+    * and annotation pipelines actually ship. The customer table is staged
+    * once to newline-delimited JSON (crash-safe snapshot), re-read with
+    * an explicit schema (never schema inference at scale — one pass saved
+    * and no drift), and aggregated. Money survives the text round trip
+    * exactly because the fixture doubles are 2-decimal. At 100 TB the
+    * JSONL scan is line-splittable and parallel, but ~5× the parquet scan
+    * cost (no column pruning/pushdown) — the qid exists to ingest such
+    * data, not to keep it in that format.
+    */
+  def sourceJsonl(spark: SparkSession, dir: String): DataFrame = {
+    val staged = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      "graft_jsonl_customer_" + Integer.toHexString(dir.hashCode))
+    val jsonl = graft.sources.Snapshots.materialize(spark, staged,
+      Tables.customer(spark, dir)
+        .select("c_custkey", "c_mktsegment", "c_acctbal"),
+      (df, p) => df.write.mode("overwrite").json(p),
+      (s, p) => s.read
+        .schema("c_custkey BIGINT, c_mktsegment STRING, c_acctbal DOUBLE")
+        .json(p))
+    jsonl.groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_cust"),
+        sum(cents(col("c_acctbal"))).as("bal_cents"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  private val sourceJsonlOracle =
+    s"""SELECT c_mktsegment, COUNT(*) AS n_cust,
+       |       CAST(SUM(${oCents("c_acctbal")}) AS BIGINT) AS bal_cents
+       |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   // ------------------------------------------------------------ filter_pred
   /** Predicate families: BETWEEN, IN, LIKE, modular arithmetic, NOT. */
   def filterPred(spark: SparkSession, dir: String): DataFrame =
@@ -809,6 +842,8 @@ object Relational {
       "CSV source round trip: explicit schema, header/sep options, broadcast dim join"),
     GQuery("source_orc", sourceOrc, Some(sourceOrcOracle),
       "ORC source round trip with predicate pushdown on the ORC scan"),
+    GQuery("source_jsonl", sourceJsonl, Some(sourceJsonlOracle),
+      "JSON-lines sink + explicit-schema source round trip"),
     GQuery("source_json_col", sourceJsonCol, Some(sourceJsonColOracle),
       "JSON-in-string extraction (events.props)"),
     GQuery("filter_pred", filterPred, Some(filterPredOracle),

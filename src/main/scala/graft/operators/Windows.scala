@@ -75,6 +75,54 @@ object Windows {
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
       |ORDER BY o_custkey, pr, o_orderkey""".stripMargin
 
+  // ---------------------------------------------------------- win_ignore_nulls
+  /** IGNORE NULLS analytics over a sparse measure: forward fill
+    * (`last_value IGNORE NULLS` over an unbounded-preceding frame),
+    * previous non-null (`lag IGNORE NULLS`), and backward fill
+    * (`first_value IGNORE NULLS` over an unbounded-following frame) —
+    * the imputation primitives a feature pipeline runs over sparsely
+    * observed signals. The fixture has no natural nulls, so the measure
+    * is deterministically nulled on every third order key; DuckDB's
+    * spelling puts IGNORE NULLS inside the call parens
+    * (`lag(x IGNORE NULLS)`). Same single-shuffle window topology as
+    * the rest of the family.
+    */
+  def winIgnoreNulls(spark: SparkSession, dir: String): DataFrame = {
+    val base = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+    val x = when(col("o_orderkey") % 3 === 0, lit(null))
+      .otherwise(Det.cents(col("o_totalprice")))
+    Tables.orders(spark, dir)
+      .filter(col("o_custkey") <= 100)
+      .select(
+        col("o_custkey"), col("o_orderkey"), x.as("x"),
+        last(x, ignoreNulls = true)
+          .over(base.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("ffill"),
+        lag(x, 1, null, ignoreNulls = true).over(base).as("prev_nn"),
+        first(x, ignoreNulls = true)
+          .over(base.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+          .as("bfill"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  private val winIgnoreNullsOracle =
+    s"""SELECT o_custkey, o_orderkey,
+       |  CASE WHEN o_orderkey % 3 = 0 THEN NULL
+       |       ELSE ${Det.oCents("o_totalprice")} END AS x,
+       |  last_value(CASE WHEN o_orderkey % 3 = 0 THEN NULL
+       |       ELSE ${Det.oCents("o_totalprice")} END IGNORE NULLS)
+       |    OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ffill,
+       |  lag(CASE WHEN o_orderkey % 3 = 0 THEN NULL
+       |       ELSE ${Det.oCents("o_totalprice")} END IGNORE NULLS)
+       |    OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS prev_nn,
+       |  first_value(CASE WHEN o_orderkey % 3 = 0 THEN NULL
+       |       ELSE ${Det.oCents("o_totalprice")} END IGNORE NULLS)
+       |    OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+       |          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS bfill
+       |FROM orders WHERE o_custkey <= 100
+       |ORDER BY o_custkey, o_orderkey""".stripMargin
+
   // -------------------------------------------------------------- win_analytic
   /** Analytic family: lag / lead / first / last over per-user event time.
     * Explicit frames everywhere — engine default frames differ subtly.
@@ -233,6 +281,8 @@ object Windows {
       "distribution window family: percent_rank / cume_dist"),
     GQuery("win_rank", winRank, Some(winRankOracle),
       "row_number/rank/dense_rank/ntile ranking window"),
+    GQuery("win_ignore_nulls", winIgnoreNulls, Some(winIgnoreNullsOracle),
+      "IGNORE NULLS analytics: forward/backward fill + previous non-null"),
     GQuery("win_analytic", winAnalytic, Some(winAnalyticOracle),
       "lag/lead/first/last analytic window"),
     GQuery("win_frame_rows", winFrameRows, Some(winFrameRowsOracle),
