@@ -273,7 +273,107 @@ object SketchQueries {
        |FROM grid LEFT JOIN bloom USING (event_type, lane)
        |ORDER BY event_type, lane""".stripMargin
 
+  // ------------------------------------------------------------------ sketch_cms
+  /** Count-min sketch, md5-portable and therefore oracle-checked
+    * bit-for-bit: d=4 hash rows × w=256 buckets of event counts per
+    * user key, point query = min over rows of the landed bucket's
+    * count. The build is one groupBy over (row, bucket) — 1024 cells
+    * regardless of input size, merge = cell-wise add (the PS
+    * `paramUpdate` shape [K-med]); at 100 TB the sketch rides the
+    * map-side combine and the shuffle carries cells, not rows. The
+    * declared output estimates the 10 hottest users (exact top-10 with
+    * total-order tiebreak) next to their true counts; est ≥ exact by
+    * construction, est = exact when no collision.
+    */
+  def sketchCms(spark: SparkSession, dir: String): DataFrame = {
+    val d = 4
+    val w = 256
+    val ev = Tables.events(spark, dir).select(col("user_id"))
+    val cms = ev
+      .select(col("user_id"), explode(expr(s"sequence(0, ${d - 1})")).as("r"))
+      .select(col("r"), expr(
+        s"cast(conv(substring(md5(concat(cast(300 + r as string), ':', " +
+          s"cast(user_id as string))), 1, 8), 16, 10) as bigint) % $w").as("bucket"))
+      .groupBy(col("r"), col("bucket"))
+      .agg(count(lit(1)).as("cell"))
+    val top = ev.groupBy(col("user_id")).agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("user_id")).limit(10)
+    top
+      .select(col("user_id"), col("exact_cnt"),
+        explode(expr(s"sequence(0, ${d - 1})")).as("r"))
+      .select(col("user_id"), col("exact_cnt"), col("r"), expr(
+        s"cast(conv(substring(md5(concat(cast(300 + r as string), ':', " +
+          s"cast(user_id as string))), 1, 8), 16, 10) as bigint) % $w").as("bucket"))
+      .join(broadcast(cms), Seq("r", "bucket"))
+      .groupBy(col("user_id"), col("exact_cnt"))
+      .agg(min(col("cell")).as("est_cnt"))
+      .select(col("user_id"), col("exact_cnt"), col("est_cnt"),
+        (col("est_cnt") >= col("exact_cnt")).as("no_underestimate"))
+      .orderBy(col("user_id"))
+  }
+
+  private val sketchCmsOracle =
+    """WITH hashed AS (
+      |  SELECT user_id, r,
+      |    CAST(('0x' || substr(md5(concat(CAST(300 + r AS VARCHAR), ':',
+      |      CAST(user_id AS VARCHAR))), 1, 8)) AS BIGINT) % 256 AS bucket
+      |  FROM events, unnest(generate_series(0, 3)) AS t(r)),
+      |cms AS (
+      |  SELECT r, bucket, COUNT(*) AS cell FROM hashed GROUP BY 1, 2),
+      |top AS (
+      |  SELECT user_id, COUNT(*) AS exact_cnt FROM events
+      |  GROUP BY user_id ORDER BY exact_cnt DESC, user_id LIMIT 10),
+      |probes AS (
+      |  SELECT t.user_id, t.exact_cnt, h.r, h.bucket
+      |  FROM top t JOIN (SELECT DISTINCT user_id, r, bucket FROM hashed) h
+      |    USING (user_id))
+      |SELECT p.user_id, p.exact_cnt, MIN(c.cell) AS est_cnt,
+      |  MIN(c.cell) >= p.exact_cnt AS no_underestimate
+      |FROM probes p JOIN cms c USING (r, bucket)
+      |GROUP BY p.user_id, p.exact_cnt
+      |ORDER BY p.user_id""".stripMargin
+
+  // ------------------------------------------------------------ sketch_hll_union
+  /** HLL sketch mergeability (Apache DataSketches built-ins): one HLL
+    * per event_type, unioned with `hll_union_agg` into the global
+    * distinct-user estimate — the two-level merge a 1000-executor
+    * rollup runs (sketch per partition → union, never a re-scan).
+    * Estimator internals aren't portable, so as with
+    * agg_approx_distinct the declared output is the exact global
+    * distinct count plus accuracy bounds the oracle asserts as TRUE.
+    */
+  def sketchHllUnion(spark: SparkSession, dir: String): DataFrame = {
+    val perType = Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"),
+        countDistinct(col("user_id")).as("exact_type"))
+    val unioned = perType.agg(
+      expr("hll_sketch_estimate(hll_union_agg(sk, true))").as("est_union"),
+      count(lit(1)).as("n_types"),
+      sum(col("exact_type")).as("sum_type_exacts"))
+    val exact = Tables.events(spark, dir)
+      .agg(countDistinct(col("user_id")).as("exact_union"))
+    unioned.crossJoin(broadcast(exact))
+      .select(col("n_types"), col("exact_union"),
+        (col("est_union") <= col("exact_union") * 1.05 &&
+          col("est_union") >= col("exact_union") * 0.95).as("union_within_5pct"),
+        // union est can't exceed the sum of per-type exacts (supports ⊆)
+        (col("est_union") <= col("sum_type_exacts").cast("double") * 1.05)
+          .as("bounded_by_sum"))
+  }
+
+  private val sketchHllUnionOracle =
+    """SELECT COUNT(DISTINCT event_type) AS n_types,
+      |  COUNT(DISTINCT user_id) AS exact_union,
+      |  TRUE AS union_within_5pct,
+      |  TRUE AS bounded_by_sum
+      |FROM events""".stripMargin
+
   def queries: Seq[GQuery] = Seq(
+    GQuery("sketch_cms", sketchCms, Some(sketchCmsOracle),
+      "md5-portable count-min sketch, point queries oracle-checked exactly"),
+    GQuery("sketch_hll_union", sketchHllUnion, Some(sketchHllUnionOracle),
+      "HLL sketch per group + hll_union_agg rollup with accuracy bounds"),
     GQuery("sketch_tow", sketchTow, Some(sketchTowOracle),
       "Tug-of-War (AMS) Aggregator sketch + exact inner-product twin"),
     GQuery("sketch_bloom", sketchBloom, Some(sketchBloomOracle),
