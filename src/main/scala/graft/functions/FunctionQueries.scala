@@ -111,6 +111,41 @@ object FunctionQueries {
       |WHERE doc_id < 200
       |ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------------- fn_try
+  /** Error-tolerant evaluation: `try_cast` over a dirty string column
+    * and `try_divide` with embedded zero divisors — NULL instead of a
+    * job-killing exception. At 100 TB this is non-negotiable ingest
+    * hardening: one malformed record must never fail a thousand-executor
+    * stage, and the NULLs stay countable for data-quality metrics.
+    * DuckDB twins: TRY_CAST is native; try_divide is division by
+    * `NULLIF(divisor, 0)`.
+    */
+  def fnTry(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(col("doc_id") < 400)
+      .select(col("doc_id"),
+        // every third value is deliberately malformed ("123x")
+        concat(col("doc_id").cast("string"),
+          when(col("doc_id") % 3 === 0, lit("x")).otherwise(lit(""))).as("dirty"))
+      .select(
+        col("doc_id"),
+        expr("try_cast(dirty AS BIGINT)").as("parsed"),
+        expr("try_divide(doc_id, doc_id % 5)").as("ratio"),
+        coalesce(expr("try_cast(dirty AS BIGINT)"), lit(-1L)).as("cleaned"))
+      .orderBy(col("doc_id"))
+
+  private val fnTryOracle =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    concat(CAST(doc_id AS VARCHAR),
+      |           CASE WHEN doc_id % 3 = 0 THEN 'x' ELSE '' END) AS dirty
+      |  FROM documents WHERE doc_id < 400)
+      |SELECT doc_id,
+      |  TRY_CAST(dirty AS BIGINT) AS parsed,
+      |  doc_id / NULLIF(doc_id % 5, 0) AS ratio,
+      |  COALESCE(TRY_CAST(dirty AS BIGINT), -1) AS cleaned
+      |FROM d ORDER BY doc_id""".stripMargin
+
   // -------------------------------------------------------------------- fn_date
   /** Date/time family on order dates: parts, trunc, arithmetic, diff.
     * Parts are cast to BIGINT on the Spark side — DuckDB date parts are
@@ -477,6 +512,8 @@ object FunctionQueries {
       "regexp family: group extract, replace-all, match test, extract_all count"),
     GQuery("fn_encode", fnEncode, Some(fnEncodeOracle),
       "encoding family: base64 round trip, ascii code points, chr"),
+    GQuery("fn_try", fnTry, Some(fnTryOracle),
+      "error-tolerant try_cast/try_divide ingest hardening"),
     GQuery("fn_date", fnDate, Some(fnDateOracle),
       "date family: parts/trunc/arith/diff"),
     GQuery("fn_math", fnMath, Some(fnMathOracle),

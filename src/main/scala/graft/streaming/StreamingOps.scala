@@ -270,4 +270,33 @@ object StreamingOps {
       }
     }
   }
+
+  /** Stream-stream interval join: purchases within 1 hour after a click
+    * by the same user — the true streaming form of the batch
+    * `join_interval` qid. Both sides carry watermarks and the join
+    * condition bounds event time on both ends, so each side's buffered
+    * state is evicted once the other side's watermark passes — bounded
+    * state on an unbounded stream, the property that makes this run
+    * forever on a real cluster. On the bounded fixture with AvailableNow
+    * the final flush makes the pair set equal to the batch join
+    * (asserted in StreamingMlSpec).
+    */
+  def streamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = eventStream(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", "10 minutes")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("ts").as("p_ts"),
+        col("event_id").as("purch_id"))
+      .withWatermark("p_ts", "2 hours")
+    val pairs = clicks.join(purchases,
+      col("cu") === col("pu") &&
+        col("p_ts") > col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"))
+    runToTable(spark, pairs.select(col("cu").as("user_id"),
+        col("click_id"), col("purch_id")),
+      s"ssjoin_${System.nanoTime()}", OutputMode.Append())
+  }
 }

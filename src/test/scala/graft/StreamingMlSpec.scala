@@ -34,6 +34,23 @@ class StreamingMlSpec extends SparkSpec {
     assert(out.count() === batchDistinct)
   }
 
+  test("stream-stream interval join equals the batch interval join") {
+    val streamed = StreamingOps.streamStreamJoin(spark, sfDir)
+      .orderBy("user_id", "click_id", "purch_id").collect()
+    val ev = graft.sources.Tables.events(spark, sfDir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("ts").as("c_ts"), col("event_id").as("click_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("ts").as("p_ts"), col("event_id").as("purch_id"))
+    val batch = clicks.join(purchases,
+        col("cu") === col("pu") && col("p_ts") > col("c_ts") &&
+          col("p_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("cu").as("user_id"), col("click_id"), col("purch_id"))
+      .orderBy("user_id", "click_id", "purch_id").collect()
+    assert(streamed.nonEmpty)
+    assert(streamed.map(_.toString).toSeq === batch.map(_.toString).toSeq)
+  }
+
   test("mapGroupsWithState keyed state matches batch aggregation") {
     val streamed = StreamingOps.statefulUserAgg(spark, sfDir)
       .orderBy("user_id").collect()
