@@ -141,6 +141,27 @@ class Round2PlanSpec extends SparkSpec {
       .fn(spark, sfDir).queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"), plan)
   }
+
+  test("sketch_cms probes join the 1024-cell sketch by broadcast") {
+    val plan = sketch.SketchQueries.queries.find(_.id == "sketch_cms").get
+      .fn(spark, sfDir).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("agg_percentile runs as a partial+final object hash aggregate") {
+    val plan = operators.Relational.aggPercentile(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    assert(plan.contains("partial_percentile"), plan)
+  }
+
+  test("sample_split is one map-side-combined aggregation pass") {
+    val plan = operators.LlmPipeline.sampleSplit(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // exchanges: one for the 3-group agg, one for the final total order
+    assert("Exchange".r.findAllIn(plan).size <= 2, plan)
+    assert(plan.contains("partial_count") || plan.contains("HashAggregate"), plan)
+  }
 }
 
 /** Partition pruning proof for the partitioned-layout scan. */
