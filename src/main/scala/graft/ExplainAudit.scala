@@ -20,7 +20,8 @@ object ExplainAudit {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val qids = if (args.nonEmpty) args.toSeq else Seq(
       "scan_pruned", "join_broadcast", "q1_pricing", "sim_cosine",
-      "dedup_minhash", "topk_per_group", "ps_transform",
+      "dedup_minhash", "dedup_near", "dedup_simhash", "pa_multi",
+      "sketch_bloom_portable", "topk_per_group", "ps_transform",
       "sketch_cms", "sample_split", "agg_percentile", "unpivot_long")
     for (qid <- qids; q <- Registry.all.find(_.id == qid)) {
       println(s"\n========== $qid ==========")
