@@ -509,6 +509,64 @@ object Relational {
       |  COUNT(*) AS n
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  // ------------------------------------------------------------ join_null_safe
+  /** Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    * match each other — the semantics dimension-table joins need when
+    * "unknown" is itself a valid bucket (join_inner's twin shows plain
+    * `=` dropping NULLs). Both sides are pre-aggregated so the NULL
+    * bucket stays one row per side; the join itself is an ordinary
+    * hash join on the coalesced key at any scale.
+    */
+  def joinNullSafe(spark: SparkSession, dir: String): DataFrame = {
+    val a = Tables.orders(spark, dir)
+      .select(nullif(col("o_custkey") % 50, lit(25L)).as("k"))
+      .groupBy("k").agg(count(lit(1)).as("n_orders"))
+    val b = Tables.customer(spark, dir)
+      .select(nullif(col("c_custkey") % 50, lit(25L)).as("k"))
+      .groupBy("k").agg(count(lit(1)).as("n_cust"))
+    a.join(b, a("k") <=> b("k"))
+      .select(a("k").as("k"), col("n_orders"), col("n_cust"))
+      .orderBy(col("k").asc_nulls_first)
+  }
+
+  private val joinNullSafeOracle =
+    """WITH a AS (
+      |  SELECT NULLIF(o_custkey % 50, 25) AS k, COUNT(*) AS n_orders
+      |  FROM orders GROUP BY 1),
+      |b AS (
+      |  SELECT NULLIF(c_custkey % 50, 25) AS k, COUNT(*) AS n_cust
+      |  FROM customer GROUP BY 1)
+      |SELECT a.k, n_orders, n_cust
+      |FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+      |ORDER BY a.k ASC NULLS FIRST""".stripMargin
+
+  // -------------------------------------------------------------- agg_filtered
+  /** FILTER-clause aggregates: several differently-filtered measures in
+    * ONE scan/shuffle (the idiomatic alternative to N self-joins or
+    * CASE-WHEN pyramids — agg_pivot shows the CASE form). Identical
+    * map-side-combine profile to a plain aggregate.
+    */
+  def aggFiltered(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("count(1) FILTER (WHERE l_quantity > 25)").as("n_bulk"),
+        expr(s"sum(CAST(ROUND(l_extendedprice*100) AS BIGINT)) " +
+          "FILTER (WHERE l_discount = 0)").as("full_price_cents"),
+        expr("count(DISTINCT l_suppkey) FILTER (WHERE l_tax > 0.05)")
+          .as("n_taxed_supps"),
+        count(lit(1)).as("n_all"))
+      .orderBy(col("l_returnflag"))
+
+  private val aggFilteredOracle =
+    s"""SELECT l_returnflag,
+       |  COUNT(*) FILTER (WHERE l_quantity > 25) AS n_bulk,
+       |  CAST(SUM(${oCents("l_extendedprice")})
+       |       FILTER (WHERE l_discount = 0) AS BIGINT) AS full_price_cents,
+       |  COUNT(DISTINCT l_suppkey) FILTER (WHERE l_tax > 0.05) AS n_taxed_supps,
+       |  COUNT(*) AS n_all
+       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   // ------------------------------------------------------------ agg_percentile
   /** Exact quantile family: p25 / median / p75 per group. Computed over
     * integer cents so every interpolation weight is an exact binary
@@ -876,6 +934,10 @@ object Relational {
       "post-aggregation HAVING filter"),
     GQuery("agg_stats", aggStats, Some(aggStatsOracle),
       "stddev/var/corr/covar/percentile statistics"),
+    GQuery("join_null_safe", joinNullSafe, Some(joinNullSafeOracle),
+      "null-safe equality join: NULL keys match (IS NOT DISTINCT FROM)"),
+    GQuery("agg_filtered", aggFiltered, Some(aggFilteredOracle),
+      "FILTER-clause aggregates: N filtered measures in one pass"),
     GQuery("agg_percentile", aggPercentile, Some(aggPercentileOracle),
       "exact p25/p50/p75 quantiles per group over integer cents"),
     GQuery("agg_listagg", aggListagg, Some(aggListaggOracle),
