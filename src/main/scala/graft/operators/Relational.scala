@@ -53,6 +53,95 @@ object Relational {
        |GROUP BY l_returnflag, l_linestatus
        |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
+  // ------------------------------------------------------------ q3_shipping
+  /** TPC-H Q3-shaped shipping priority: 3-way join (lineitem ⋈ orders ⋈
+    * filtered customer segment) → revenue per open order → global top-10.
+    * Whole-query showcase: both date filters push into the parquet scans,
+    * the segment filter shrinks customer before its join (AQE picks
+    * broadcast when it fits), revenue aggregates exactly in 1e-6-dollar
+    * integer units, and the final top-10 is TakeOrderedAndProject (k-row
+    * per-partition heads, no global sort) — at 100 TB the shuffled
+    * volume is the surviving join keys, never the scans.
+    */
+  def q3Shipping(spark: SparkSession, dir: String): DataFrame = {
+    val cut = lit("1996-03-15").cast("timestamp")
+    val c = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") < cut)
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") > cut)
+      .select(col("l_orderkey"),
+        (cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")) * 10))
+          .as("rev_part"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(sum(col("rev_part")).as("rev_e6"))
+      .orderBy(col("rev_e6").desc, col("o_orderdate"), col("l_orderkey"))
+      .limit(10)
+  }
+
+  private val q3Oracle =
+    s"""SELECT l_orderkey, o_orderdate,
+       |  CAST(SUM(${oCents("l_extendedprice")} * (100 - ${oCents("l_discount")}*10))
+       |       AS BIGINT) AS rev_e6
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |WHERE c_mktsegment = 'BUILDING'
+       |  AND o_orderdate < TIMESTAMP '1996-03-15'
+       |  AND l_shipdate  > TIMESTAMP '1996-03-15'
+       |GROUP BY l_orderkey, o_orderdate
+       |ORDER BY rev_e6 DESC, o_orderdate, l_orderkey
+       |LIMIT 10""".stripMargin
+
+  // ------------------------------------------------------------- q10_returns
+  /** TPC-H Q10-shaped returned-item report: 4-way join (returned line
+    * items ⋈ one order-year ⋈ customer ⋈ broadcast nation) → lost
+    * revenue per customer → top-20. The nation dim is explicitly
+    * broadcast (25 rows at any scale); the customer join shuffles on
+    * the key like any fact-dim join.
+    */
+  def q10Returns(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"),
+        (cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")) * 10))
+          .as("rev_part"))
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey")
+    val c = Tables.customer(spark, dir)
+      .select("c_custkey", "c_name", "c_nationkey")
+    val n = Tables.nation(spark, dir).select("n_nationkey", "n_name")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(sum(col("rev_part")).as("lost_rev_e6"), count(lit(1)).as("n_items"))
+      .orderBy(col("lost_rev_e6").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  private val q10Oracle =
+    s"""SELECT c_custkey, c_name, n_name,
+       |  CAST(SUM(${oCents("l_extendedprice")} * (100 - ${oCents("l_discount")}*10))
+       |       AS BIGINT) AS lost_rev_e6,
+       |  COUNT(*) AS n_items
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |WHERE l_returnflag = 'R'
+       |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+       |  AND o_orderdate <  TIMESTAMP '1997-01-01'
+       |GROUP BY c_custkey, c_name, n_name
+       |ORDER BY lost_rev_e6 DESC, c_custkey
+       |LIMIT 20""".stripMargin
+
   // ---------------------------------------------------------- scan_parquet
   /** Plain columnar scan, vectorized parquet read, total-order output. */
   def scanParquet(spark: SparkSession, dir: String): DataFrame =
@@ -890,6 +979,10 @@ object Relational {
       "salted join for skewed keys (result-identical to plain join)"),
     GQuery("join_bucketed", joinBucketed, Some(joinBucketedOracle),
       "bucketed co-located join, shuffle-free on both sides"),
+    GQuery("q3_shipping", q3Shipping, Some(q3Oracle),
+      "TPC-H Q3 shape: 3-way join, exact integer revenue, global top-10"),
+    GQuery("q10_returns", q10Returns, Some(q10Oracle),
+      "TPC-H Q10 shape: 4-way join with broadcast dim, top-20 lost revenue"),
     GQuery("q1_pricing", q1Pricing, Some(q1Oracle),
       "flagship TPC-H Q1-shaped pricing summary (scan+filter+agg+sort)"),
     GQuery("scan_parquet", scanParquet, Some(scanParquetOracle),
