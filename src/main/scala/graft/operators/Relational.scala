@@ -656,6 +656,68 @@ object Relational {
        |  COUNT(*) AS n_all
        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // ------------------------------------------------------------------ agg_bool
+  /** Boolean aggregates (bool_and / bool_or — ANSI EVERY/ANY): the
+    * assertion layer of data-quality checks ("every row in the group
+    * satisfies the invariant"). Same partial+final profile as any
+    * aggregate; short-circuits map-side.
+    */
+  def aggBool(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("bool_and(l_quantity > 0)").as("all_qty_pos"),
+        expr("bool_or(l_discount > 0.05)").as("any_deep_discount"),
+        expr("bool_and(l_shipdate IS NOT NULL)").as("all_dated"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
+  private val aggBoolOracle =
+    """SELECT l_returnflag,
+      |  bool_and(l_quantity > 0) AS all_qty_pos,
+      |  bool_or(l_discount > 0.05) AS any_deep_discount,
+      |  bool_and(l_shipdate IS NOT NULL) AS all_dated,
+      |  COUNT(*) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------- set_ops_all
+  /** Multiset set operations (INTERSECT ALL / EXCEPT ALL) — duplicate-
+    * preserving semantics, distinct from set_intersect/set_except's
+    * set semantics. Spark plans both as aggregate+join on (row,
+    * replicate-count) rather than materializing duplicates; output is
+    * re-aggregated so the declared result stays small and totally
+    * ordered.
+    */
+  def setOpsAll(spark: SparkSession, dir: String): DataFrame = {
+    val a = Tables.lineitem(spark, dir)
+      .filter(col("l_orderkey") % 7 < 3).select(col("l_suppkey"))
+    val b = Tables.lineitem(spark, dir)
+      .filter(col("l_orderkey") % 5 < 2).select(col("l_suppkey"))
+    a.intersectAll(b).groupBy(col("l_suppkey")).agg(count(lit(1)).as("n_common"))
+      .join(
+        a.exceptAll(b).groupBy(col("l_suppkey")).agg(count(lit(1)).as("n_only_a")),
+        Seq("l_suppkey"), "full_outer")
+      .select(col("l_suppkey"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        coalesce(col("n_only_a"), lit(0L)).as("n_only_a"))
+      .orderBy(col("l_suppkey"))
+  }
+
+  private val setOpsAllOracle =
+    """WITH a AS (SELECT l_suppkey FROM lineitem WHERE l_orderkey % 7 < 3),
+      |b AS (SELECT l_suppkey FROM lineitem WHERE l_orderkey % 5 < 2),
+      |i AS (SELECT l_suppkey, COUNT(*) AS n_common
+      |      FROM (SELECT l_suppkey FROM a INTERSECT ALL SELECT l_suppkey FROM b)
+      |      GROUP BY 1),
+      |e AS (SELECT l_suppkey, COUNT(*) AS n_only_a
+      |      FROM (SELECT l_suppkey FROM a EXCEPT ALL SELECT l_suppkey FROM b)
+      |      GROUP BY 1)
+      |SELECT l_suppkey,
+      |  CAST(COALESCE(n_common, 0) AS BIGINT) AS n_common,
+      |  CAST(COALESCE(n_only_a, 0) AS BIGINT) AS n_only_a
+      |FROM i FULL OUTER JOIN e USING (l_suppkey)
+      |ORDER BY l_suppkey""".stripMargin
+
   // ------------------------------------------------------------ agg_percentile
   /** Exact quantile family: p25 / median / p75 per group. Computed over
     * integer cents so every interpolation weight is an exact binary
@@ -1027,6 +1089,10 @@ object Relational {
       "post-aggregation HAVING filter"),
     GQuery("agg_stats", aggStats, Some(aggStatsOracle),
       "stddev/var/corr/covar/percentile statistics"),
+    GQuery("agg_bool", aggBool, Some(aggBoolOracle),
+      "boolean aggregates bool_and/bool_or (data-quality assertions)"),
+    GQuery("set_ops_all", setOpsAll, Some(setOpsAllOracle),
+      "multiset INTERSECT ALL / EXCEPT ALL with duplicate preservation"),
     GQuery("join_null_safe", joinNullSafe, Some(joinNullSafeOracle),
       "null-safe equality join: NULL keys match (IS NOT DISTINCT FROM)"),
     GQuery("agg_filtered", aggFiltered, Some(aggFilteredOracle),
