@@ -775,6 +775,44 @@ object LlmPipeline {
       |    (acc, x) -> (acc * 31 + x) % 1000000007) AS fingerprint
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------- text_ngram_profile
+  /** Character-bigram frequency profile per language — the statistical
+    * object n-gram language ID is trained from (text_langid consumes a
+    * fixed lexicon; this builds the profile). Explode is per character,
+    * so the relation is O(corpus chars); one (lang, bigram) groupBy with
+    * map-side combine carries it, then a per-lang top-5 window. At
+    * 100 TB the profile fits in memory regardless of corpus size —
+    * cardinality is langs × 26². */
+  def textNgramProfile(spark: SparkSession, dir: String): DataFrame = {
+    val bi = Tables.documents(spark, dir)
+      .filter(length(col("text")) >= 2)
+      .select(col("lang"), explode(expr(
+        "transform(sequence(1, length(text) - 1), i -> lower(substring(text, i, 2)))"))
+        .as("bigram"))
+      .filter(col("bigram").rlike("^[a-z]{2}$"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("n").desc, col("bigram"))
+    bi.groupBy(col("lang"), col("bigram")).agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .orderBy(col("lang"), col("rk"))
+  }
+
+  private val textNgramProfileOracle =
+    """WITH bi AS (
+      |  SELECT lang, lower(substring(text, CAST(i AS INTEGER), 2)) AS bigram
+      |  FROM documents, unnest(generate_series(1, length(text) - 1)) AS t(i)
+      |  WHERE length(text) >= 2),
+      |f AS (
+      |  SELECT lang, bigram, COUNT(*) AS n FROM bi
+      |  WHERE regexp_matches(bigram, '^[a-z]{2}$') GROUP BY 1, 2),
+      |r AS (
+      |  SELECT lang, bigram, n,
+      |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, bigram) AS rk
+      |  FROM f)
+      |SELECT lang, bigram, n, rk FROM r WHERE rk <= 5
+      |ORDER BY lang, rk""".stripMargin
+
   // --------------------------------------------------------------- sample_split
   /** Deterministic train/valid/test split — the sampling primitive every
     * training-data pipeline needs. Bucket = portable 32-bit md5 hash of
@@ -967,6 +1005,8 @@ object LlmPipeline {
       "token counting: whitespace vs BPE-ish regex"),
     GQuery("text_fingerprint", textFingerprint, Some(textFingerprintOracle),
       "order-sensitive rolling polynomial fingerprint"),
+    GQuery("text_ngram_profile", textNgramProfile, Some(textNgramProfileOracle),
+      "per-language top-5 character-bigram frequency profile"),
     GQuery("sample_split", sampleSplit, Some(sampleSplitOracle),
       "deterministic hash-bucketed 80/10/10 train/valid/test split"),
     GQuery("multimodal_join", multimodalJoin, Some(multimodalJoinOracle),

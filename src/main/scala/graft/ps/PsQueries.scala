@@ -331,6 +331,70 @@ object PsQueries {
        |FROM (SELECT DISTINCT item FROM r) WHERE item < 300
        |ORDER BY item""".stripMargin
 
+  // ----------------------------------------------------------------- mf_fold_in
+  /** Cold-user fold-in: a user unseen at training time gets a factor
+    * vector from the item factors of what they rated — the serving-time
+    * analog of the reference's "pull the item factors, combine locally"
+    * worker step [K-med], and the standard way to score new users
+    * without retraining. One weighted combination per user
+    * (p_num_j = Σ_i r_ui · q_ij, den = Σ_i r_ui), then a dot product
+    * against a target item's factors. All integer math: factors at the
+    * e6 scale, ratings integral, so every sum is order-independent and
+    * the oracle reproduces it exactly. Shapes: ratings join a
+    * 300×8-cell factor table (broadcastable at any scale — the model
+    * shard), two keyed aggregations.
+    */
+  def mfFoldIn(spark: SparkSession, dir: String): DataFrame = {
+    val r = ratings(spark, dir)
+      .filter(col("user") < 50 && col("item") < 300)
+      .select(col("user"), col("item"), col("rating").cast("long").as("rl"))
+    val q = r.select("item").distinct()
+      .select(col("item"), explode(expr("sequence(0, 7)")).as("j"))
+      .select(col("item"), col("j"), expr(
+        s"cast(round((${initFactor("item", "j", -0.1, 0.1)}) * 1000000.0) as bigint)")
+        .as("q_e6"))
+    // per-user numerator vector and denominator
+    val p = r.join(q, "item")
+      .groupBy(col("user"), col("j"))
+      .agg(sum(col("rl") * col("q_e6")).as("p_num"))
+    val den = r.groupBy(col("user"))
+      .agg(sum(col("rl")).as("rating_sum"), count(lit(1)).as("n_rated"))
+    // target item per user: the smallest rated item (deterministic)
+    val tgt = r.groupBy(col("user")).agg(min(col("item")).as("t_item"))
+    val tq = tgt.join(q, col("t_item") === col("item"))
+      .select(col("user"), col("j"), col("q_e6").as("tq_e6"))
+    p.join(tq, Seq("user", "j"))
+      .groupBy(col("user"))
+      .agg(sum(col("p_num") * col("tq_e6")).as("score_num"))
+      .join(den, "user")
+      .select(col("user"), col("n_rated"), col("rating_sum"), col("score_num"))
+      .orderBy(col("user"))
+  }
+
+  private val mfFoldInOracle =
+    s"""WITH r0 AS ($oRatings),
+       |r AS (SELECT "user", item, CAST(rating AS BIGINT) AS rl
+       |      FROM r0 WHERE "user" < 50 AND item < 300),
+       |q AS (SELECT item, j,
+       |        CAST(ROUND((${oInitFactor("item", "j", -0.1, 0.1)}) * 1000000.0)
+       |             AS BIGINT) AS q_e6
+       |      FROM (SELECT DISTINCT item FROM r),
+       |           unnest(generate_series(0, 7)) AS t(j)),
+       |p AS (SELECT "user", j, SUM(rl * q_e6) AS p_num
+       |      FROM r JOIN q USING (item) GROUP BY 1, 2),
+       |den AS (SELECT "user", CAST(SUM(rl) AS BIGINT) AS rating_sum,
+       |               COUNT(*) AS n_rated
+       |        FROM r GROUP BY 1),
+       |tgt AS (SELECT "user", MIN(item) AS t_item FROM r GROUP BY 1),
+       |tq AS (SELECT tgt."user", q.j, q.q_e6 AS tq_e6
+       |       FROM tgt JOIN q ON tgt.t_item = q.item),
+       |sc AS (SELECT p."user", CAST(SUM(p_num * tq_e6) AS BIGINT) AS score_num
+       |       FROM p JOIN tq ON p."user" = tq."user" AND p.j = tq.j
+       |       GROUP BY 1)
+       |SELECT "user", n_rated, rating_sum, score_num
+       |FROM sc JOIN den USING ("user")
+       |ORDER BY "user"""".stripMargin
+
   // -------------------------------------------------------------- mf_neg_sample
   /** Seeded negative sampling: per positive (user, item) generate 2
     * candidate negatives by hashing, anti-join the seen set (the worker
@@ -749,6 +813,8 @@ object PsQueries {
       "WorkerLogic.onRecv: flatMapGroups per-key stateful fold"),
     GQuery("mf_init", mfInit, Some(mfInitOracle),
       "deterministic ranged factor init (dim 8)"),
+    GQuery("mf_fold_in", mfFoldIn, Some(mfFoldInOracle),
+      "cold-user fold-in: weighted item-factor combination + target dot"),
     GQuery("mf_neg_sample", mfNegSample, Some(mfNegSampleOracle),
       "seeded negative sampling + anti-join against seen pairs"),
     GQuery("mf_user_memory", mfUserMemory, Some(mfUserMemoryOracle),
