@@ -786,8 +786,10 @@ object LlmPipeline {
   def textNgramProfile(spark: SparkSession, dir: String): DataFrame = {
     val bi = Tables.documents(spark, dir)
       .filter(length(col("text")) >= 2)
+      // lowercase ONCE per document, not once per bigram
+      .select(col("lang"), lower(col("text")).as("lt"))
       .select(col("lang"), explode(expr(
-        "transform(sequence(1, length(text) - 1), i -> lower(substring(text, i, 2)))"))
+        "transform(sequence(1, length(lt) - 1), i -> substring(lt, i, 2))"))
         .as("bigram"))
       .filter(col("bigram").rlike("^[a-z]{2}$"))
     val w = org.apache.spark.sql.expressions.Window
@@ -799,10 +801,11 @@ object LlmPipeline {
   }
 
   private val textNgramProfileOracle =
-    """WITH bi AS (
-      |  SELECT lang, lower(substring(text, CAST(i AS INTEGER), 2)) AS bigram
-      |  FROM documents, unnest(generate_series(1, length(text) - 1)) AS t(i)
-      |  WHERE length(text) >= 2),
+    """WITH lt AS (
+      |  SELECT lang, lower(text) AS lt FROM documents WHERE length(text) >= 2),
+      |bi AS (
+      |  SELECT lang, substring(lt, CAST(i AS INTEGER), 2) AS bigram
+      |  FROM lt, unnest(generate_series(1, length(lt) - 1)) AS t(i)),
       |f AS (
       |  SELECT lang, bigram, COUNT(*) AS n FROM bi
       |  WHERE regexp_matches(bigram, '^[a-z]{2}$') GROUP BY 1, 2),
