@@ -56,6 +56,28 @@ object GraftProperties extends Properties("graft") {
       }
     }
 
+  property("CMS point estimate never underestimates (sketch_cms algebra)") =
+    forAll(Gen.listOfN(60, Gen.chooseNum(0L, 20L))) { keys =>
+      // same md5 scheme as sketch_cms (seed 300+row, first 8 hex chars),
+      // tiny width to force collisions
+      def h(seed: Int, s: String): Long = {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = md.digest(s"$seed:$s".getBytes("UTF-8"))
+          .take(4).map(b => f"$b%02x").mkString
+        java.lang.Long.parseLong(hex, 16)
+      }
+      val d = 4; val w = 16
+      val grid = Array.fill(d, w)(0L)
+      keys.foreach { k =>
+        (0 until d).foreach(r => grid(r)((h(300 + r, k.toString) % w).toInt) += 1)
+      }
+      keys.distinct.forall { k =>
+        val exact = keys.count(_ == k).toLong
+        val est = (0 until d).map(r => grid(r)((h(300 + r, k.toString) % w).toInt)).min
+        est >= exact && est <= keys.size.toLong
+      }
+    }
+
   property("PA-I tau bounded by C and zero iff margin >= 1") =
     forAll(Gen.chooseNum(-3.0, 3.0), Gen.chooseNum(0.1, 4.0)) { (margin, xx) =>
       val C = 0.5
