@@ -142,6 +142,39 @@ object Relational {
        |ORDER BY lost_rev_e6 DESC, c_custkey
        |LIMIT 20""".stripMargin
 
+  // ------------------------------------------------------------- sql_surface
+  /** SQL-surface parity: ONE ANSI SQL text (TPC-H Q5-shaped 6-way join —
+    * regional local-supplier revenue) executed verbatim by Spark SQL
+    * over temp views AND by DuckDB as its own oracle. The string is the
+    * qid's entire definition: dialect-portable date literals, integer
+    * revenue units, explicit BIGINT casts. Proves a reference user can
+    * bring plain SQL, not just the DataFrame DSL; Catalyst still plans
+    * it like any DSL query (pushdown, broadcast dims, AQE).
+    */
+  private val q5Sql =
+    """SELECT n_name,
+      |  CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+      |           * (100 - CAST(ROUND(l_discount*100) AS BIGINT)*10)) AS BIGINT)
+      |    AS rev_e6,
+      |  COUNT(*) AS n_items
+      |FROM region
+      |JOIN nation   ON n_regionkey = r_regionkey
+      |JOIN customer ON c_nationkey = n_nationkey
+      |JOIN orders   ON o_custkey   = c_custkey
+      |JOIN lineitem ON l_orderkey  = o_orderkey
+      |JOIN supplier ON l_suppkey   = s_suppkey AND s_nationkey = c_nationkey
+      |WHERE r_name = 'EUROPE'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate <  TIMESTAMP '1998-01-01'
+      |GROUP BY n_name
+      |ORDER BY rev_e6 DESC, n_name""".stripMargin
+
+  def sqlSurface(spark: SparkSession, dir: String): DataFrame = {
+    Seq("region", "nation", "customer", "supplier", "orders", "lineitem")
+      .foreach(t => Tables.table(spark, dir, t).createOrReplaceTempView(t))
+    spark.sql(q5Sql)
+  }
+
   // ---------------------------------------------------------- scan_parquet
   /** Plain columnar scan, vectorized parquet read, total-order output. */
   def scanParquet(spark: SparkSession, dir: String): DataFrame =
@@ -1041,6 +1074,8 @@ object Relational {
       "salted join for skewed keys (result-identical to plain join)"),
     GQuery("join_bucketed", joinBucketed, Some(joinBucketedOracle),
       "bucketed co-located join, shuffle-free on both sides"),
+    GQuery("sql_surface", sqlSurface, Some(q5Sql),
+      "one ANSI SQL text (TPC-H Q5 shape) runs verbatim on both engines"),
     GQuery("q3_shipping", q3Shipping, Some(q3Oracle),
       "TPC-H Q3 shape: 3-way join, exact integer revenue, global top-10"),
     GQuery("q10_returns", q10Returns, Some(q10Oracle),
