@@ -775,6 +775,47 @@ object LlmPipeline {
       |    (acc, x) -> (acc * 31 + x) % 1000000007) AS fingerprint
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- sim_quantize
+  /** Int8 scalar quantization of embeddings — the memory-compression
+    * step of a large-scale vector index (4× smaller than float32, the
+    * difference between an in-RAM and a spilled ANN index at 100 TB).
+    * Each dim maps to round(x·127); the declared output audits the
+    * round trip per vector: the quantized first dim, the count of
+    * clipped dims (|x| > 1), and the total squared reconstruction error
+    * in exact integer units (d = round(127e6·x) − 1e6·round(127·x),
+    * Σd² — order-independent, so both engines agree bit-for-bit).
+    * Pure projection: no shuffle except the final total order.
+    */
+  def simQuantize(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(
+        col("vec_id"),
+        expr("cast(round(cast(element_at(embedding, 1) as double) * 127) as bigint)")
+          .as("q0"),
+        expr("aggregate(transform(embedding, x -> " +
+          "cast(case when abs(cast(x as double)) > 1.0 then 1 else 0 end as bigint)), " +
+          "0L, (a, c) -> a + c)").as("n_clipped"),
+        expr("aggregate(transform(embedding, x -> " +
+          "cast(round(cast(x as double) * 127000000) as bigint) - " +
+          "cast(round(cast(x as double) * 127) as bigint) * 1000000), " +
+          "0L, (a, d) -> a + d * d)").as("err_e12"))
+      .orderBy(col("vec_id"))
+
+  private val simQuantizeOracle =
+    """SELECT vec_id,
+      |  CAST(ROUND(CAST(embedding[1] AS DOUBLE) * 127) AS BIGINT) AS q0,
+      |  list_reduce(list_prepend(0::BIGINT,
+      |    list_transform(embedding, x ->
+      |      CASE WHEN abs(CAST(x AS DOUBLE)) > 1.0
+      |           THEN 1::BIGINT ELSE 0::BIGINT END)),
+      |    (a, c) -> a + c) AS n_clipped,
+      |  list_reduce(list_prepend(0::BIGINT,
+      |    list_transform(embedding, x ->
+      |      CAST(ROUND(CAST(x AS DOUBLE) * 127000000) AS BIGINT) -
+      |      CAST(ROUND(CAST(x AS DOUBLE) * 127) AS BIGINT) * 1000000)),
+      |    (a, d) -> a + d * d) AS err_e12
+      |FROM embeddings ORDER BY vec_id""".stripMargin
+
   // --------------------------------------------------------- text_ngram_profile
   /** Character-bigram frequency profile per language — the statistical
     * object n-gram language ID is trained from (text_langid consumes a
@@ -1008,6 +1049,8 @@ object LlmPipeline {
       "token counting: whitespace vs BPE-ish regex"),
     GQuery("text_fingerprint", textFingerprint, Some(textFingerprintOracle),
       "order-sensitive rolling polynomial fingerprint"),
+    GQuery("sim_quantize", simQuantize, Some(simQuantizeOracle),
+      "int8 scalar quantization of embeddings with exact error audit"),
     GQuery("text_ngram_profile", textNgramProfile, Some(textNgramProfileOracle),
       "per-language top-5 character-bigram frequency profile"),
     GQuery("sample_split", sampleSplit, Some(sampleSplitOracle),
