@@ -775,6 +775,49 @@ object LlmPipeline {
       |    (acc, x) -> (acc * 31 + x) % 1000000007) AS fingerprint
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------------------------------- dedup_decontam
+  /** Eval-set decontamination — the pipeline stage that keeps benchmark
+    * answers out of training data: flag every training document sharing
+    * a word 5-gram with any held-out eval document (here: source =
+    * 'src0' plays the eval set). The join is keyed on the shingle, and
+    * the eval side is the small one — at 100 TB the eval shingle set
+    * broadcast-fits (benchmarks are MBs, corpora are TBs), so this is a
+    * map-side join over the training scan, never a shuffle of the
+    * corpus. Output: flagged train docs with overlap counts.
+    */
+  def dedupDecontam(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    def grams5(df: DataFrame): DataFrame =
+      df.repartition(df.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .select(col("doc_id"),
+          expr("explode(array_distinct(transform(" +
+            "sequence(1, greatest(size(w) - 4, 1)), " +
+            "i -> concat_ws(' ', slice(w, i, 5)))))").as("g"))
+    val evalG = grams5(docs.filter(col("source") === "src0"))
+      .select(col("doc_id").as("eval_id"), col("g"))
+    val trainG = grams5(docs.filter(col("source") =!= "src0"))
+    trainG.join(broadcast(evalG), "g")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("g")).as("n_shared_grams"),
+        countDistinct(col("eval_id")).as("n_eval_docs"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val dedupDecontamOracle =
+    """WITH g AS (
+      |  SELECT DISTINCT doc_id, source, unnest(list_transform(
+      |      generate_series(1, greatest(length(string_split(text, ' ')) - 4, 1)),
+      |      i -> array_to_string(string_split(text, ' ')[i:i+4], ' '))) AS g
+      |  FROM documents),
+      |ev AS (SELECT doc_id AS eval_id, g FROM g WHERE source = 'src0'),
+      |tr AS (SELECT doc_id, g FROM g WHERE source <> 'src0')
+      |SELECT tr.doc_id,
+      |  COUNT(DISTINCT tr.g) AS n_shared_grams,
+      |  COUNT(DISTINCT ev.eval_id) AS n_eval_docs
+      |FROM tr JOIN ev USING (g)
+      |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin
+
   // --------------------------------------------------------------- sim_quantize
   /** Int8 scalar quantization of embeddings — the memory-compression
     * step of a large-scale vector index (4× smaller than float32, the
@@ -1049,6 +1092,8 @@ object LlmPipeline {
       "token counting: whitespace vs BPE-ish regex"),
     GQuery("text_fingerprint", textFingerprint, Some(textFingerprintOracle),
       "order-sensitive rolling polynomial fingerprint"),
+    GQuery("dedup_decontam", dedupDecontam, Some(dedupDecontamOracle),
+      "eval-set decontamination: 5-gram overlap vs a broadcast eval set"),
     GQuery("sim_quantize", simQuantize, Some(simQuantizeOracle),
       "int8 scalar quantization of embeddings with exact error audit"),
     GQuery("text_ngram_profile", textNgramProfile, Some(textNgramProfileOracle),
