@@ -331,6 +331,58 @@ object PsQueries {
        |FROM (SELECT DISTINCT item FROM r) WHERE item < 300
        |ORDER BY item""".stripMargin
 
+  // --------------------------------------------------------------- ps_staleness
+  /** Stale-synchronous-parallel (SSP) reads: a worker at epoch e may
+    * read a model that is missing the last s epochs of pushes — the
+    * bounded-staleness contract async parameter servers run under
+    * (public SSP model; the reference's async pull/push is the s→∞
+    * end of the spectrum [K-med]). Batch restatement: per (param,
+    * epoch) deltas, a running-sum window gives the fresh value, and
+    * `lag(s)` over the same window gives the bounded-stale read;
+    * `max_lag_cents` bounds how wrong a stale read can be. One shuffle
+    * on the param key, then ordered window work per partition.
+    */
+  def psStaleness(spark: SparkSession, dir: String): DataFrame = {
+    val s = 2
+    val deltas = Tables.events(spark, dir)
+      .select((col("user_id") % 100).as("pid"),
+        expr("date_trunc('day', ts)").as("epoch"),
+        cents(col("value")).as("delta_cents"))
+      .groupBy(col("pid"), col("epoch"))
+      .agg(sum(col("delta_cents")).as("delta_cents"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("pid").orderBy("epoch")
+    deltas
+      .withColumn("fresh_cents",
+        sum(col("delta_cents")).over(w.rowsBetween(Long.MinValue, 0)))
+      .withColumn("stale_cents",
+        coalesce(lag(col("fresh_cents"), s).over(w), lit(0L)))
+      .withColumn("lag_cents", col("fresh_cents") - col("stale_cents"))
+      .filter(col("pid") < 20)
+      .select(col("pid"), col("epoch"), col("fresh_cents"),
+        col("stale_cents"), col("lag_cents"))
+      .orderBy(col("pid"), col("epoch"))
+  }
+
+  private val psStalenessOracle =
+    s"""WITH d AS (
+       |  SELECT user_id % 100 AS pid, date_trunc('day', ts) AS epoch,
+       |         CAST(SUM(${oCents("value")}) AS BIGINT) AS delta_cents
+       |  FROM events GROUP BY 1, 2),
+       |c AS (
+       |  SELECT pid, epoch, delta_cents,
+       |    CAST(SUM(delta_cents) OVER (PARTITION BY pid ORDER BY epoch
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS fresh_cents
+       |  FROM d)
+       |SELECT pid, epoch, fresh_cents,
+       |  COALESCE(lag(fresh_cents, 2) OVER (PARTITION BY pid ORDER BY epoch),
+       |           0) AS stale_cents,
+       |  fresh_cents - COALESCE(lag(fresh_cents, 2)
+       |    OVER (PARTITION BY pid ORDER BY epoch), 0) AS lag_cents
+       |FROM c WHERE pid < 20
+       |ORDER BY pid, epoch""".stripMargin
+
   // ----------------------------------------------------------------- mf_fold_in
   /** Cold-user fold-in: a user unseen at training time gets a factor
     * vector from the item factors of what they rated — the serving-time
@@ -813,6 +865,8 @@ object PsQueries {
       "WorkerLogic.onRecv: flatMapGroups per-key stateful fold"),
     GQuery("mf_init", mfInit, Some(mfInitOracle),
       "deterministic ranged factor init (dim 8)"),
+    GQuery("ps_staleness", psStaleness, Some(psStalenessOracle),
+      "bounded-staleness (SSP) reads: fresh vs lag(s) window over pushes"),
     GQuery("mf_fold_in", mfFoldIn, Some(mfFoldInOracle),
       "cold-user fold-in: weighted item-factor combination + target dot"),
     GQuery("mf_neg_sample", mfNegSample, Some(mfNegSampleOracle),
