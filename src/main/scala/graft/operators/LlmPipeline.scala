@@ -775,6 +775,46 @@ object LlmPipeline {
       |    (acc, x) -> (acc * 31 + x) % 1000000007) AS fingerprint
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ----------------------------------------------------------------- dedup_lines
+  /** Line-level dedup audit (the C4-style pipeline stage: boilerplate
+    * sentences repeat across pages; drop or down-weight them). Sentences
+    * are exploded per doc, counted across docs, and each doc gets its
+    * duplicated-sentence fraction in e6 integer units (integer division
+    * keeps it engine-exact). Two keyed aggregations, both map-side
+    * combined; at 100 TB the sentence-count relation is the big one and
+    * shuffles on the sentence hash — in production the count table
+    * would be md5-bucketed exactly like the shingle paths.
+    */
+  def dedupLines(spark: SparkSession, dir: String): DataFrame = {
+    val lines = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(expr("array_distinct(split(text, '\\\\. '))")).as("line"))
+      .filter(length(col("line")) >= 20)
+    val counts = lines.groupBy(col("line"))
+      .agg(countDistinct(col("doc_id")).as("ndocs"))
+    lines.join(counts, "line")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("ndocs") > 1, 1L).otherwise(0L)).as("n_dup_lines"))
+      .select(col("doc_id"), col("n_lines"), col("n_dup_lines"),
+        expr("(n_dup_lines * 1000000L) div n_lines").as("dup_frac_e6"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val dedupLinesOracle =
+    """WITH l AS (
+      |  SELECT DISTINCT doc_id, unnest(string_split(text, '. ')) AS line
+      |  FROM documents),
+      |lf AS (SELECT doc_id, line FROM l WHERE length(line) >= 20),
+      |c AS (SELECT line, COUNT(DISTINCT doc_id) AS ndocs FROM lf GROUP BY 1)
+      |SELECT doc_id, COUNT(*) AS n_lines,
+      |  CAST(SUM(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_dup_lines,
+      |  CAST(SUM(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END) * 1000000
+      |       // COUNT(*) AS BIGINT) AS dup_frac_e6
+      |FROM lf JOIN c USING (line)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // -------------------------------------------------------------- dedup_decontam
   /** Eval-set decontamination — the pipeline stage that keeps benchmark
     * answers out of training data: flag every training document sharing
@@ -1092,6 +1132,8 @@ object LlmPipeline {
       "token counting: whitespace vs BPE-ish regex"),
     GQuery("text_fingerprint", textFingerprint, Some(textFingerprintOracle),
       "order-sensitive rolling polynomial fingerprint"),
+    GQuery("dedup_lines", dedupLines, Some(dedupLinesOracle),
+      "line-level dedup audit: per-doc duplicated-sentence fraction"),
     GQuery("dedup_decontam", dedupDecontam, Some(dedupDecontamOracle),
       "eval-set decontamination: 5-gram overlap vs a broadcast eval set"),
     GQuery("sim_quantize", simQuantize, Some(simQuantizeOracle),
