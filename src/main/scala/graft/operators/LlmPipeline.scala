@@ -775,6 +775,58 @@ object LlmPipeline {
       |    (acc, x) -> (acc * 31 + x) % 1000000007) AS fingerprint
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------------------------------- text_pii_scrub
+  /** PII scrubbing — the redaction stage every compliant training
+    * pipeline runs. Because the fixture corpus is synthetic lorem, the
+    * query first plants deterministic PII (an email on every 5th doc, a
+    * long digit run on every 7th), then scrubs with dialect-portable
+    * regexes and reports per-doc redaction counts plus the cleaned
+    * length. Shuffle-free projection: at 100 TB this is pure map work
+    * riding the ingest scan.
+    */
+  def textPiiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val emailRe = "[a-z0-9.]+@[a-z0-9]+\\.[a-z]+"
+    val digitRe = "[0-9]{6,}"
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), concat(
+        col("text"),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" contact user"), col("doc_id"), lit("@example.com")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" id "), lpad(col("doc_id").cast("string"), 9, "0")))
+          .otherwise(lit(""))).as("dirty"))
+      .select(
+        col("doc_id"),
+        size(expr(s"regexp_extract_all(dirty, '$emailRe', 0)")).cast("long")
+          .as("n_emails"),
+        size(expr(s"regexp_extract_all(dirty, '$digitRe', 0)")).cast("long")
+          .as("n_digit_runs"),
+        length(regexp_replace(regexp_replace(col("dirty"), emailRe, "[EMAIL]"),
+          digitRe, "[NUM]")).cast("long").as("clean_len"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val textPiiScrubOracle =
+    """WITH d AS (
+      |  SELECT doc_id, concat(text,
+      |    CASE WHEN doc_id % 5 = 0
+      |         THEN concat(' contact user', CAST(doc_id AS VARCHAR), '@example.com')
+      |         ELSE '' END,
+      |    CASE WHEN doc_id % 7 = 0
+      |         THEN concat(' id ', lpad(CAST(doc_id AS VARCHAR), 9, '0'))
+      |         ELSE '' END) AS dirty
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(regexp_extract_all(dirty, '[a-z0-9.]+@[a-z0-9]+\.[a-z]+'))
+      |       AS BIGINT) AS n_emails,
+      |  CAST(len(regexp_extract_all(dirty, '[0-9]{6,}')) AS BIGINT)
+      |    AS n_digit_runs,
+      |  CAST(length(regexp_replace(regexp_replace(dirty,
+      |    '[a-z0-9.]+@[a-z0-9]+\.[a-z]+', '[EMAIL]', 'g'),
+      |    '[0-9]{6,}', '[NUM]', 'g')) AS BIGINT) AS clean_len
+      |FROM d ORDER BY doc_id""".stripMargin
+
   // ----------------------------------------------------------------- dedup_lines
   /** Line-level dedup audit (the C4-style pipeline stage: boilerplate
     * sentences repeat across pages; drop or down-weight them). Sentences
@@ -1132,6 +1184,8 @@ object LlmPipeline {
       "token counting: whitespace vs BPE-ish regex"),
     GQuery("text_fingerprint", textFingerprint, Some(textFingerprintOracle),
       "order-sensitive rolling polynomial fingerprint"),
+    GQuery("text_pii_scrub", textPiiScrub, Some(textPiiScrubOracle),
+      "PII redaction: planted emails/digit runs scrubbed, counts audited"),
     GQuery("dedup_lines", dedupLines, Some(dedupLinesOracle),
       "line-level dedup audit: per-doc duplicated-sentence fraction"),
     GQuery("dedup_decontam", dedupDecontam, Some(dedupDecontamOracle),

@@ -689,6 +689,34 @@ object Relational {
        |  COUNT(*) AS n_all
        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // -------------------------------------------------------------- agg_weighted
+  /** Quantity-weighted average price per group — the weighted-mean
+    * shape every metrics rollup needs. Numerator and denominator
+    * aggregate as exact integers (cents × quantity), the single final
+    * division is one IEEE op on identical inputs, and the e6 integer
+    * result makes the contract explicit. Same one-shuffle profile as
+    * agg_hash.
+    */
+  def aggWeighted(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_linestatus"))
+      .agg(
+        sum(cents(col("l_extendedprice")) * cents(col("l_quantity"))).as("num"),
+        sum(cents(col("l_quantity"))).as("den"))
+      .select(col("l_linestatus"),
+        col("num"), col("den"),
+        expr("cast(round(cast(num as double) / cast(den as double) * 10000.0) " +
+          "as bigint)").as("wavg_e6"))
+      .orderBy(col("l_linestatus"))
+
+  private val aggWeightedOracle =
+    s"""SELECT l_linestatus,
+       |  CAST(SUM(${oCents("l_extendedprice")} * ${oCents("l_quantity")}) AS BIGINT) AS num,
+       |  CAST(SUM(${oCents("l_quantity")}) AS BIGINT) AS den,
+       |  CAST(ROUND(CAST(SUM(${oCents("l_extendedprice")} * ${oCents("l_quantity")}) AS DOUBLE)
+       |       / CAST(SUM(${oCents("l_quantity")}) AS DOUBLE) * 10000.0) AS BIGINT) AS wavg_e6
+       |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
+
   // ------------------------------------------------------------------ agg_bool
   /** Boolean aggregates (bool_and / bool_or — ANSI EVERY/ANY): the
     * assertion layer of data-quality checks ("every row in the group
@@ -1124,6 +1152,8 @@ object Relational {
       "post-aggregation HAVING filter"),
     GQuery("agg_stats", aggStats, Some(aggStatsOracle),
       "stddev/var/corr/covar/percentile statistics"),
+    GQuery("agg_weighted", aggWeighted, Some(aggWeightedOracle),
+      "quantity-weighted average via exact integer num/den + one division"),
     GQuery("agg_bool", aggBool, Some(aggBoolOracle),
       "boolean aggregates bool_and/bool_or (data-quality assertions)"),
     GQuery("set_ops_all", setOpsAll, Some(setOpsAllOracle),
