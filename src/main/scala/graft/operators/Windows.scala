@@ -75,6 +75,47 @@ object Windows {
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
       |ORDER BY o_custkey, pr, o_orderkey""".stripMargin
 
+  // ----------------------------------------------------------- win_gap_islands
+  /** Gaps-and-islands: collapse each user's distinct active days into
+    * maximal consecutive runs via the classic day − row_number()
+    * constant-per-island trick — no self-join, no iteration, one
+    * window pass after the distinct. The batch analog of gap-based
+    * sessionization at day granularity (stream_session is the
+    * timestamp-gap form). Output: one row per island with its bounds
+    * and length.
+    */
+  def winGapIslands(spark: SparkSession, dir: String): DataFrame = {
+    val days = Tables.events(spark, dir)
+      .filter(col("user_id") < 50)
+      .select(col("user_id"),
+        datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
+          .cast("long").as("day"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    days
+      .withColumn("island", col("day") - row_number().over(w))
+      .groupBy(col("user_id"), col("island"))
+      .agg(min(col("day")).as("start_day"), max(col("day")).as("end_day"),
+        count(lit(1)).as("n_days"))
+      .select(col("user_id"), col("start_day"), col("end_day"), col("n_days"))
+      .orderBy(col("user_id"), col("start_day"))
+  }
+
+  private val winGapIslandsOracle =
+    """WITH days AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT)
+      |      AS day
+      |  FROM events WHERE user_id < 50),
+      |isl AS (
+      |  SELECT user_id, day,
+      |    day - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS island
+      |  FROM days)
+      |SELECT user_id, MIN(day) AS start_day, MAX(day) AS end_day,
+      |  COUNT(*) AS n_days
+      |FROM isl GROUP BY user_id, island
+      |ORDER BY user_id, start_day""".stripMargin
+
   // ---------------------------------------------------------- win_ignore_nulls
   /** IGNORE NULLS analytics over a sparse measure: forward fill
     * (`last_value IGNORE NULLS` over an unbounded-preceding frame),
@@ -281,6 +322,8 @@ object Windows {
       "distribution window family: percent_rank / cume_dist"),
     GQuery("win_rank", winRank, Some(winRankOracle),
       "row_number/rank/dense_rank/ntile ranking window"),
+    GQuery("win_gap_islands", winGapIslands, Some(winGapIslandsOracle),
+      "gaps-and-islands: maximal consecutive-day runs per user"),
     GQuery("win_ignore_nulls", winIgnoreNulls, Some(winIgnoreNullsOracle),
       "IGNORE NULLS analytics: forward/backward fill + previous non-null"),
     GQuery("win_analytic", winAnalytic, Some(winAnalyticOracle),
