@@ -689,6 +689,36 @@ object Relational {
        |  COUNT(*) AS n_all
        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // ------------------------------------------------------------- agg_histogram
+  /** Fixed-bin histogram of order totals — the profiling primitive
+    * behind data-quality dashboards and skew detection. Bin assignment
+    * is pure integer arithmetic on cents (portable; no reliance on
+    * engine width_bucket edge conventions), so the histogram is exact.
+    * One map-side-combined groupBy over 20 bins regardless of input
+    * size.
+    */
+  def aggHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val loC = 0L            // $0
+    val wC = 5000000L       // $50k per bin, 20 bins
+    val nBins = 20L
+    Tables.orders(spark, dir)
+      .select(least(greatest(
+        expr(s"(cast(round(o_totalprice*100) as bigint) - $loC) div $wC"),
+        lit(0L)), lit(nBins - 1)).cast("long").as("bin"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("bin"), (lit(loC) + col("bin") * wC).as("bin_lo_cents"), col("n"))
+      .orderBy(col("bin"))
+  }
+
+  private val aggHistogramOracle =
+    s"""SELECT bin, 0 + bin * 5000000 AS bin_lo_cents, COUNT(*) AS n
+       |FROM (
+       |  SELECT LEAST(GREATEST((${oCents("o_totalprice")} - 0) // 5000000, 0), 19)
+       |    AS bin
+       |  FROM orders)
+       |GROUP BY bin ORDER BY bin""".stripMargin
+
   // -------------------------------------------------------------- agg_weighted
   /** Quantity-weighted average price per group — the weighted-mean
     * shape every metrics rollup needs. Numerator and denominator
@@ -1152,6 +1182,8 @@ object Relational {
       "post-aggregation HAVING filter"),
     GQuery("agg_stats", aggStats, Some(aggStatsOracle),
       "stddev/var/corr/covar/percentile statistics"),
+    GQuery("agg_histogram", aggHistogram, Some(aggHistogramOracle),
+      "exact fixed-bin histogram via integer bucket arithmetic"),
     GQuery("agg_weighted", aggWeighted, Some(aggWeightedOracle),
       "quantity-weighted average via exact integer num/den + one division"),
     GQuery("agg_bool", aggBool, Some(aggBoolOracle),

@@ -331,6 +331,42 @@ object PsQueries {
        |FROM (SELECT DISTINCT item FROM r) WHERE item < 300
        |ORDER BY item""".stripMargin
 
+  // ----------------------------------------------------------------- mf_cooccur
+  /** Item-item co-occurrence — the neighborhood model item-based CF
+    * builds before any factorization (and the cheap fallback the
+    * reference's recommendation stack implies [K-low]). Classic
+    * Σ(user-degree²) blow-up risk, so the user side is degree-capped
+    * first (≤ 30 distinct items; power users contribute pairs from a
+    * sample at crawl scale — same posture as dedup_near's df-cap). The
+    * pair space is halved with item_a < item_b; output is the global
+    * top-50 pairs by support with a total-order tiebreak.
+    */
+  def mfCooccur(spark: SparkSession, dir: String): DataFrame = {
+    val ui = ratings(spark, dir)
+      .select(col("user"), col("item")).distinct()
+    val deg = ui.groupBy(col("user")).agg(count(lit(1)).as("d"))
+      .filter(col("d") <= 30)
+    val capped = ui.join(deg.select("user"), "user")
+    val pairs = capped.as("a")
+      .join(capped.as("b"),
+        col("a.user") === col("b.user") && col("a.item") < col("b.item"))
+      .groupBy(col("a.item").as("item_a"), col("b.item").as("item_b"))
+      .agg(count(lit(1)).as("support"))
+    pairs.orderBy(col("support").desc, col("item_a"), col("item_b")).limit(50)
+  }
+
+  private val mfCooccurOracle =
+    s"""WITH r AS ($oRatings),
+       |ui AS (SELECT DISTINCT "user", item FROM r),
+       |deg AS (SELECT "user" FROM ui GROUP BY 1 HAVING COUNT(*) <= 30),
+       |capped AS (SELECT ui.* FROM ui JOIN deg USING ("user"))
+       |SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS support
+       |FROM capped a JOIN capped b
+       |  ON a."user" = b."user" AND a.item < b.item
+       |GROUP BY 1, 2
+       |ORDER BY support DESC, item_a, item_b
+       |LIMIT 50""".stripMargin
+
   // --------------------------------------------------------------- ps_staleness
   /** Stale-synchronous-parallel (SSP) reads: a worker at epoch e may
     * read a model that is missing the last s epochs of pushes — the
@@ -865,6 +901,8 @@ object PsQueries {
       "WorkerLogic.onRecv: flatMapGroups per-key stateful fold"),
     GQuery("mf_init", mfInit, Some(mfInitOracle),
       "deterministic ranged factor init (dim 8)"),
+    GQuery("mf_cooccur", mfCooccur, Some(mfCooccurOracle),
+      "degree-capped item-item co-occurrence, global top-50 by support"),
     GQuery("ps_staleness", psStaleness, Some(psStalenessOracle),
       "bounded-staleness (SSP) reads: fresh vs lag(s) window over pushes"),
     GQuery("mf_fold_in", mfFoldIn, Some(mfFoldInOracle),
