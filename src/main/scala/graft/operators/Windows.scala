@@ -75,6 +75,42 @@ object Windows {
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
       |ORDER BY o_custkey, pr, o_orderkey""".stripMargin
 
+  // ------------------------------------------------------ win_running_distinct
+  /** Running COUNT(DISTINCT) per user over event time — neither engine
+    * supports DISTINCT inside a window frame, so it is restated
+    * portably: mark each (user, type)'s first occurrence with one
+    * ranking window, then running-sum the marks with a second. Two
+    * window passes over the same user partitioning = one shuffle.
+    * The feature-engineering shape behind "how many distinct X has
+    * this entity touched so far" columns.
+    */
+  def winRunningDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val firstW = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    val runW = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .filter(col("user_id") < 30)
+      .withColumn("first_seen",
+        when(row_number().over(firstW) === 1, 1L).otherwise(0L))
+      .select(col("user_id"), col("event_id"),
+        sum(col("first_seen")).over(runW).as("n_distinct_types"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  private val winRunningDistinctOracle =
+    """SELECT user_id, event_id,
+      |  CAST(SUM(first_seen) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS n_distinct_types
+      |FROM (
+      |  SELECT user_id, event_id, ts,
+      |    CASE WHEN ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+      |              ORDER BY ts, event_id) = 1 THEN 1 ELSE 0 END AS first_seen
+      |  FROM events WHERE user_id < 30)
+      |ORDER BY user_id, event_id""".stripMargin
+
   // ----------------------------------------------------------- win_gap_islands
   /** Gaps-and-islands: collapse each user's distinct active days into
     * maximal consecutive runs via the classic day − row_number()
@@ -322,6 +358,8 @@ object Windows {
       "distribution window family: percent_rank / cume_dist"),
     GQuery("win_rank", winRank, Some(winRankOracle),
       "row_number/rank/dense_rank/ntile ranking window"),
+    GQuery("win_running_distinct", winRunningDistinct, Some(winRunningDistinctOracle),
+      "running distinct count via first-occurrence marks + running sum"),
     GQuery("win_gap_islands", winGapIslands, Some(winGapIslandsOracle),
       "gaps-and-islands: maximal consecutive-day runs per user"),
     GQuery("win_ignore_nulls", winIgnoreNulls, Some(winIgnoreNullsOracle),

@@ -331,6 +331,52 @@ object PsQueries {
        |FROM (SELECT DISTINCT item FROM r) WHERE item < 300
        |ORDER BY item""".stripMargin
 
+  // ---------------------------------------------------------------- mf_baseline
+  /** Baseline predictor b_ui = μ + b_i + b_u (the bias model every
+    * factorization is trained against residuals of — public Koren/
+    * Netflix-era formulation). All terms in e6 integer units with
+    * integer division, so the two-pass computation (global mean →
+    * item deviations → user deviations on the residual) is bit-exact
+    * cross-engine. Shapes: three keyed aggregations, each map-side
+    * combined; the μ scalar rides a broadcast cross join.
+    */
+  def mfBaseline(spark: SparkSession, dir: String): DataFrame = {
+    val r = ratings(spark, dir)
+      .select(col("user"), col("item"),
+        (cents(col("rating")) * 10000L).as("r_e6"))
+    val mu = r.agg(
+      expr("sum(r_e6) div count(1)").as("mu_e6"))
+    val withMu = r.crossJoin(broadcast(mu))
+    val itemBias = withMu.groupBy(col("item"))
+      .agg(expr("sum(r_e6 - mu_e6) div count(1)").as("b_i_e6"))
+    val userBias = withMu.join(itemBias, "item")
+      .groupBy(col("user"), col("mu_e6"))
+      .agg(expr("sum(r_e6 - mu_e6 - b_i_e6) div count(1)").as("b_u_e6"),
+        count(lit(1)).as("n_rated"))
+    userBias
+      .filter(col("user") < 100)
+      .select(col("user"), col("n_rated"), col("mu_e6"),
+        col("b_u_e6"), (col("mu_e6") + col("b_u_e6")).as("pred_base_e6"))
+      .orderBy(col("user"))
+  }
+
+  private val mfBaselineOracle =
+    s"""WITH r0 AS ($oRatings),
+       |r AS (SELECT "user", item, ${oCents("rating")} * 10000 AS r_e6 FROM r0),
+       |mu AS (SELECT CAST(SUM(r_e6) // COUNT(*) AS BIGINT) AS mu_e6 FROM r),
+       |ib AS (SELECT item,
+       |         CAST(SUM(r_e6 - mu_e6) // COUNT(*) AS BIGINT) AS b_i_e6
+       |       FROM r, mu GROUP BY item),
+       |ub AS (SELECT "user", MIN(mu_e6) AS mu_e6,
+       |         CAST(SUM(r_e6 - mu_e6 - b_i_e6) // COUNT(*) AS BIGINT) AS b_u_e6,
+       |         COUNT(*) AS n_rated
+       |       FROM r JOIN ib USING (item), mu
+       |       GROUP BY "user")
+       |SELECT "user", n_rated, mu_e6, b_u_e6,
+       |       CAST(mu_e6 + b_u_e6 AS BIGINT) AS pred_base_e6
+       |FROM ub WHERE "user" < 100
+       |ORDER BY "user"""".stripMargin
+
   // ----------------------------------------------------------------- mf_cooccur
   /** Item-item co-occurrence — the neighborhood model item-based CF
     * builds before any factorization (and the cheap fallback the
@@ -901,6 +947,8 @@ object PsQueries {
       "WorkerLogic.onRecv: flatMapGroups per-key stateful fold"),
     GQuery("mf_init", mfInit, Some(mfInitOracle),
       "deterministic ranged factor init (dim 8)"),
+    GQuery("mf_baseline", mfBaseline, Some(mfBaselineOracle),
+      "bias baseline predictor mu + b_i + b_u in exact e6 integer units"),
     GQuery("mf_cooccur", mfCooccur, Some(mfCooccurOracle),
       "degree-capped item-item co-occurrence, global top-50 by support"),
     GQuery("ps_staleness", psStaleness, Some(psStalenessOracle),
