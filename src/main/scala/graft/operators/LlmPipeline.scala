@@ -910,6 +910,55 @@ object LlmPipeline {
       |FROM tr JOIN ev USING (g)
       |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin
 
+  // --------------------------------------------------------------- sim_centroid
+  /** Per-label embedding centroids + dispersion — the cluster-quality
+    * diagnostic run after any labeling/clustering pass (tight, separated
+    * clusters → learnable labels). Dims are quantized to e6 integers
+    * up front, the centroid is an integer-division mean per (label,
+    * dim), and each vector's squared distance to its centroid stays in
+    * exact integer units — deterministic across engines and partitions.
+    * posexplode → (label, dim) agg → rejoin is one shuffle each way on
+    * keys of cardinality labels × 64.
+    */
+  def simCentroid(spark: SparkSession, dir: String): DataFrame = {
+    val dims = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"),
+        posexplode(expr(
+          "transform(embedding, x -> cast(round(cast(x as double) * 1000000) as bigint))"))
+          .as(Seq("dim", "x_e6")))
+    val cent = dims.groupBy(col("label"), col("dim"))
+      .agg(expr("sum(x_e6) div count(1)").as("c_e6"))
+    val dist = dims.join(cent, Seq("label", "dim"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(sum((col("x_e6") - col("c_e6")) * (col("x_e6") - col("c_e6")))
+        .as("sq_dist_e12"))
+    dist.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        expr("sum(sq_dist_e12) div count(1)").as("avg_sq_dist_e12"),
+        max(col("sq_dist_e12")).as("max_sq_dist_e12"))
+      .orderBy(col("label"))
+  }
+
+  private val simCentroidOracle =
+    """WITH dims AS (
+      |  SELECT vec_id, label, j AS dim,
+      |    CAST(ROUND(CAST(embedding[CAST(j + 1 AS INTEGER)] AS DOUBLE) * 1000000)
+      |         AS BIGINT) AS x_e6
+      |  FROM embeddings,
+      |       unnest(generate_series(0, len(embedding) - 1)) AS t(j)),
+      |cent AS (
+      |  SELECT label, dim, CAST(SUM(x_e6) // COUNT(*) AS BIGINT) AS c_e6
+      |  FROM dims GROUP BY 1, 2),
+      |dist AS (
+      |  SELECT vec_id, label,
+      |    CAST(SUM((x_e6 - c_e6) * (x_e6 - c_e6)) AS BIGINT) AS sq_dist_e12
+      |  FROM dims JOIN cent USING (label, dim)
+      |  GROUP BY 1, 2)
+      |SELECT label, COUNT(*) AS n_vecs,
+      |  CAST(SUM(sq_dist_e12) // COUNT(*) AS BIGINT) AS avg_sq_dist_e12,
+      |  MAX(sq_dist_e12) AS max_sq_dist_e12
+      |FROM dist GROUP BY label ORDER BY label""".stripMargin
+
   // --------------------------------------------------------------- sim_quantize
   /** Int8 scalar quantization of embeddings — the memory-compression
     * step of a large-scale vector index (4× smaller than float32, the
@@ -1190,6 +1239,8 @@ object LlmPipeline {
       "line-level dedup audit: per-doc duplicated-sentence fraction"),
     GQuery("dedup_decontam", dedupDecontam, Some(dedupDecontamOracle),
       "eval-set decontamination: 5-gram overlap vs a broadcast eval set"),
+    GQuery("sim_centroid", simCentroid, Some(simCentroidOracle),
+      "per-label centroid + integer dispersion cluster diagnostics"),
     GQuery("sim_quantize", simQuantize, Some(simQuantizeOracle),
       "int8 scalar quantization of embeddings with exact error audit"),
     GQuery("text_ngram_profile", textNgramProfile, Some(textNgramProfileOracle),
