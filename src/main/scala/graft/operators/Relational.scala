@@ -689,6 +689,39 @@ object Relational {
        |  COUNT(*) AS n_all
        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // ------------------------------------------------------------------ agg_mode
+  /** Deterministic exact mode per group: both engines' native mode()
+    * breaks frequency ties arbitrarily, so it is restated as count →
+    * rank with a total-order tiebreak (highest count, then smallest
+    * value) — the only formulation that hash-compares. Two aggregations
+    * sharing the group key's partitioning plus one tiny window.
+    */
+  def aggMode(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"), col("l_suppkey"))
+      .agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("l_returnflag"))
+      .orderBy(col("n").desc, col("l_suppkey"))
+    counts.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("l_returnflag"), col("l_suppkey").as("mode_suppkey"),
+        col("n").as("mode_n"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  private val aggModeOracle =
+    """WITH c AS (
+      |  SELECT l_returnflag, l_suppkey, COUNT(*) AS n
+      |  FROM lineitem GROUP BY 1, 2),
+      |r AS (
+      |  SELECT l_returnflag, l_suppkey, n,
+      |    ROW_NUMBER() OVER (PARTITION BY l_returnflag
+      |                       ORDER BY n DESC, l_suppkey) AS rk
+      |  FROM c)
+      |SELECT l_returnflag, l_suppkey AS mode_suppkey, n AS mode_n
+      |FROM r WHERE rk = 1 ORDER BY l_returnflag""".stripMargin
+
   // ------------------------------------------------------------- agg_histogram
   /** Fixed-bin histogram of order totals — the profiling primitive
     * behind data-quality dashboards and skew detection. Bin assignment
@@ -1182,6 +1215,8 @@ object Relational {
       "post-aggregation HAVING filter"),
     GQuery("agg_stats", aggStats, Some(aggStatsOracle),
       "stddev/var/corr/covar/percentile statistics"),
+    GQuery("agg_mode", aggMode, Some(aggModeOracle),
+      "deterministic exact mode: count-rank with total-order tiebreak"),
     GQuery("agg_histogram", aggHistogram, Some(aggHistogramOracle),
       "exact fixed-bin histogram via integer bucket arithmetic"),
     GQuery("agg_weighted", aggWeighted, Some(aggWeightedOracle),
