@@ -631,6 +631,46 @@ object Relational {
       |  COUNT(*) AS n
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  // --------------------------------------------------------------- join_fuzzy
+  /** Fuzzy entity-resolution join: match suppliers against a
+    * deterministically corrupted twin registry (one character
+    * substituted) under edit distance ≤ 1 — the record-linkage shape
+    * behind dedup of entity tables. Never all-pairs: candidates are
+    * blocked on (2-char prefix, exact length), which the corruption
+    * preserves, so the expensive levenshtein runs only inside tiny
+    * blocks — the same block-then-verify posture as the LSH dedup
+    * family, and the part that survives 100 TB.
+    */
+  def joinFuzzy(spark: SparkSession, dir: String): DataFrame = {
+    val clean = Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_name"))
+    val dirty = clean.select(
+      (col("s_suppkey") + 1000000L).as("d_key"),
+      concat(substring(col("s_name"), 1, 2), lit("x"),
+        substring(col("s_name"), 4, 100)).as("d_name"))
+    clean.join(dirty,
+        substring(col("s_name"), 1, 2) === substring(col("d_name"), 1, 2) &&
+          length(col("s_name")) === length(col("d_name")) &&
+          levenshtein(col("s_name"), col("d_name")) <= 1)
+      .select(col("s_suppkey"), col("d_key"),
+        levenshtein(col("s_name"), col("d_name")).cast("long").as("dist"))
+      .orderBy(col("s_suppkey"), col("d_key"))
+  }
+
+  private val joinFuzzyOracle =
+    """WITH clean AS (SELECT s_suppkey, s_name FROM supplier),
+      |dirty AS (
+      |  SELECT s_suppkey + 1000000 AS d_key,
+      |    concat(substring(s_name, 1, 2), 'x', substring(s_name, 4, 100))
+      |      AS d_name
+      |  FROM supplier)
+      |SELECT s_suppkey, d_key,
+      |  CAST(levenshtein(s_name, d_name) AS BIGINT) AS dist
+      |FROM clean JOIN dirty
+      |  ON substring(s_name, 1, 2) = substring(d_name, 1, 2)
+      | AND length(s_name) = length(d_name)
+      | AND levenshtein(s_name, d_name) <= 1
+      |ORDER BY s_suppkey, d_key""".stripMargin
+
   // ------------------------------------------------------------ join_null_safe
   /** Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): NULL keys
     * match each other — the semantics dimension-table joins need when
@@ -1225,6 +1265,8 @@ object Relational {
       "boolean aggregates bool_and/bool_or (data-quality assertions)"),
     GQuery("set_ops_all", setOpsAll, Some(setOpsAllOracle),
       "multiset INTERSECT ALL / EXCEPT ALL with duplicate preservation"),
+    GQuery("join_fuzzy", joinFuzzy, Some(joinFuzzyOracle),
+      "blocked fuzzy entity-resolution join under edit distance <= 1"),
     GQuery("join_null_safe", joinNullSafe, Some(joinNullSafeOracle),
       "null-safe equality join: NULL keys match (IS NOT DISTINCT FROM)"),
     GQuery("agg_filtered", aggFiltered, Some(aggFilteredOracle),
