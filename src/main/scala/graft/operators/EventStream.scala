@@ -222,6 +222,87 @@ object EventStream {
       |GROUP BY 1
       |ORDER BY user_id""".stripMargin
 
+  // --------------------------------------------------------------- event_funnel
+  /** Funnel analysis: how many users complete view → click → purchase
+    * in event-time order. Per user, one aggregation computes the first
+    * timestamp of each step (conditional MINs — no joins, no explode);
+    * stage reached = how far the ordered chain holds. The sequential-
+    * pattern shape of the reference's EDBT'18 prediction line restated
+    * as a single map-side-combined pass; output is the funnel summary.
+    */
+  def eventFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val firsts = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === "view", col("ts"))).as("t_view"),
+        min(when(col("event_type") === "click", col("ts"))).as("t_click"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("t_buy"))
+    firsts
+      .select(
+        when(col("t_view").isNull, 0L)
+          .when(col("t_click").isNull || col("t_click") <= col("t_view"), 1L)
+          .when(col("t_buy").isNull || col("t_buy") <= col("t_click"), 2L)
+          .otherwise(3L).as("stage"))
+      .groupBy(col("stage"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("stage"))
+  }
+
+  private val eventFunnelOracle =
+    """WITH f AS (
+      |  SELECT user_id,
+      |    MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+      |    MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+      |    MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy
+      |  FROM events GROUP BY user_id),
+      |s AS (
+      |  SELECT CASE
+      |    WHEN t_view IS NULL THEN 0
+      |    WHEN t_click IS NULL OR t_click <= t_view THEN 1
+      |    WHEN t_buy IS NULL OR t_buy <= t_click THEN 2
+      |    ELSE 3 END AS stage
+      |  FROM f)
+      |SELECT CAST(stage AS BIGINT) AS stage, COUNT(*) AS n_users
+      |FROM s GROUP BY stage ORDER BY stage""".stripMargin
+
+  // -------------------------------------------------------------- agg_retention
+  /** Cohort retention: users grouped by first-seen week, counted in
+    * each later week they were active — the (cohort week × offset)
+    * matrix every growth dashboard draws. Two aggregations (first-seen,
+    * then distinct activity) joined on the user key, week arithmetic in
+    * integer days; output in long form to honor the scalar-output
+    * invariant. Both aggs are map-side combined; nothing exceeds
+    * O(users × active weeks).
+    */
+  def aggRetention(spark: SparkSession, dir: String): DataFrame = {
+    val days = Tables.events(spark, dir)
+      .select(col("user_id"),
+        expr("cast(datediff(cast(ts as date), date'1970-01-01') as bigint) div 7")
+          .as("week"))
+    val weeks = days.distinct()
+    val cohort = weeks.groupBy(col("user_id"))
+      .agg(min(col("week")).as("cohort_week"))
+    weeks.join(cohort, "user_id")
+      .groupBy(col("cohort_week"),
+        (col("week") - col("cohort_week")).as("offset_weeks"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .filter(col("offset_weeks") <= 8)
+      .orderBy(col("cohort_week"), col("offset_weeks"))
+  }
+
+  private val aggRetentionOracle =
+    """WITH w AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7
+      |         AS BIGINT) AS week
+      |  FROM events),
+      |c AS (SELECT user_id, MIN(week) AS cohort_week FROM w GROUP BY 1)
+      |SELECT cohort_week, week - cohort_week AS offset_weeks,
+      |  COUNT(DISTINCT user_id) AS n_active
+      |FROM w JOIN c USING (user_id)
+      |WHERE week - cohort_week <= 8
+      |GROUP BY 1, 2 ORDER BY cohort_week, offset_weeks""".stripMargin
+
   // ---------------------------------------------------------------- pred_stream
   /** Online prediction + continuous evaluation (EDBT'18 shape): model =
     * per-type mean from the first 20 days, scored on later events with a
@@ -263,6 +344,10 @@ object EventStream {
        |ORDER BY event_type, event_id""".stripMargin
 
   def queries: Seq[GQuery] = Seq(
+    GQuery("event_funnel", eventFunnel, Some(eventFunnelOracle),
+      "view->click->purchase funnel stages via conditional first-ts mins"),
+    GQuery("agg_retention", aggRetention, Some(aggRetentionOracle),
+      "weekly cohort retention matrix in long form"),
     GQuery("stream_tumble", streamTumble, Some(streamTumbleOracle),
       "tumbling 1h event-time window aggregate"),
     GQuery("stream_slide", streamSlide, Some(streamSlideOracle),
