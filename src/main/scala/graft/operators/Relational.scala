@@ -281,6 +281,82 @@ object Relational {
        |FROM orders WHERE o_totalprice > 200000
        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  // ------------------------------------------------------- scan_schema_evolve
+  /** Schema evolution on read: two parquet generations of the same
+    * table — the newer one carries an added column — scanned together
+    * with `mergeSchema`; rows from the old generation surface NULL for
+    * the new column and `coalesce` gives the migration default. This is
+    * the "column added last quarter" reality of any long-lived lake;
+    * the merged read costs one footer pass extra, the scan stays
+    * columnar and pruned.
+    */
+  def scanSchemaEvolve(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val base = Tables.nation(spark, dir)
+      .select("n_nationkey", "n_name", "n_regionkey")
+    val oldGen = base.filter(col("n_nationkey") % 2 === 0)
+    val newGen = base.filter(col("n_nationkey") % 2 =!= 0)
+      .withColumn("n_zone", (col("n_regionkey") * 10L).cast("long"))
+    val root = Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft_evolve_nation_" + Integer.toHexString(dir.hashCode))
+    val merged =
+      try {
+        val marker = root.resolve("_SUCCESS")
+        if (!Files.exists(marker)) {
+          // same temp-dir + atomic-rename + marker protocol as Snapshots
+          val tmp = root.resolveSibling(
+            root.getFileName.toString + ".tmp." + ProcessHandle.current().pid())
+          oldGen.write.mode("overwrite").parquet(s"$tmp/gen=1")
+          newGen.write.mode("overwrite").parquet(s"$tmp/gen=2")
+          Files.createFile(tmp.resolve("_SUCCESS"))
+          try Files.move(tmp, root, StandardCopyOption.ATOMIC_MOVE)
+          catch { case _: java.io.IOException => () } // lost publish race
+        }
+        if (Files.exists(marker))
+          spark.read.option("mergeSchema", "true").parquet(root.toString)
+        else oldGen.unionByName(newGen, allowMissingColumns = true)
+      } catch { case _: Throwable =>
+        oldGen.unionByName(newGen, allowMissingColumns = true)
+      }
+    merged
+      .select(col("n_nationkey"), col("n_name"),
+        coalesce(col("n_zone"), lit(-1L)).as("zone_or_default"))
+      .orderBy(col("n_nationkey"))
+  }
+
+  private val scanSchemaEvolveOracle =
+    """SELECT n_nationkey, n_name,
+      |  CASE WHEN n_nationkey % 2 = 0 THEN -1
+      |       ELSE n_regionkey * 10 END AS zone_or_default
+      |FROM nation ORDER BY n_nationkey""".stripMargin
+
+  // ---------------------------------------------------------------- agg_argmax
+  /** ARGMAX/ARGMIN aggregates (max_by/min_by): which order was the
+    * group's most/least expensive. The comparison key is made unique
+    * (cents ⊕ orderkey composite integer) so ties cannot make the
+    * answer engine-dependent — native max_by tie-breaking is
+    * unspecified in both engines. One map-side-combined pass.
+    */
+  def aggArgmax(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        (cents(col("o_totalprice")) * 100000000L + col("o_orderkey")).as("rank_key"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        expr("max_by(o_orderkey, rank_key)").as("max_order"),
+        expr("min_by(o_orderkey, rank_key)").as("min_order"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderpriority"))
+
+  private val aggArgmaxOracle =
+    s"""SELECT o_orderpriority,
+       |  max_by(o_orderkey, ${oCents("o_totalprice")} * 100000000 + o_orderkey)
+       |    AS max_order,
+       |  min_by(o_orderkey, ${oCents("o_totalprice")} * 100000000 + o_orderkey)
+       |    AS min_order,
+       |  COUNT(*) AS n
+       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   // ------------------------------------------------------------ source_jsonl
   /** JSON-lines sink + source round trip — the interchange format crawl
     * and annotation pipelines actually ship. The customer table is staged
@@ -1221,6 +1297,10 @@ object Relational {
       "CSV source round trip: explicit schema, header/sep options, broadcast dim join"),
     GQuery("source_orc", sourceOrc, Some(sourceOrcOracle),
       "ORC source round trip with predicate pushdown on the ORC scan"),
+    GQuery("scan_schema_evolve", scanSchemaEvolve, Some(scanSchemaEvolveOracle),
+      "mergeSchema read across two parquet generations with an added column"),
+    GQuery("agg_argmax", aggArgmax, Some(aggArgmaxOracle),
+      "ARGMAX/ARGMIN via max_by/min_by on a unique composite key"),
     GQuery("source_jsonl", sourceJsonl, Some(sourceJsonlOracle),
       "JSON-lines sink + explicit-schema source round trip"),
     GQuery("source_json_col", sourceJsonCol, Some(sourceJsonColOracle),
