@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver captures `sbt "runMain graft.Bench"` stdout and json-parses
+// the tail. sbt's default LoggedOutput prefixes every forked-process
+// line with "[info] ", which breaks json.loads on the per-query and
+// total lines; StdoutOutput passes the child's stdout through verbatim.
+run / outputStrategy := Some(StdoutOutput)
+// ...and keep sbt's own "[success] Total time: ..." line from landing
+// after (and masking) the JSON total line in a tail capture.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

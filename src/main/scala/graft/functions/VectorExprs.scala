@@ -49,11 +49,21 @@ case class ArrayDotProduct(left: Expression, right: Expression)
         s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
   override def dataType: DataType = DoubleType
   override def prettyName: String = "array_dot_product"
+  // NULL on ragged inputs (below), independent of child nullability.
+  override def nullable: Boolean = true
 
+  // Length mismatch returns NULL — the exact semantics of the HOF form
+  // `aggregate(zip_with(a, b, (x,y) -> x*y), 0D, (s,v) -> s+v)`, where
+  // zip_with null-pads the shorter side and the padded product poisons
+  // the sum to NULL. Keeping the kernel bit-compatible with the HOF on
+  // ALL inputs (not just the equal-length embedding contract) is what
+  // makes the session-wide FuseArrayDotProduct rewrite a pure
+  // optimization rather than a silent result change.
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
@@ -66,12 +76,16 @@ case class ArrayDotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += $x.getDouble($i) * $y.getDouble($i);
+         |int $n = $x.numElements();
+         |if ($n != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += $x.getDouble($i) * $y.getDouble($i);
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 

@@ -115,20 +115,26 @@ object LlmPipeline {
     // carrying no discriminative signal, so the cap is what bounds the
     // operator unconditionally at 100 TB; at the test SFs max df ≈ 25,
     // the cap never binds, and the result equals exact Jaccard. The hot
-    // set is ≤ |sh|/dfCap rows by construction → always broadcastable.
+    // set is ≤ |sh|/dfCap DISTINCT shingles — usually tiny under a
+    // Zipfian df distribution but not provably driver-sized, so no
+    // broadcast hint: AQE converts the anti join to broadcast when the
+    // built side is in fact small, and falls back to shuffle otherwise.
     val dfCap = 1000
     val shAll = shingles(Tables.documents(spark, dir)).cache()
     val hot = shAll.groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df") > dfCap).select("shingle")
-    val sh = shAll.join(broadcast(hot), Seq("shingle"), "left_anti")
+    val sh = shAll.join(hot, Seq("shingle"), "left_anti")
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val inter = sh.as("x").join(sh.as("y"),
         col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
       .agg(count(lit(1)).as("inter"))
+    // `sizes` is one row PER DOCUMENT — broadcast-sized at test SFs,
+    // driver-OOM at crawl scale — so the join carries no hint and AQE
+    // picks broadcast only when the runtime size allows it.
     inter
-      .join(broadcast(sizes.select(col("doc_id").as("da"), col("n_sh").as("na"))), "da")
-      .join(broadcast(sizes.select(col("doc_id").as("db"), col("n_sh").as("nb"))), "db")
+      .join(sizes.select(col("doc_id").as("da"), col("n_sh").as("na")), "da")
+      .join(sizes.select(col("doc_id").as("db"), col("n_sh").as("nb")), "db")
       .withColumn("jaccard",
         round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 4))
       .filter(col("jaccard") >= 0.8)
@@ -194,8 +200,10 @@ object LlmPipeline {
       .distinct()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     // candidate-driven intersection (see dedupNear): never self-join the
-    // full shingle relation for verification
-    val inter = broadcast(cand)
+    // full shingle relation for verification. `cand` is one row per
+    // candidate PAIR (unbounded at crawl scale), so no broadcast hint —
+    // AQE broadcasts it when the runtime size is actually small.
+    val inter = cand
       .join(sh.as("x"), col("da") === col("x.doc_id"))
       .select(col("da"), col("db"), col("x.shingle").as("c_shingle"))
       .join(sh.as("y"),
@@ -273,8 +281,12 @@ object LlmPipeline {
       while (i < 63) { if (b(i) > 0) sim |= (1L << i); i += 1 }
       sim
     }
+    // ExpressionEncoder (ARRAY<BIGINT>), not java serialization: every
+    // map-side partial crossing the partial->final exchange pays this
+    // encoder, and the native array codec is far cheaper than an
+    // ObjectOutputStream round trip per 63-long buffer.
     def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
-      org.apache.spark.sql.Encoders.javaSerialization[Array[Long]]
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
     def outputEncoder: org.apache.spark.sql.Encoder[Long] =
       org.apache.spark.sql.Encoders.scalaLong
   }

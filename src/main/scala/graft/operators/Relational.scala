@@ -309,8 +309,16 @@ object Relational {
           oldGen.write.mode("overwrite").parquet(s"$tmp/gen=1")
           newGen.write.mode("overwrite").parquet(s"$tmp/gen=2")
           Files.createFile(tmp.resolve("_SUCCESS"))
-          try Files.move(tmp, root, StandardCopyOption.ATOMIC_MOVE)
-          catch { case _: java.io.IOException => () } // lost publish race
+          // marker re-check + lost-race tmp cleanup, as in
+          // Snapshots.materialize: never delete a published layout, and
+          // never leave the pid-tagged tmp behind on the losing side.
+          if (Files.exists(marker)) graft.sources.Snapshots.deleteRecursively(tmp)
+          else {
+            try Files.move(tmp, root, StandardCopyOption.ATOMIC_MOVE)
+            catch { case _: java.io.IOException =>
+              graft.sources.Snapshots.deleteRecursively(tmp) // lost publish race
+            }
+          }
         }
         if (Files.exists(marker))
           spark.read.option("mergeSchema", "true").parquet(root.toString)
@@ -333,14 +341,19 @@ object Relational {
   // ---------------------------------------------------------------- agg_argmax
   /** ARGMAX/ARGMIN aggregates (max_by/min_by): which order was the
     * group's most/least expensive. The comparison key is made unique
-    * (cents ⊕ orderkey composite integer) so ties cannot make the
-    * answer engine-dependent — native max_by tie-breaking is
-    * unspecified in both engines. One map-side-combined pass.
+    * (cents·10¹⁸ + orderkey, exact in DECIMAL(38) on the Spark side and
+    * HUGEINT in the oracle) so ties cannot make the answer
+    * engine-dependent — native max_by tie-breaking is unspecified in
+    * both engines. The 10¹⁸ stride keeps the composite collision-free
+    * for any orderkey < 10¹⁸, i.e. at any realistic scale factor
+    * (TPC-H cents fit in 10 digits at every SF since totalprice is
+    * per-order bounded). One map-side-combined pass.
     */
   def aggArgmax(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
       .select(col("o_orderpriority"), col("o_orderkey"),
-        (cents(col("o_totalprice")) * 100000000L + col("o_orderkey")).as("rank_key"))
+        (cents(col("o_totalprice")).cast("decimal(10,0)")
+          * lit(1000000000000000000L) + col("o_orderkey")).as("rank_key"))
       .groupBy(col("o_orderpriority"))
       .agg(
         expr("max_by(o_orderkey, rank_key)").as("max_order"),
@@ -350,10 +363,10 @@ object Relational {
 
   private val aggArgmaxOracle =
     s"""SELECT o_orderpriority,
-       |  max_by(o_orderkey, ${oCents("o_totalprice")} * 100000000 + o_orderkey)
-       |    AS max_order,
-       |  min_by(o_orderkey, ${oCents("o_totalprice")} * 100000000 + o_orderkey)
-       |    AS min_order,
+       |  max_by(o_orderkey, CAST(${oCents("o_totalprice")} AS HUGEINT)
+       |    * 1000000000000000000 + o_orderkey) AS max_order,
+       |  min_by(o_orderkey, CAST(${oCents("o_totalprice")} AS HUGEINT)
+       |    * 1000000000000000000 + o_orderkey) AS min_order,
        |  COUNT(*) AS n
        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 

@@ -16,17 +16,16 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType}
   * optimizer swaps in the tight primitive loop — the Catalyst-idiomatic
   * way to accelerate a recurring pattern without changing any call site.
   *
-  * Semantics guard: the rewrite preserves results for the engine's
-  * embedding contract — equal-length arrays with non-null DOUBLE
-  * elements (all fixture/embedding columns are fixed-width). `zip_with`
-  * on ragged inputs null-pads (poisoning the HOF sum to NULL) whereas
-  * the fused kernel truncates to the shorter side, so the rule only
-  * fires when both inputs share that contract as far as the types can
-  * express it (non-containsNull ARRAY<DOUBLE>); ragged arrays of the
-  * same element type are the caller's responsibility, as documented on
-  * the extension point. IEEE addition and multiplication are
-  * commutative (not associative — the fold ORDER is preserved), so
-  * either operand order inside the lambdas matches.
+  * Semantics guard: the rule fires only on non-containsNull
+  * ARRAY<DOUBLE> inputs — a null ELEMENT makes the HOF sum NULL, which
+  * the kernel's primitive loop cannot observe. Ragged (unequal-length)
+  * inputs need no guard: `zip_with` null-pads the shorter side, which
+  * poisons the HOF sum to NULL, and [[ArrayDotProduct]] returns NULL on
+  * length mismatch for exactly that reason — the rewrite is result-
+  * preserving for ANY lengths, so injecting it session-wide is safe.
+  * IEEE addition and multiplication are commutative (not associative —
+  * the fold ORDER is preserved), so either operand order inside the
+  * lambdas matches.
   */
 object FuseArrayDotProduct extends Rule[LogicalPlan] {
 

@@ -50,8 +50,10 @@ object SketchQueries {
       a
     }
     def finish(r: Array[Long]): Array[Long] = r
+    // Same native ARRAY<BIGINT> codec as the output encoder below —
+    // shuffle partials should not pay Java serialization.
     def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
-      org.apache.spark.sql.Encoders.javaSerialization[Array[Long]]
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
     def outputEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
     /** ±1 from the same md5 scheme as the SQL h32 (seed 17). */
@@ -405,10 +407,30 @@ object BloomAgg extends Aggregator[Long,
     r.writeTo(bos)
     bos.toByteArray
   }
+  // Shuffle partials cross the exchange as BINARY via the filter's own
+  // compact writeTo/readFrom layout (a TransformingEncoder Codec), not
+  // as an ObjectOutputStream payload: same bytes Spark's own
+  // DataFrameStatFunctions.buildBloomFilter ships, minus the Java
+  // serialization stream overhead.
   def bufferEncoder
-      : org.apache.spark.sql.Encoder[org.apache.spark.util.sketch.BloomFilter] =
-    org.apache.spark.sql.Encoders
-      .javaSerialization[org.apache.spark.util.sketch.BloomFilter]
+      : org.apache.spark.sql.Encoder[org.apache.spark.util.sketch.BloomFilter] = {
+    import org.apache.spark.sql.catalyst.encoders.{AgnosticEncoders, Codec, ExpressionEncoder}
+    ExpressionEncoder(
+      AgnosticEncoders.TransformingEncoder(
+        scala.reflect.classTag[org.apache.spark.util.sketch.BloomFilter],
+        AgnosticEncoders.BinaryEncoder,
+        () =>
+          new Codec[org.apache.spark.util.sketch.BloomFilter, Array[Byte]] {
+            def encode(b: org.apache.spark.util.sketch.BloomFilter): Array[Byte] = {
+              val bos = new java.io.ByteArrayOutputStream()
+              b.writeTo(bos)
+              bos.toByteArray
+            }
+            def decode(a: Array[Byte]): org.apache.spark.util.sketch.BloomFilter =
+              org.apache.spark.util.sketch.BloomFilter
+                .readFrom(new java.io.ByteArrayInputStream(a))
+          }))
+  }
   def outputEncoder: org.apache.spark.sql.Encoder[Array[Byte]] =
     org.apache.spark.sql.Encoders.BINARY
 }

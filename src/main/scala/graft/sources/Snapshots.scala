@@ -34,18 +34,28 @@ object Snapshots {
         val tmp = path.resolveSibling(
           path.getFileName.toString + ".tmp." + ProcessHandle.current().pid())
         write(live, tmp.toString)
-        deleteRecursively(path) // a stale partial dir, if any
-        try Files.move(tmp, path, StandardCopyOption.ATOMIC_MOVE)
-        catch { case _: java.io.IOException =>
-          // lost the publish race to another JVM — use theirs
+        // Re-check the marker AFTER the (slow) write, immediately before
+        // touching `path`: a concurrent JVM may have published while we
+        // wrote. A marker-validated layout is never deleted — a reader
+        // that validated `_SUCCESS` moments ago may already be executing
+        // a job against those files — so a late loser discards its own
+        // tmp instead of clearing the winner's snapshot.
+        if (Files.exists(marker)) {
           deleteRecursively(tmp)
+        } else {
+          deleteRecursively(path) // a stale PARTIAL dir (no marker)
+          try Files.move(tmp, path, StandardCopyOption.ATOMIC_MOVE)
+          catch { case _: java.io.IOException =>
+            // lost the publish race to another JVM — use theirs
+            deleteRecursively(tmp)
+          }
         }
       }
       if (Files.exists(marker)) read(spark, path.toString) else live
     } catch { case _: Throwable => live }
   }
 
-  private def deleteRecursively(p: Path): Unit =
+  private[graft] def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {
       import scala.jdk.CollectionConverters._
       Files.walk(p).iterator().asScala.toSeq.reverse

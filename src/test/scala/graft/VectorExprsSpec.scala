@@ -26,6 +26,19 @@ class VectorExprsSpec extends SparkSpec {
     assert(r(2).isNullAt(1))
   }
 
+  test("ragged arrays: dot is NULL, matching zip_with null-pad semantics") {
+    // zip_with pads the shorter side with NULL, so the HOF sum is NULL;
+    // the native kernel must agree or the session-wide fusion rule
+    // silently changes results on ragged input.
+    val ragged = Seq((1L, Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0))).toDF("id", "a", "b")
+    val r = ragged.select(
+        VectorExprs.dot(col("a"), col("b")).as("native"),
+        expr("aggregate(zip_with(a, b, (x, y) -> x * y), 0D, (acc, v) -> acc + v)").as("hof"))
+      .collect()(0)
+    assert(r.isNullAt(0))
+    assert(r.isNullAt(1))
+  }
+
   test("l2 matches sqrt of self-dot; null propagates") {
     val r = df.select(col("id"), VectorExprs.l2(col("a")).as("n")).orderBy("id").collect()
     assert(r(0).getDouble(1) === math.sqrt(14.0))
