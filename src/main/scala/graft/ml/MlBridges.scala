@@ -72,7 +72,27 @@ object MlBridges {
     * Returns per-query top-k probed neighbors by exact cosine.
     */
   def ivfTopK(spark: SparkSession, dir: String, nCells: Int = 8, k: Int = 5,
-      nprobe: Int = 1): DataFrame = {
+      nprobe: Int = 1): DataFrame =
+    ivfCandidates(spark, dir, nCells, nprobe)
+      .withColumn("rk", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("qid")
+          .orderBy(col("cos").desc, col("cid"))))
+      .filter(col("rk") <= k)
+
+  /** IVF candidate generation: one KMeans fit, every (query, candidate)
+    * pair inside the query's `nprobeMax` nearest cells, tagged with `pr`
+    * — the probe rank of the CANDIDATE's cell in the query's cell order
+    * (1 = the query's own/nearest cell). Filtering `pr <= np` for any
+    * `np <= nprobeMax` yields exactly the nprobe=np candidate set, so one
+    * plan (one KMeans fit, one join) serves a whole nprobe sweep.
+    * `qidBound` restricts the query side BEFORE the probe window (only
+    * vec_id < bound become queries); the corpus side always stays full.
+    * `cos` is the exact cosine rounded to 6 — identical expression shape
+    * to the brute-force baseline so the nprobe=nCells candidate top-k is
+    * bitwise equal to exhaustive search.
+    */
+  def ivfCandidates(spark: SparkSession, dir: String, nCells: Int = 8,
+      nprobeMax: Int = 1, qidBound: Option[Int] = None): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import spark.implicits._
     val toVec = udf((a: Seq[Float]) => Vectors.dense(a.map(_.toDouble).toArray))
@@ -87,7 +107,8 @@ object MlBridges {
       .map { case (c, i) => (i, c.toArray) }.toSeq
       .toDF("cell", "cvec")
       .withColumn("cc", graft.functions.VectorExprs.dot(col("cvec"), col("cvec")))
-    val probes = cells
+    val qside = qidBound.fold(cells)(b => cells.filter(col("vec_id") < b))
+    val probes = qside
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("n").as("qn"))
       .crossJoin(broadcast(centroids))
       .withColumn("d2", col("cc") -
@@ -95,17 +116,13 @@ object MlBridges {
       .withColumn("pr", org.apache.spark.sql.functions.row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("qid")
           .orderBy(col("d2"), col("cell"))))
-      .filter(col("pr") <= nprobe)
-      .select(col("qid"), col("qv"), col("qn"), col("cell"))
+      .filter(col("pr") <= nprobeMax)
+      .select(col("qid"), col("qv"), col("qn"), col("cell"), col("pr"))
     probes.join(cells.as("c"),
         probes("cell") === col("c.cell") && probes("qid") =!= col("c.vec_id"))
-      .select(col("qid"), col("c.vec_id").as("cid"),
-        (graft.functions.VectorExprs.dot(col("qv"), col("c.v")) /
-          (col("qn") * col("c.n"))).as("cos"))
-      .withColumn("rk", org.apache.spark.sql.functions.row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy("qid")
-          .orderBy(col("cos").desc, col("cid"))))
-      .filter(col("rk") <= k)
+      .select(col("qid"), col("pr"), col("c.vec_id").as("cid"),
+        round(graft.functions.VectorExprs.dot(col("qv"), col("c.v")) /
+          (col("qn") * col("c.n")), 6).as("cos"))
   }
 
   /** MinHashLSH approximate-similarity join over token sets — the

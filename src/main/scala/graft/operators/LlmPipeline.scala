@@ -1216,6 +1216,171 @@ object LlmPipeline {
        |         AS feature_avg
        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- sim_ann_ivf
+  /** IVF (inverted-file) ANN, driver-verified end to end: queries
+    * (vec_id < 30) probe their nprobe=3 nearest KMeans cells (of 8) and
+    * take the in-probe top-5 by exact cosine (ml/MlBridges.ivfCandidates
+    * — one KMeans fit, centroid table broadcast). KMeans centroids are
+    * solver floats no cross-engine oracle can reproduce, so the declared
+    * output is the EXACT top-5 (brute-force, fully oracle-able) plus a
+    * `recall_ok` boolean asserting the IVF answer recovered >= 50% of
+    * the exact neighbors across the query band (measured this round:
+    * 0.81 / 0.65 / 0.74 at sf0.001/0.01/0.1 — deterministic for a fixed
+    * seed, the bound leaves ~20+ hits of margin) — the
+    * agg_approx_distinct pattern (exact twin + accuracy bound the
+    * oracle asserts as constant TRUE). At 100 TB the corpus partitions
+    * BY CELL, so a query touches nprobe partition groups instead of the
+    * whole corpus; the brute-force side here doubles as the audit and
+    * stays broadcast-query-side × partitioned-corpus.
+    */
+  def simAnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val nQ = 30
+    val k = 5
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .withColumn("n", VectorExprs.l2(col("v")))
+    val q = e.filter(col("vec_id") < nQ)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("n").as("qn"))
+    val exact = broadcast(q).join(e.as("c"), col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id").as("cid"),
+        round(VectorExprs.dot(col("qv"), col("v")) /
+          (col("qn") * col("n")), 6).as("cos"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("qid")
+          .orderBy(col("cos").desc, col("cid"))))
+      .filter(col("rk") <= k)
+    val ivf = graft.ml.MlBridges
+      .ivfCandidates(spark, dir, nCells = 8, nprobeMax = 3, qidBound = Some(nQ))
+      .withColumn("ark", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("qid")
+          .orderBy(col("cos").desc, col("cid"))))
+      .filter(col("ark") <= k)
+      .select(col("qid"), col("cid"))
+    val recall = exact.join(ivf, Seq("qid", "cid"), "leftsemi")
+      .agg(count(lit(1)).as("nhits"))
+      .select((col("nhits") >= lit((nQ * k * 5L) / 10L)).as("recall_ok"))
+    exact.select(col("qid"), col("rk"), col("cid"), col("cos"))
+      .crossJoin(broadcast(recall))
+      .orderBy(col("qid"), col("rk"))
+  }
+
+  private val simAnnIvfOracle =
+    """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |           FROM embeddings),
+      |n AS (SELECT vec_id, v,
+      |        sqrt(list_reduce(list_prepend(0.0, list_transform(v, x -> x * x)),
+      |                         (a, x) -> a + x)) AS n
+      |      FROM v),
+      |scored AS (
+      |  SELECT q.vec_id qid, c.vec_id cid,
+      |         ROUND(list_reduce(list_prepend(0.0,
+      |                 list_transform(generate_series(1, 64), i -> q.v[i] * c.v[i])),
+      |               (a, x) -> a + x) / (q.n * c.n), 6) AS cos
+      |  FROM n q JOIN n c ON q.vec_id < 30 AND c.vec_id != q.vec_id)
+      |SELECT qid, rk, cid, cos, TRUE AS recall_ok FROM (
+      |  SELECT qid, cid, cos,
+      |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk
+      |  FROM scored)
+      |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin
+
+  // ---------------------------------------------------------- sim_ann_ivf_sweep
+  /** The IVF recall knob as DATA: one KMeans fit serves nprobe ∈
+    * {1,2,4,8} (candidates tagged with their cell's probe rank, filtered
+    * per sweep point), and the output asserts the two structural IVF
+    * guarantees the engine makes: recall is monotone in nprobe (the
+    * candidate sets are nested, and an exact-top-k member inside a
+    * candidate set always survives to its top-k under the shared total
+    * order), and nprobe = nCells is exhaustive search (recall exactly
+    * 1.0, bitwise — candidate scoring reuses the brute-force expression
+    * shape). Recall VALUES are KMeans-dependent floats, so the declared
+    * columns are the booleans, constant-TRUE-oracled like
+    * agg_approx_distinct.
+    */
+  def simAnnIvfSweep(spark: SparkSession, dir: String): DataFrame = {
+    val nQ = 30
+    val k = 5
+    val nCells = 8
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .withColumn("n", VectorExprs.l2(col("v")))
+    val q = e.filter(col("vec_id") < nQ)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("n").as("qn"))
+    val exactSet = broadcast(q).join(e.as("c"), col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id").as("cid"),
+        round(VectorExprs.dot(col("qv"), col("v")) /
+          (col("qn") * col("n")), 6).as("cos"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("qid")
+          .orderBy(col("cos").desc, col("cid"))))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("cid"))
+    val topk = graft.ml.MlBridges
+      .ivfCandidates(spark, dir, nCells, nprobeMax = nCells, qidBound = Some(nQ))
+      .select(col("qid"), col("pr"), col("cid"), col("cos"),
+        explode(expr("array(1, 2, 4, 8)")).as("nprobe"))
+      .filter(col("pr") <= col("nprobe"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("nprobe", "qid")
+          .orderBy(col("cos").desc, col("cid"))))
+      .filter(col("rk") <= k)
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("nprobe"))
+    topk.join(exactSet, Seq("qid", "cid"), "leftsemi")
+      .groupBy(col("nprobe")).agg(count(lit(1)).as("nhits"))
+      .withColumn("recall_ge_prev", col("nhits") >= lag(col("nhits"), 1, 0L).over(w))
+      .withColumn("exact_at_full",
+        col("nprobe") =!= nCells || col("nhits") === lit(nQ * k.toLong))
+      .select(col("nprobe").cast("long").as("nprobe"),
+        col("recall_ge_prev"), col("exact_at_full"))
+      .orderBy(col("nprobe"))
+  }
+
+  private val simAnnIvfSweepOracle =
+    """SELECT CAST(nprobe AS BIGINT) AS nprobe, recall_ge_prev, exact_at_full
+      |FROM (VALUES (1, TRUE, TRUE), (2, TRUE, TRUE), (4, TRUE, TRUE),
+      |             (8, TRUE, TRUE)) AS t(nprobe, recall_ge_prev, exact_at_full)
+      |ORDER BY nprobe""".stripMargin
+
+  // --------------------------------------------------------------- text_entropy
+  /** Per-doc token Shannon entropy — the token-distribution
+    * corpus-quality signal (low entropy ⇒ repetitive/templated text).
+    * Single-pass form H = ln n − (Σ c·ln c)/n, so one explode and two
+    * hash aggregations, no per-doc join; emitted in the repo's e6
+    * integer units, rounded ONCE at the end. ln() is the one
+    * transcendental in the engine's oracle surface: cross-engine libm
+    * drift is ~1e-13 while the nearest rounding boundary across all
+    * fixture SFs sits 1.3e-10 away (measured in this round's pre-check),
+    * a ~1000x margin. At 100 TB: (doc,token) partial aggregation is
+    * map-side combinable and the final per-doc agg shuffles on doc_id
+    * only.
+    */
+  def textEntropy(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tok"),
+        count(lit(1)).as("n_uniq_tok"),
+        sum(col("c").cast("double") * log(col("c").cast("double"))).as("sclc"))
+      .select(col("doc_id"), col("n_tok"), col("n_uniq_tok"),
+        round((log(col("n_tok").cast("double")) -
+          col("sclc") / col("n_tok").cast("double")) * 1000000).cast("long")
+          .as("entropy_e6"))
+      .orderBy(col("doc_id"))
+
+  private val textEntropyOracle =
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |             FROM documents),
+      |cnt AS (SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY doc_id, tok),
+      |agg AS (SELECT doc_id, SUM(c) AS n_tok, COUNT(*) AS n_uniq_tok,
+      |               SUM(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS sclc
+      |        FROM cnt GROUP BY doc_id)
+      |SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+      |  CAST(n_uniq_tok AS BIGINT) AS n_uniq_tok,
+      |  CAST(ROUND((ln(CAST(n_tok AS DOUBLE)) - sclc / CAST(n_tok AS DOUBLE))
+      |       * 1000000) AS BIGINT) AS entropy_e6
+      |FROM agg ORDER BY doc_id""".stripMargin
+
   def queries: Seq[GQuery] = Seq(
     GQuery("dedup_exact", dedupExact, Some(dedupExactOracle),
       "exact dedup by normalized-text hash over a re-crawled corpus"),
@@ -1231,6 +1396,12 @@ object LlmPipeline {
       "brute-force cosine top-5 (broadcast query side)"),
     GQuery("sim_ann_lsh", simAnnLsh, Some(simAnnLshOracle),
       "sign-bit LSH bucketed approximate NN, top-3 in-bucket"),
+    GQuery("sim_ann_ivf", simAnnIvf, Some(simAnnIvfOracle),
+      "IVF ANN (KMeans cells, nprobe=3): exact top-5 + recall>=0.5 audit"),
+    GQuery("sim_ann_ivf_sweep", simAnnIvfSweep, Some(simAnnIvfSweepOracle),
+      "IVF nprobe sweep 1/2/4/8: recall monotone, exhaustive at nCells"),
+    GQuery("text_entropy", textEntropy, Some(textEntropyOracle),
+      "per-doc token Shannon entropy in e6 units (ln-parity pre-checked)"),
     GQuery("sim_knn_class", simKnnClass, Some(simKnnClassOracle),
       "k-NN(10) cosine label vote classifier"),
     GQuery("text_stats", textStats, Some(textStatsOracle),

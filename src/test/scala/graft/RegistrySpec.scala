@@ -22,6 +22,23 @@ class RegistrySpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  // Regression guard for the round-1 array-output defect class: the
+  // driver's pandas hash compare only supports scalar columns, so any
+  // future qid that leaks an array/map/struct output must fail HERE, not
+  // at the driver gate. Schema-only probe (no job runs), but at two SFs
+  // because pivot-style plans can in principle infer data-dependent
+  // schemas.
+  test("every declared output schema is scalar-only at sf0.001 and sf0.01") {
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    for (q <- Registry.all; d <- Seq(sfDir, "/root/testdata/sf0.01")) {
+      val bad = q.fn(spark, d).schema.fields.filter(f =>
+        f.dataType.isInstanceOf[ArrayType] || f.dataType.isInstanceOf[MapType] ||
+          f.dataType.isInstanceOf[StructType])
+      assert(bad.isEmpty,
+        s"${q.id} on $d has non-scalar output columns: ${bad.map(_.name).mkString(",")}")
+    }
+  }
+
   for (q <- Registry.all) {
     test(s"${q.id}: runs on sf0.001 and is deterministic") {
       val r1 = q.fn(spark, sfDir).collect().map(_.toString)

@@ -170,10 +170,12 @@ class IvfSpec extends SparkSpec {
     val e = graft.sources.Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
       .withColumn("n", graft.functions.VectorExprs.l2(col("v")))
+    // rounded to 6 like the IVF candidate scores, so the nprobe=nCells
+    // comparison below is an exact-set equality, not a near-1.0 bound
     val bf = e.as("a").join(e.as("b"), col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("qid"), col("b.vec_id").as("cid"),
-        (graft.functions.VectorExprs.dot(col("a.v"), col("b.v")) /
-          (col("a.n") * col("b.n"))).as("cos"))
+        round(graft.functions.VectorExprs.dot(col("a.v"), col("b.v")) /
+          (col("a.n") * col("b.n")), 6).as("cos"))
       .withColumn("rk", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("qid")
           .orderBy(col("cos").desc, col("cid"))))
