@@ -1,13 +1,16 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.execution.FormattedMode
+import org.apache.spark.sql.functions._
 
 /** Plan audit main: prints formatted physical plans for representative
   * queries so the scale-critical properties are inspectable — parquet
   * `PushedFilters`/`ReadSchema` (pushdown + pruning), broadcast vs
   * shuffle join selection, partial aggregation, codegen stage spans.
-  * `tools/explain_audit.sh` wraps it.
+  * `tools/explain_audit.sh` wraps it. The special qid `skew_demo` runs
+  * [[SkewDemo]] and prints the EXECUTED adaptive plan (AQE skew-split
+  * decisions only exist after execution, unlike the static explains).
   */
 object ExplainAudit {
   def main(args: Array[String]): Unit = {
@@ -23,10 +26,76 @@ object ExplainAudit {
       "dedup_minhash", "dedup_near", "dedup_simhash", "pa_multi",
       "sketch_bloom_portable", "topk_per_group", "ps_transform",
       "sketch_cms", "sample_split", "agg_percentile", "unpivot_long")
-    for (qid <- qids; q <- Registry.all.find(_.id == qid)) {
-      println(s"\n========== $qid ==========")
-      println(q.fn(spark, dir).queryExecution.explainString(FormattedMode))
+    for (qid <- qids) {
+      if (qid == "skew_demo") {
+        println(s"\n========== skew_demo (executed adaptive plan) ==========")
+        println(SkewDemo.executedPlan(spark, dir))
+      } else Registry.all.find(_.id == qid).foreach { q =>
+        println(s"\n========== $qid ==========")
+        println(q.fn(spark, dir).queryExecution.explainString(FormattedMode))
+      }
     }
     spark.stop()
   }
+}
+
+/** A derived hot-key join that makes AQE's skew-join split observable at
+  * fixture scale: ~99% of lineitem rows collapse onto one key, the map
+  * side is widened to 16 partitions (AQE splits a skewed REDUCE
+  * partition into per-MAPPER chunks — a one-file scan has one mapper and
+  * cannot be split at all), and the skew thresholds are lowered to
+  * fixture bytes. SkewJoinSpec asserts `skew=true` appears AND that the
+  * split result is row-identical to the same join with skew handling
+  * off; `ExplainAudit skew_demo` snapshots the executed plan for
+  * PLANS.txt.
+  */
+object SkewDemo {
+  /** The skewed join + aggregate under test. */
+  def skewedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val left = graft.sources.Tables.lineitem(spark, dir)
+      .repartition(16)
+      .select(
+        when(col("l_orderkey") % 100 =!= 0, lit(1L))
+          .otherwise(col("l_orderkey")).as("k"),
+        col("l_quantity"))
+    val right = spark.range(0, 8000).select(
+      col("id").as("k"), (col("id") % 7).as("grp"))
+    left.join(right, "k")
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("qty"))
+      .orderBy(col("grp"))
+  }
+
+  /** Fixture-scale AQE skew settings (saved/restored by callers via
+    * [[withSkewConfs]]). */
+  val skewConfs: Map[String, String] = Map(
+    "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+    "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+    "spark.sql.adaptive.skewJoin.enabled" -> "true",
+    "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16k",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8k")
+
+  /** Run `body` with the fixture-scale skew confs set, restoring the
+    * previous values afterwards. */
+  def withSkewConfs[A](spark: SparkSession, extra: Map[String, String] = Map.empty)(
+      body: => A): A = {
+    val conf = spark.conf
+    val all = skewConfs ++ extra
+    val saved = all.keys.map(k => k -> conf.getOption(k)).toMap
+    all.foreach { case (k, v) => conf.set(k, v) }
+    try body
+    finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
+  }
+
+  /** Execute the skewed join and return the final adaptive plan text. */
+  def executedPlan(spark: SparkSession, dir: String): String =
+    withSkewConfs(spark) {
+      val df = skewedJoin(spark, dir)
+      df.collect()
+      df.queryExecution.executedPlan.toString
+    }
 }

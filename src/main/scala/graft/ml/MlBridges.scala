@@ -96,9 +96,15 @@ object MlBridges {
     import org.apache.spark.ml.clustering.KMeans
     import spark.implicits._
     val toVec = udf((a: Seq[Float]) => Vectors.dense(a.map(_.toDouble).toArray))
+    // persist: KMeans makes one pass per iteration, and without this each
+    // pass re-reads the parquet and re-runs the UDF vectorization; the
+    // cache also feeds the two cells subtrees (query + corpus side) of
+    // the candidate join below. Released by the harness's per-query
+    // clearCache.
     val base = graft.sources.Tables.embeddings(spark, dir)
       .select(col("vec_id"), toVec(col("embedding")).as("features"),
         expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .persist()
     val model = new KMeans().setK(nCells).setSeed(42L).setMaxIter(10).fit(base)
     val cells = model.transform(base)
       .select(col("vec_id"), col("v"), col("prediction").as("cell"))

@@ -1023,10 +1023,17 @@ object LlmPipeline {
   def textNgramProfile(spark: SparkSession, dir: String): DataFrame = {
     val bi = Tables.documents(spark, dir)
       .filter(length(col("text")) >= 2)
-      // lowercase ONCE per document, not once per bigram
-      .select(col("lang"), lower(col("text")).as("lt"))
+      // lowercase ONCE per document, not once per bigram — and split to a
+      // char ARRAY once: substring(lt, i, 2) inside the per-index lambda
+      // re-scans the string from the start for byte offsets, O(chars²)
+      // per doc (the round-1 shingle lesson, char-level edition).
+      // element_at on the array is O(1). Char-split alignment equals the
+      // oracle's codepoint substring on this corpus (ASCII-only,
+      // fixture-verified); non-[a-z] pairs are filtered either way.
+      .select(col("lang"), split(lower(col("text")), "").as("cs"))
       .select(col("lang"), explode(expr(
-        "transform(sequence(1, length(lt) - 1), i -> substring(lt, i, 2))"))
+        "transform(sequence(1, size(cs) - 1), " +
+          "i -> concat(element_at(cs, i), element_at(cs, i + 1)))"))
         .as("bigram"))
       .filter(col("bigram").rlike("^[a-z]{2}$"))
     val w = org.apache.spark.sql.expressions.Window
@@ -1340,6 +1347,109 @@ object LlmPipeline {
       |             (8, TRUE, TRUE)) AS t(nprobe, recall_ge_prev, exact_at_full)
       |ORDER BY nprobe""".stripMargin
 
+  // -------------------------------------------------------------- dedup_clusters
+  /** Connected components over a near-dup graph — the step every dedup
+    * pipeline needs AFTER pair generation: near-dup is not transitive,
+    * so pairs (A,B),(B,C) must collapse to one canonical doc for the
+    * whole chain, not two independent keep-one choices. Edges here are
+    * doc pairs sharing a df=2 4-gram (rare-shingle evidence; at sf0.01
+    * this yields 44 components with chains up to 20 propagation rounds
+    * deep — real transitive structure, not planted 2-cliques). Labels
+    * converge via [[GraphOps.connectedComponents]] (min-label
+    * propagation with pointer jumping, O(log diameter) rounds,
+    * localCheckpoint lineage truncation — scale contract documented
+    * there). Output: (doc_id, cluster_id = min doc in component,
+    * cluster_size) — engine-independent, so the DuckDB recursive-CTE
+    * closure oracles the whole fixpoint exactly.
+    */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"),
+        expr("explode(array_distinct(transform(" +
+          "sequence(1, greatest(size(w) - 3, 1)), " +
+          "i -> concat_ws(' ', slice(w, i, 4)))))").as("shingle"))
+    val rare = sh.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") === 2)
+      .select(col("shingle"))
+    val edges = sh.join(rare, "shingle")
+      .select(col("shingle"), col("doc_id"))
+      .as("a")
+      .join(sh.join(rare, "shingle").as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
+      .distinct()
+    val labels = GraphOps.connectedComponents(edges)
+    val sizes = labels.groupBy(col("lab"))
+      .agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "lab")
+      .select(col("id").as("doc_id"), col("lab").as("cluster_id"),
+        col("cluster_size"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val dedupClustersOracle =
+    """WITH RECURSIVE sh AS (
+      |  SELECT DISTINCT doc_id, unnest(list_transform(
+      |      generate_series(1, greatest(length(string_split(text, ' ')) - 3, 1)),
+      |      i -> array_to_string(string_split(text, ' ')[i:i+3], ' '))) AS shingle
+      |  FROM documents),
+      |rare AS (
+      |  SELECT shingle FROM sh GROUP BY shingle HAVING count(*) = 2),
+      |edges AS (
+      |  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  WHERE a.shingle IN (SELECT shingle FROM rare)),
+      |und AS (
+      |  SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
+      |nodes AS (
+      |  SELECT DISTINCT src AS id FROM und),
+      |r AS (
+      |  SELECT id, id AS lab FROM nodes
+      |  UNION
+      |  SELECT und.dst AS id, r.lab
+      |  FROM r JOIN und ON und.src = r.id
+      |  WHERE r.lab < und.dst),
+      |lm AS (
+      |  SELECT id, min(lab) AS lab FROM r GROUP BY id),
+      |sz AS (
+      |  SELECT lab, count(*) AS cluster_size FROM lm GROUP BY lab)
+      |SELECT lm.id AS doc_id, lm.lab AS cluster_id,
+      |       CAST(sz.cluster_size AS BIGINT) AS cluster_size
+      |FROM lm JOIN sz ON lm.lab = sz.lab
+      |ORDER BY doc_id""".stripMargin
+
+  // ----------------------------------------------------------- sample_stratified
+  /** Balanced per-domain cap sampling — the C4/Pile-style mixing
+    * primitive: keep at most 50 docs per language, chosen by a portable
+    * md5 hash rank (NOT random()), so the sample is reproducible across
+    * runs, engines, repartitioning, and backfills, and any doc's
+    * membership is decidable from its id alone. The rank filter rides
+    * `InferWindowGroupLimit` exactly like topk_per_group: each partition
+    * keeps its local top-50 per lang before the shuffle, so the full
+    * sort of each (potentially billion-doc) language group never
+    * happens. */
+  def sampleStratified(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        expr(h32("cast(doc_id as string)", 77)).as("h"))
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("lang")
+          .orderBy(col("h"), col("doc_id"))))
+      .filter(col("rnk") <= 50)
+      .select(col("lang"), col("rnk"), col("doc_id"))
+      .orderBy(col("lang"), col("rnk"))
+
+  private val sampleStratifiedOracle =
+    s"""SELECT lang, rnk, doc_id FROM (
+       |  SELECT lang, doc_id,
+       |    row_number() OVER (PARTITION BY lang
+       |      ORDER BY ${oH32("cast(doc_id as varchar)", 77)}, doc_id) AS rnk
+       |  FROM documents)
+       |WHERE rnk <= 50 ORDER BY lang, rnk""".stripMargin
+
   // --------------------------------------------------------------- text_entropy
   /** Per-doc token Shannon entropy — the token-distribution
     * corpus-quality signal (low entropy ⇒ repetitive/templated text).
@@ -1430,6 +1540,10 @@ object LlmPipeline {
       "per-language top-5 character-bigram frequency profile"),
     GQuery("sample_split", sampleSplit, Some(sampleSplitOracle),
       "deterministic hash-bucketed 80/10/10 train/valid/test split"),
+    GQuery("sample_stratified", sampleStratified, Some(sampleStratifiedOracle),
+      "balanced per-language cap sample by portable md5 hash rank"),
+    GQuery("dedup_clusters", dedupClusters, Some(dedupClustersOracle),
+      "connected components over rare-shingle pairs (min-label to fixpoint)"),
     GQuery("multimodal_join", multimodalJoin, Some(multimodalJoinOracle),
       "documents x embeddings feature-store join, mixed measures"),
     GQuery("multimodal_binary", multimodalBinary, Some(multimodalBinaryOracle),

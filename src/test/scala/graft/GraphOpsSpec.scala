@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Unit semantics for GraphOps.connectedComponents on synthetic graphs
+  * where the answer is known by construction (the dedup_clusters qid
+  * then cross-engine-verifies the same loop against a DuckDB recursive
+  * CTE on real fixture data).
+  */
+class GraphOpsSpec extends SparkSpec {
+  import org.apache.spark.sql.DataFrame
+
+  private def edges(pairs: (Long, Long)*): DataFrame = {
+    import spark.implicits._
+    pairs.toDF("src", "dst")
+  }
+
+  private def labelsOf(df: DataFrame): Map[Long, Long] =
+    operators.GraphOps.connectedComponents(df)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("a chain collapses to one component labeled by its minimum") {
+    // 1-2-3-4-5 ... a path needs TRANSITIVE closure, not pairwise logic
+    val lab = labelsOf(edges(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 5L))
+    assert(lab === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L))
+  }
+
+  test("disjoint components keep separate minimum labels") {
+    val lab = labelsOf(edges(10L -> 11L, 11L -> 12L, 20L -> 21L, 30L -> 31L))
+    assert(lab === Map(10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L, 30L -> 30L, 31L -> 30L))
+  }
+
+  test("direction, duplicates, and self-loops do not matter") {
+    val lab = labelsOf(edges(5L -> 3L, 3L -> 5L, 5L -> 3L, 3L -> 3L, 3L -> 1L))
+    assert(lab === Map(1L -> 1L, 3L -> 1L, 5L -> 1L))
+  }
+
+  test("a long path converges (pointer jumping handles deep chains)") {
+    val path = (1L until 64L).map(i => i -> (i + 1))
+    val lab = labelsOf(edges(path: _*))
+    assert(lab.values.toSet === Set(1L))
+    assert(lab.size === 64)
+  }
+
+  test("empty edge list yields empty labels") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(operators.GraphOps.connectedComponents(empty).count() === 0)
+  }
+}
