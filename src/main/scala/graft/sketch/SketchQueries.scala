@@ -371,7 +371,51 @@ object SketchQueries {
       |  TRUE AS bounded_by_sum
       |FROM events""".stripMargin
 
+  // ------------------------------------------------------------ sketch_quantile
+  /** Approximate-quantile sketch (the scalable percentile path — exact
+    * per-group percentiles need a per-group sort; at 100 TB the sketch
+    * replaces it with fixed-size mergeable summaries). Spark's
+    * `percentile_approx` (Greenwald–Khanna style) guarantees RANK error
+    * ≤ 1/accuracy, and its internals are engine-specific, so — like
+    * agg_approx_distinct — the declared output is the EXACT quantile
+    * (oracle-able integer-cents percentile) plus a `rank_ok` boolean
+    * asserting the sketch answer's measured rank error: the fraction of
+    * rows ≤ the sketch's median stays within 0.5 ± 0.01 (accuracy=10000
+    * ⇒ guaranteed 0.0001; the 100× margin makes the audit robust, not
+    * vacuous — a broken sketch misses it immediately). The audit itself
+    * is one extra aggregation pass, the shape you'd actually run to
+    * validate a sketch rollout on production data.
+    */
+  def sketchQuantile(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"),
+        expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)").as("cents"))
+    val agg = li.groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile_approx(cents, 0.5, 10000)").as("apx"),
+        expr("percentile(cents, 0.5)").as("p50_cents"),
+        count(lit(1)).as("n"))
+    li.join(agg, "l_returnflag")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        max(col("p50_cents")).as("p50_cents"),
+        max(col("n")).as("n"),
+        (abs(sum(when(col("cents") <= col("apx"), 1L).otherwise(0L))
+          .cast("double") / max(col("n")).cast("double") - lit(0.5))
+          <= lit(0.01)).as("rank_ok"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  private val sketchQuantileOracle =
+    """SELECT l_returnflag,
+      |  QUANTILE_CONT(CAST(ROUND(l_extendedprice * 100) AS BIGINT), 0.5)
+      |    AS p50_cents,
+      |  COUNT(*) AS n, TRUE AS rank_ok
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   def queries: Seq[GQuery] = Seq(
+    GQuery("sketch_quantile", sketchQuantile, Some(sketchQuantileOracle),
+      "approx-percentile sketch: exact median twin + measured rank-error audit"),
     GQuery("sketch_cms", sketchCms, Some(sketchCmsOracle),
       "md5-portable count-min sketch, point queries oracle-checked exactly"),
     GQuery("sketch_hll_union", sketchHllUnion, Some(sketchHllUnionOracle),
