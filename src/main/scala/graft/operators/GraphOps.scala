@@ -51,7 +51,9 @@ object GraphOps {
     def labSum(df: DataFrame): Long =
       df.agg(coalesce(sum(col("lab")), lit(0L))).head.getLong(0)
     var s = labSum(labels)
-    var converged = labels.isEmpty
+    // no explicit empty check: an empty label set sums to 0, the first
+    // round's sum is also 0, and the loop exits after one trivial round
+    var converged = false
     while (!converged) {
       val hops = undirected.unionByName(
         labels.select(col("lab").as("src"), col("id").as("dst")))

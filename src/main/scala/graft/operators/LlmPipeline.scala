@@ -1374,10 +1374,13 @@ object LlmPipeline {
       .agg(count(lit(1)).as("df"))
       .filter(col("df") === 2)
       .select(col("shingle"))
-    val edges = sh.join(rare, "shingle")
-      .select(col("shingle"), col("doc_id"))
-      .as("a")
-      .join(sh.join(rare, "shingle").as("b"),
+    // materialize the rare-shingle postings once: both sides of the
+    // pair self-join read it, and the shingle explode + df filter is the
+    // expensive part of the whole query (released by the harness's
+    // per-query clearCache)
+    val rsh = sh.join(rare, "shingle").persist()
+    val edges = rsh.as("a")
+      .join(rsh.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
       .distinct()

@@ -164,6 +164,29 @@ class Round2PlanSpec extends SparkSpec {
   }
 }
 
+/** Round-3 plan-shape locks. */
+class Round3PlanSpec extends SparkSpec {
+  test("sample_stratified rides WindowGroupLimit (no full per-lang sort)") {
+    val plan = operators.LlmPipeline.sampleStratified(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
+  test("text_entropy is join-free (single-pass entropy formula)") {
+    val plan = operators.LlmPipeline.textEntropy(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan)
+    assert(plan.contains("partial_"), plan) // map-side combine present
+  }
+
+  test("sim_ann_ivf broadcasts the query band against the corpus") {
+    val plan = operators.LlmPipeline.queries.find(_.id == "sim_ann_ivf").get
+      .fn(spark, sfDir).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"), plan)
+    assert(plan.contains("array_dot_product"), plan)
+  }
+}
+
 /** Partition pruning proof for the partitioned-layout scan. */
 class PartitionPruneSpec extends SparkSpec {
   test("filtered read of the partitioned layout prunes partitions") {
