@@ -175,6 +175,38 @@ object Relational {
     spark.sql(q5Sql)
   }
 
+  // ---------------------------------------------------------- join_lateral
+  /** ANSI LATERAL correlated subquery join — "top-2 orders per customer"
+    * phrased the way SQL users write it, not as a window trick. ONE SQL
+    * text runs verbatim on both engines (the sql_surface pattern), so
+    * the oracle checks Spark's lateral decorrelation end to end:
+    * Catalyst rewrites the correlated LIMIT subquery into a windowed
+    * rank filter joined back to the outer side (broadcast here; both
+    * scans keep their pushed-down filters) — a set-based plan, NOT the
+    * per-outer-row re-execution LATERAL means naively, which a 100 TB
+    * plan must never do. (topk_per_group declares the same semantics
+    * explicitly and additionally rides InferWindowGroupLimit; the
+    * decorrelated form keeps the full Window — the remaining gap
+    * between declarative-lateral and hand-shaped top-k.)
+    */
+  private val lateralSql =
+    """SELECT c.c_custkey, t.o_orderkey, t.cents
+      |FROM customer c,
+      |LATERAL (
+      |  SELECT o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders
+      |  WHERE o_custkey = c.c_custkey
+      |  ORDER BY o_totalprice DESC, o_orderkey
+      |  LIMIT 2) t
+      |WHERE c.c_custkey <= 100
+      |ORDER BY c.c_custkey, t.cents DESC, t.o_orderkey""".stripMargin
+
+  def joinLateral(spark: SparkSession, dir: String): DataFrame = {
+    Seq("customer", "orders")
+      .foreach(t => Tables.table(spark, dir, t).createOrReplaceTempView(t))
+    spark.sql(lateralSql)
+  }
+
   // ---------------------------------------------------------- scan_parquet
   /** Plain columnar scan, vectorized parquet read, total-order output. */
   def scanParquet(spark: SparkSession, dir: String): DataFrame =
@@ -1360,6 +1392,8 @@ object Relational {
       "multiset INTERSECT ALL / EXCEPT ALL with duplicate preservation"),
     GQuery("join_fuzzy", joinFuzzy, Some(joinFuzzyOracle),
       "blocked fuzzy entity-resolution join under edit distance <= 1"),
+    GQuery("join_lateral", joinLateral, Some(lateralSql),
+      "ANSI LATERAL correlated-subquery join, one SQL text on both engines"),
     GQuery("join_null_safe", joinNullSafe, Some(joinNullSafeOracle),
       "null-safe equality join: NULL keys match (IS NOT DISTINCT FROM)"),
     GQuery("agg_filtered", aggFiltered, Some(aggFilteredOracle),

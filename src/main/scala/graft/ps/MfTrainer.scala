@@ -68,15 +68,20 @@ object MfTrainer {
       val gradQ = vectorSum(joined.select(col("item").as("id"),
         expr(s"transform(sequence(0, ${k - 1}), " +
           s"j -> e * element_at(pv, j + 1) - $reg * element_at(qv, j + 1))").as("g")), k)
+      // localCheckpoint (eager) rather than cache+count: it materializes
+      // AND truncates the logical plan. pNew references p both directly
+      // and through `joined`, so an uncut lineage doubles per iteration —
+      // exponential plan growth that breaks long trainings (found as an
+      // explainString OOM in the dedup_clusters fixpoint loop, same
+      // shape). On a cluster: reliable checkpoint() every few iters.
       val pNew = p.join(gradP, Seq("id"), "left")
         .select(col("id"), coalesce(
           expr(s"zip_with(vec, g, (v, gj) -> v + $lr * gj)"), col("vec")).as("vec"))
-        .cache()
+        .localCheckpoint()
       val qNew = q.join(gradQ, Seq("id"), "left")
         .select(col("id"), coalesce(
           expr(s"zip_with(vec, g, (v, gj) -> v + $lr * gj)"), col("vec")).as("vec"))
-        .cache()
-      pNew.count(); qNew.count() // materialize before unpersisting parents
+        .localCheckpoint()
       p.unpersist(); q.unpersist(); joined.unpersist()
       p = pNew
       q = qNew
