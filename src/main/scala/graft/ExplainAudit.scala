@@ -60,9 +60,13 @@ object SkewDemo {
         col("l_quantity"))
     val right = spark.range(0, 8000).select(
       col("id").as("k"), (col("id") % 7).as("grp"))
+    // qty is summed as integer cents: skew-split on vs off adds doubles
+    // in different orders, and only an integer sum is provably
+    // order-independent (the spec asserts exact Row equality).
     left.join(right, "k")
       .groupBy(col("grp"))
-      .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("qty"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("l_quantity") * 100).cast("long")).as("qty_cents"))
       .orderBy(col("grp"))
   }
 

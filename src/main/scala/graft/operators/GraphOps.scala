@@ -1,6 +1,8 @@
 package graft.operators
 
+import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.LogicalRDD
 import org.apache.spark.sql.functions._
 
 /** Distributed graph primitives for the dedup pipeline. The only one a
@@ -11,64 +13,108 @@ import org.apache.spark.sql.functions._
   */
 object GraphOps {
 
-  /** Connected components by synchronous min-label propagation with
-    * pointer jumping.
+  /** Rounds taken by the most recent [[connectedComponents]] call —
+    * diagnostic only (specs assert the O(log n) bound; the rehearsal
+    * script records it alongside wall time). Not part of the API. */
+  @volatile private[graft] var lastRounds: Int = 0
+
+  /** Connected components by alternating large-star / small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce
+    * and Beyond", SoCC 2014 — public algorithm).
     *
     * Input: an edge list with two long columns `src`, `dst` (undirected
-    * semantics; direction and duplicates are normalized internally).
-    * Output: one row per distinct endpoint — (`id`, `lab`) where `lab`
-    * is the minimum node id of the component. Exact and deterministic,
-    * so a DuckDB recursive-CTE closure can oracle it (dedup_clusters).
+    * semantics; direction, duplicates, and self-loops are normalized
+    * internally). Output: one row per distinct endpoint — (`id`, `lab`)
+    * where `lab` is the minimum node id of the component. Exact and
+    * deterministic, so a DuckDB recursive-CTE closure can oracle it
+    * (dedup_clusters).
     *
-    * Shape per round: one co-partitioned join (edges ⋈ labels on the
-    * node id) + one min-groupBy — both map-side combinable. Shortcut
-    * edges (lab → id) are added to the propagation relation each round,
-    * so label information travels 2^r hops after r rounds (pointer
-    * jumping): O(log diameter) rounds, the HashToMin bound. Fixpoint is
-    * detected by the strictly-decreasing exact label sum going stable —
-    * one cheap aggregate per round, no driver-side row materialization.
+    * Why stars and not min-label propagation (the round-3 shape): label
+    * propagation's per-round message volume on a hot component is
+    * O(degree of the hub) EVERY round until the whole component has
+    * converged, and the shortcut relation grows by O(nodes) per round.
+    * The star operations instead REPLACE the edge relation each round
+    * and provably never grow it: each round emits at most one edge per
+    * input edge (large-star) / per input edge + node (small-star), and
+    * duplicates collapse under `distinct`, so hot components shrink the
+    * relation geometrically instead of re-broadcasting it. Convergence
+    * is O(log^2 n) rounds worst-case, O(log n) observed.
     *
-    * Every round localCheckpoints (eager): `next` references `labels`
-    * twice (directly and through the messages), so an uncut lineage
-    * DOUBLES per round — exponential logical-plan growth that OOMs plan
-    * stringification long before any data is at risk. On a real cluster
-    * the same loop uses reliable checkpoint() to DFS every few rounds
-    * (the GraphFrames/GraphX iteration contract); the blocks here are
-    * one (id, lab) pair per node — O(nodes), never O(edges).
+    * Per-round shape: two groupBy-mins + two co-keyed joins over the
+    * current edge relation — all map-side combinable, all on the same
+    * (long, long) pairs. Convergence is detected by an exact
+    * set-difference count (`next EXCEPT cur` is empty AND the sizes
+    * match) — no arithmetic aliasing is possible, unlike a label-sum
+    * probe where non-ANSI long overflow could wrap a decreased sum onto
+    * the previous value and stop a round early.
+    *
+    * Every round localCheckpoints (eager): both star ops reference the
+    * edge relation twice (the group-min side and the emit side), so an
+    * uncut lineage DOUBLES per round — exponential logical-plan growth
+    * that OOMs plan stringification long before any data is at risk.
+    * The previous round's checkpoint blocks are unpersisted EXPLICITLY
+    * once the next round is materialized (localCheckpointed RDDs are
+    * not in the CacheManager, so without this, block cleanup would wait
+    * on driver GC + ContextCleaner — O(edges) blocks per round can
+    * accumulate during long runs). On a real cluster the same loop uses
+    * reliable checkpoint() to DFS every few rounds (the
+    * GraphFrames/GraphX iteration contract).
     */
   def connectedComponents(edges: DataFrame): DataFrame = {
-    val e = edges.select(col("src").cast("long").as("src"),
-      col("dst").cast("long").as("dst"))
+    val canonical = edges
+      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
       .filter(col("src") =!= col("dst"))
-      .persist()
-    val undirected = e.unionByName(
-      e.select(col("dst").as("src"), col("src").as("dst")))
-    var labels = e.select(col("src").as("id"))
-      .unionByName(e.select(col("dst").as("id")))
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
       .distinct()
-      .withColumn("lab", col("id"))
-      .localCheckpoint()
-    def labSum(df: DataFrame): Long =
-      df.agg(coalesce(sum(col("lab")), lit(0L))).head.getLong(0)
-    var s = labSum(labels)
-    // no explicit empty check: an empty label set sums to 0, the first
-    // round's sum is also 0, and the loop exits after one trivial round
-    var converged = false
+    var cur = canonical.localCheckpoint()
+    var curSize = cur.count()
+    var rounds = 0
+    var converged = curSize == 0L
     while (!converged) {
-      val hops = undirected.unionByName(
-        labels.select(col("lab").as("src"), col("id").as("dst")))
-      val msgs = hops.join(labels, col("src") === col("id"))
-        .select(col("dst").as("id"), col("lab"))
-      val next = labels.select(col("id"), col("lab")).unionByName(msgs)
-        .groupBy(col("id"))
-        .agg(min(col("lab")).as("lab"))
-        .localCheckpoint()
-      val nextSum = labSum(next)
-      labels = next
-      converged = nextSum == s
-      s = nextSum
+      // Large-star: every node u connects its strictly-larger neighbors
+      // to min(N(u) ∪ {u}). Work from both edge directions so each
+      // node's full neighborhood is in one group.
+      val dirs = cur.unionByName(
+        cur.select(col("v").as("u"), col("u").as("v")))
+      val largeMin = dirs.groupBy("u").agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      // m <= u < v, so (m, v) is already canonical and never a self-loop
+      val afterLarge = dirs.join(largeMin, "u")
+        .filter(col("v") > col("u"))
+        .select(col("m").as("u"), col("v"))
+        .distinct()
+      // Small-star: every node v connects its smaller-or-equal
+      // neighborhood N<=(v) ∪ {v} to its minimum. In canonical form the
+      // smaller neighbors of v are exactly the u's of edges (u, v).
+      val smallMin = afterLarge.groupBy("v").agg(min(col("u")).as("m"))
+      val attachSelf = smallMin.select(col("m").as("u"), col("v"))
+      val attachPeers = afterLarge.join(smallMin, "v")
+        .filter(col("u") =!= col("m"))
+        .select(col("m").as("u"), col("u").as("v"))
+      val next = attachSelf.unionByName(attachPeers).distinct().localCheckpoint()
+      val nextSize = next.count()
+      val unchanged = nextSize == curSize && next.exceptAll(cur).isEmpty
+      freeCheckpoint(cur)
+      cur = next
+      curSize = nextSize
+      rounds += 1
+      converged = unchanged
     }
-    e.unpersist()
-    labels
+    lastRounds = rounds
+    // At the fixpoint the relation is a star forest rooted at each
+    // component's minimum: every edge is (root, member).
+    val leaves = cur.select(col("v").as("id"), col("u").as("lab"))
+    val roots = cur.select(col("u").as("id"), col("u").as("lab")).distinct()
+    leaves.unionByName(roots).distinct()
   }
+
+  /** Free the block store of a localCheckpointed DataFrame explicitly
+    * (its RDD is persisted outside the CacheManager, so `unpersist` on
+    * the Dataset is a no-op and cleanup otherwise waits for driver GC).
+    * Safe no-op if the plan is not the expected LogicalRDD shape. */
+  private[graft] def freeCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectFirst {
+      case lr: LogicalRDD => lr.rdd
+    }.foreach { rdd: RDD[_] => rdd.unpersist(blocking = false) }
 }

@@ -291,15 +291,10 @@ object LlmPipeline {
       org.apache.spark.sql.Encoders.scalaLong
   }
 
-  /** SimHash near-dup: 64-bit tf-weighted simhash per doc (two seeded
-    * 32-bit md5 hashes per token concatenated); pairs within Hamming
-    * distance ≤ 3 found by *band blocking* over 8 bytes — by pigeonhole
-    * a pair at distance ≤ 3 shares at least 5 of 8 bands, so the band
-    * equi-join has guaranteed recall while scanning only O(Σ bucket²)
-    * candidates. The band join is what keeps the operator linear-ish at
-    * crawl scale; 64 bits keeps random collisions negligible.
-    */
-  def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-doc 63-bit tf-weighted simhash — shared by dedup_simhash (the
+    * band-blocked near-dup join) and dedup_simhash_recall (the exact
+    * all-pairs audit of that blocking). */
+  private def simhashes(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
@@ -310,8 +305,13 @@ object LlmPipeline {
       .withColumn("h",
         expr(s"shiftleft(${h32("tok", 7)} & 2147483647, 32) | ${h32("tok", 8)}"))
     val simAgg = udaf(SimHashAgg)
-    val sim = toks.groupBy("doc_id")
+    toks.groupBy("doc_id")
       .agg(simAgg(col("h"), col("tf")).as("simhash"))
+  }
+
+  /** Band-blocked candidate pairs with their hamming distance (the
+    * recall-bearing inner join of dedup_simhash). */
+  private def simhashBandPairs(sim: DataFrame): DataFrame = {
     val banded = sim.select(col("doc_id"), col("simhash"),
       posexplode(expr("transform(sequence(0, 7), b -> shiftright(simhash, b * 8) & 255)"))
         .as(Seq("band", "bv")))
@@ -321,12 +321,26 @@ object LlmPipeline {
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
         expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
       .distinct()
-      .filter(col("hamming") <= 3)
-      .orderBy(col("da"), col("db"))
   }
 
-  private val dedupSimhashOracle =
-    s"""WITH toks AS (
+  /** SimHash near-dup: 64-bit tf-weighted simhash per doc (two seeded
+    * 32-bit md5 hashes per token concatenated); pairs within Hamming
+    * distance ≤ 3 found by *band blocking* over 8 bytes — by pigeonhole
+    * a pair at distance ≤ 3 shares at least 5 of 8 bands, so the band
+    * equi-join has guaranteed recall while scanning only O(Σ bucket²)
+    * candidates. The band join is what keeps the operator linear-ish at
+    * crawl scale; 64 bits keeps random collisions negligible. The
+    * recall guarantee is driver-checked as data by dedup_simhash_recall.
+    */
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
+    simhashBandPairs(simhashes(spark, dir))
+      .filter(col("hamming") <= 3)
+      .orderBy(col("da"), col("db"))
+
+  /** Shared DuckDB CTE prefix computing (doc_id, simhash) — used by the
+    * dedup_simhash and dedup_simhash_recall oracles. */
+  private val oSimhashCtes =
+    s"""toks AS (
        |  SELECT doc_id, tok, count(*) tf,
        |         ((${oH32("tok", 7)} & 2147483647) << 32) | ${oH32("tok", 8)} AS h
        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
@@ -340,7 +354,10 @@ object LlmPipeline {
        |  SELECT doc_id,
        |         CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END)
        |              AS BIGINT) AS simhash
-       |  FROM bits GROUP BY doc_id),
+       |  FROM bits GROUP BY doc_id)""".stripMargin
+
+  private val dedupSimhashOracle =
+    s"""WITH $oSimhashCtes,
        |banded AS (
        |  SELECT doc_id, simhash, b AS band, (simhash >> (b * 8)) & 255 AS bv
        |  FROM sim, unnest(generate_series(0, 7)) AS t(b))
@@ -350,6 +367,57 @@ object LlmPipeline {
        |  ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
        |ORDER BY da, db""".stripMargin
+
+  // ------------------------------------------------------ dedup_simhash_recall
+  /** The band-blocking recall CONTRACT of dedup_simhash, declared as
+    * driver-checked data (the sim_ann_ivf_sweep pattern): by pigeonhole,
+    * any pair at hamming ≤ 3 differs in at most 3 of the 8 byte-bands,
+    * so it SHARES at least 5 — band blocking has recall exactly 1.0
+    * against the true hamming-≤3 pair set, and `n_missed` is provably 0.
+    * The exact side is an all-pairs self-join on the (doc_id, simhash)
+    * relation — ONE long per doc, so the audit is O(docs²) on an
+    * 8-byte key, not O(corpus²) on text. That is the standard sampled
+    * recall-audit shape at 100 TB: run it over a deterministic doc
+    * sample (the band join itself stays the production path); at the
+    * verified SFs the full corpus IS the sample. Output is one row:
+    * (n_exact, n_missed, recall_ok). */
+  def dedupSimhashRecall(spark: SparkSession, dir: String): DataFrame = {
+    val sim = simhashes(spark, dir).persist()
+    val exact = sim.as("a").join(sim.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
+      .filter(col("hamming") <= 3)
+    val blocked = simhashBandPairs(sim).filter(col("hamming") <= 3)
+      .select(col("da"), col("db"))
+    val nExact = exact.agg(count(lit(1)).as("n_exact"))
+    val nMissed = exact.join(blocked, Seq("da", "db"), "left_anti")
+      .agg(count(lit(1)).as("n_missed"))
+    nExact.crossJoin(nMissed) // two 1-row aggregates
+      .select(col("n_exact"), col("n_missed"),
+        (col("n_missed") === 0L).as("recall_ok"))
+  }
+
+  private val dedupSimhashRecallOracle =
+    s"""WITH $oSimhashCtes,
+       |exact AS (
+       |  SELECT a.doc_id da, b.doc_id db
+       |  FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+       |banded AS (
+       |  SELECT doc_id, simhash, b AS band, (simhash >> (b * 8)) & 255 AS bv
+       |  FROM sim, unnest(generate_series(0, 7)) AS t(b)),
+       |blocked AS (
+       |  SELECT DISTINCT a.doc_id da, b.doc_id db
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+       |missed AS (
+       |  SELECT count(*) AS n_missed FROM exact
+       |  WHERE (da, db) NOT IN (SELECT (da, db) FROM blocked))
+       |SELECT (SELECT count(*) FROM exact) AS n_exact,
+       |       n_missed,
+       |       n_missed = 0 AS recall_ok
+       |FROM missed""".stripMargin
 
   // ---------------------------------------------------------------- dedup_embed
   /** Embedding-cosine near-duplicate detection: pairs with cosine ≥ 0.9
@@ -1353,12 +1421,13 @@ object LlmPipeline {
     * so pairs (A,B),(B,C) must collapse to one canonical doc for the
     * whole chain, not two independent keep-one choices. Edges here are
     * doc pairs sharing a df=2 4-gram (rare-shingle evidence; at sf0.01
-    * this yields 44 components with chains up to 20 propagation rounds
-    * deep — real transitive structure, not planted 2-cliques). Labels
-    * converge via [[GraphOps.connectedComponents]] (min-label
-    * propagation with pointer jumping, O(log diameter) rounds,
-    * localCheckpoint lineage truncation — scale contract documented
-    * there). Output: (doc_id, cluster_id = min doc in component,
+    * this yields 44 components with chains up to 20 hops deep — real
+    * transitive structure, not planted 2-cliques). Labels converge via
+    * [[GraphOps.connectedComponents]] (alternating large-star/small-star
+    * contraction, O(log² n) rounds worst case with per-round edge volume
+    * that never grows, localCheckpoint lineage truncation — scale
+    * contract documented there). Output: (doc_id, cluster_id = min doc
+    * in component,
     * cluster_size) — engine-independent, so the DuckDB recursive-CTE
     * closure oracles the whole fixpoint exactly.
     */
@@ -1503,6 +1572,8 @@ object LlmPipeline {
       "MinHash(16) + LSH 4x4 banding candidates, exact-Jaccard verify"),
     GQuery("dedup_simhash", dedupSimhash, Some(dedupSimhashOracle),
       "63-bit tf-weighted SimHash, byte-band blocking, hamming<=3"),
+    GQuery("dedup_simhash_recall", dedupSimhashRecall, Some(dedupSimhashRecallOracle),
+      "band-blocking recall contract vs exact hamming pairs (pigeonhole)"),
     GQuery("dedup_embed", dedupEmbed, Some(dedupEmbedOracle),
       "embedding-cosine near-dup via sign-bit LSH candidates"),
     GQuery("sim_cosine", simCosine, Some(simCosineOracle),

@@ -82,7 +82,15 @@ object MfTrainer {
         .select(col("id"), coalesce(
           expr(s"zip_with(vec, g, (v, gj) -> v + $lr * gj)"), col("vec")).as("vec"))
         .localCheckpoint()
+      // Free the previous iteration explicitly: on iteration 1, p/q are
+      // cache()d (CacheManager — unpersist() works); from iteration 2 on
+      // they are localCheckpointed, whose blocks live OUTSIDE the
+      // CacheManager and would otherwise wait for driver GC +
+      // ContextCleaner (O(ids·k) blocks per iteration accumulate on long
+      // trainings). freeCheckpoint unpersists the underlying RDD.
       p.unpersist(); q.unpersist(); joined.unpersist()
+      graft.operators.GraphOps.freeCheckpoint(p)
+      graft.operators.GraphOps.freeCheckpoint(q)
       p = pNew
       q = qNew
     }

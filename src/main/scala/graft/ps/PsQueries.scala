@@ -82,13 +82,16 @@ object PsQueries {
   /** `ParameterServerClient.pull(id)` → equi-join of the data stream
     * with the model table on parameter id. The model here is the lazily
     * hash-initialized item parameter (dim 1 for clarity); the "pull
-    * answer" is the joined row. Model side is small → broadcast: the
-    * 100-TB shape is data-side-partitioned with zero big-side shuffle. */
+    * answer" is the joined row. No broadcast hint: the model relation is
+    * one row per distinct item — unbounded cardinality at PS scale (a PS
+    * model is by definition bigger than one node). AQE broadcasts it at
+    * small SFs from runtime size; at 100 TB both sides hash-partition on
+    * item, which is exactly the reference's range-partitioned server. */
   def psPull(spark: SparkSession, dir: String): DataFrame = {
     val r = ratings(spark, dir).filter(col("user") < 200)
     val model = ratings(spark, dir).select(col("item")).distinct()
       .withColumn("param", expr(initFactor("item", "0", 0.0, 1.0)))
-    r.join(broadcast(model), "item")
+    r.join(model, "item")
       .select(col("user"), col("item"), col("rating"),
         round(col("param"), 6).as("param"))
       .orderBy(col("user"), col("item"), col("rating"))

@@ -382,26 +382,25 @@ object SketchQueries {
     * asserting the sketch answer's measured rank error: the fraction of
     * rows ≤ the sketch's median stays within 0.5 ± 0.01 (accuracy=10000
     * ⇒ guaranteed 0.0001; the 100× margin makes the audit robust, not
-    * vacuous — a broken sketch misses it immediately). The audit itself
-    * is one extra aggregation pass, the shape you'd actually run to
-    * validate a sketch rollout on production data.
+    * vacuous — a broken sketch misses it immediately). The audit is
+    * folded into a SINGLE scan of the fact table: the sketch value is
+    * attached per-row by an unbounded window aggregate over the group
+    * key, and the follow-up groupBy reuses the same partitioning — one
+    * scan + one shuffle total, where the r3 shape re-scanned and
+    * re-joined lineitem just for the audit column.
     */
   def sketchQuantile(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("l_returnflag")
     val li = Tables.lineitem(spark, dir)
       .select(col("l_returnflag"),
         expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)").as("cents"))
-    val agg = li.groupBy(col("l_returnflag"))
+      .withColumn("apx", expr("percentile_approx(cents, 0.5, 10000)").over(w))
+    li.groupBy(col("l_returnflag"))
       .agg(
-        expr("percentile_approx(cents, 0.5, 10000)").as("apx"),
         expr("percentile(cents, 0.5)").as("p50_cents"),
-        count(lit(1)).as("n"))
-    li.join(agg, "l_returnflag")
-      .groupBy(col("l_returnflag"))
-      .agg(
-        max(col("p50_cents")).as("p50_cents"),
-        max(col("n")).as("n"),
+        count(lit(1)).as("n"),
         (abs(sum(when(col("cents") <= col("apx"), 1L).otherwise(0L))
-          .cast("double") / max(col("n")).cast("double") - lit(0.5))
+          .cast("double") / count(lit(1)).cast("double") - lit(0.5))
           <= lit(0.01)).as("rank_ok"))
       .orderBy(col("l_returnflag"))
   }

@@ -36,11 +36,24 @@ class GraphOpsSpec extends SparkSpec {
     assert(lab === Map(1L -> 1L, 3L -> 1L, 5L -> 1L))
   }
 
-  test("a long path converges (pointer jumping handles deep chains)") {
+  test("a long path converges in O(log n) star rounds, not O(diameter)") {
     val path = (1L until 64L).map(i => i -> (i + 1))
     val lab = labelsOf(edges(path: _*))
     assert(lab.values.toSet === Set(1L))
     assert(lab.size === 64)
+    // diameter 63; alternating stars must beat label propagation's
+    // ~diameter rounds by a wide margin (observed: ~6)
+    assert(operators.GraphOps.lastRounds <= 16,
+      s"took ${operators.GraphOps.lastRounds} rounds for a 64-node path")
+  }
+
+  test("a hot hub component (star of 200 leaves) converges in few rounds") {
+    val star = (101L to 300L).map(i => 100L -> i) :+ (1L -> 100L)
+    val lab = labelsOf(edges(star: _*))
+    assert(lab.values.toSet === Set(1L))
+    assert(lab.size === 202)
+    assert(operators.GraphOps.lastRounds <= 6,
+      s"took ${operators.GraphOps.lastRounds} rounds for a hub component")
   }
 
   test("empty edge list yields empty labels") {

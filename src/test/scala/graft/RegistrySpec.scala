@@ -25,17 +25,24 @@ class RegistrySpec extends SparkSpec {
   // Regression guard for the round-1 array-output defect class: the
   // driver's pandas hash compare only supports scalar columns, so any
   // future qid that leaks an array/map/struct output must fail HERE, not
-  // at the driver gate. Schema-only probe (no job runs), but at two SFs
-  // because pivot-style plans can in principle infer data-dependent
-  // schemas.
+  // at the driver gate. Probed at two SFs because pivot-style plans can
+  // in principle infer data-dependent schemas. NOTE: constructing the
+  // DataFrame is NOT free for every qid — ML-backed ones execute Spark
+  // jobs at build time (KMeans fit in ivfCandidates, the full
+  // connected-components fixpoint in dedup_clusters) and persist()
+  // intermediates, so the cache is cleared per SF to keep ~146 qids × 2
+  // dirs from accumulating cached RDDs.
   test("every declared output schema is scalar-only at sf0.001 and sf0.01") {
     import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
-    for (q <- Registry.all; d <- Seq(sfDir, "/root/testdata/sf0.01")) {
-      val bad = q.fn(spark, d).schema.fields.filter(f =>
-        f.dataType.isInstanceOf[ArrayType] || f.dataType.isInstanceOf[MapType] ||
-          f.dataType.isInstanceOf[StructType])
-      assert(bad.isEmpty,
-        s"${q.id} on $d has non-scalar output columns: ${bad.map(_.name).mkString(",")}")
+    for (d <- Seq(sfDir, "/root/testdata/sf0.01")) {
+      for (q <- Registry.all) {
+        val bad = q.fn(spark, d).schema.fields.filter(f =>
+          f.dataType.isInstanceOf[ArrayType] || f.dataType.isInstanceOf[MapType] ||
+            f.dataType.isInstanceOf[StructType])
+        assert(bad.isEmpty,
+          s"${q.id} on $d has non-scalar output columns: ${bad.map(_.name).mkString(",")}")
+      }
+      spark.catalog.clearCache()
     }
   }
 
