@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** 10× scale rehearsal of the dedup/ANN family (VERDICT r3 "Next
+  * round" #2): synthesizes corpora at 1×/2×/5×/10× sf0.1 by id-shifted
+  * replication and times the blocking-key operators against each, so
+  * the "O(Σ bucket²), never all-pairs" design notes become measured
+  * growth curves (recorded in docs/DESIGN.md).
+  *
+  * Replication is NAMESPACED, not verbatim: replica r shifts ids by
+  * r·10⁷ and prefixes every token with `r{r}x`, making each replica's
+  * token/shingle universe disjoint from the others. Verbatim copies
+  * would be a pathological corpus (every shingle's df multiplied by k
+  * kills the df==2 rare-shingle sets and floods every minhash/simhash
+  * band bucket with identical signatures); the namespaced corpus is
+  * "k× more data of the same shape" — per-replica dedup structure
+  * identical, blocking-key population k× — which is what a growth
+  * curve must hold constant. Embeddings replicate with shifted vec_ids
+  * only: the ANN query band (vec_id < 30) stays fixed while the corpus
+  * grows, the real 100-TB shape (queries don't scale with the corpus).
+  *
+  * Output: one JSON line per (qid, scale) with seconds, result rows,
+  * and CC rounds where relevant; `tools/scale_rehearsal.sh` wraps it.
+  */
+object ScaleRehearsal {
+  private val baseDir = "/root/testdata/sf0.1"
+  private val qids = Seq(
+    "dedup_near", "dedup_minhash", "dedup_simhash", "dedup_clusters",
+    "sim_ann_ivf")
+
+  private def synth(spark: SparkSession, scale: Int, outDir: String): Unit = {
+    val out = new java.io.File(outDir)
+    if (new java.io.File(out, "_DONE").exists()) return
+    out.mkdirs()
+    val docs = spark.read.parquet(s"$baseDir/documents.parquet")
+    val embs = spark.read.parquet(s"$baseDir/embeddings.parquet")
+    val docReps = (0 until scale).map { r =>
+      if (r == 0) docs
+      else docs.select(
+        (col("doc_id") + lit(r * 10000000L)).as("doc_id"),
+        concat_ws(" ",
+          transform(split(col("text"), " "), t => concat(lit(s"r${r}x"), t)))
+          .as("text"),
+        col("lang"), col("source"),
+        // keep the length metadata true to the rewritten text
+        length(concat_ws(" ",
+          transform(split(col("text"), " "), t => concat(lit(s"r${r}x"), t))))
+          .cast("long").as("n_chars"))
+    }
+    docReps.reduce(_ unionByName _)
+      .repartition(32).write.mode("overwrite")
+      .parquet(s"$outDir/documents.parquet")
+    val embReps = (0 until scale).map { r =>
+      if (r == 0) embs
+      else embs.select((col("vec_id") + lit(r * 10000000L)).as("vec_id"),
+        col("embedding"), col("label"))
+    }
+    embReps.reduce(_ unionByName _)
+      .repartition(32).write.mode("overwrite")
+      .parquet(s"$outDir/embeddings.parquet")
+    new java.io.File(out, "_DONE").createNewFile()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val scales = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(1, 2, 5, 10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.max(4, Runtime.getRuntime.availableProcessors()).toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    // warm codegen/ICU once so x1 isn't charged JVM setup
+    spark.read.parquet(s"$baseDir/documents.parquet").limit(200)
+      .select(md5(col("text")).as("h"), explode(split(col("text"), " ")).as("t"))
+      .groupBy("h", "t").count().count()
+    Class.forName("org.apache.spark.sql.catalyst.util.CollationAwareUTF8String")
+    for (scale <- scales) {
+      val dir = s"/tmp/graft_scale/x$scale"
+      synth(spark, scale, dir)
+      for (qid <- qids) {
+        val fn = Registry.byId(qid).fn
+        val t0 = System.nanoTime()
+        val rows = fn(spark, dir).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val extra =
+          if (qid == "dedup_clusters")
+            s""","cc_rounds":${graft.operators.GraphOps.lastRounds}"""
+          else ""
+        println(f"""{"qid":"$qid","scale":$scale,"sec":$sec%.2f,"rows":$rows$extra}""")
+        try spark.catalog.clearCache() catch { case _: Throwable => () }
+      }
+    }
+    spark.stop()
+  }
+}

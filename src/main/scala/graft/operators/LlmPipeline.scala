@@ -310,10 +310,17 @@ object LlmPipeline {
   }
 
   /** Band-blocked candidate pairs with their hamming distance (the
-    * recall-bearing inner join of dedup_simhash). */
+    * recall-bearing inner join of dedup_simhash). Bands are 4 × 16 bits
+    * (the Manku-style table split), NOT 8 × 8: pigeonhole still holds
+    * (≤ 3 flipped bits touch ≤ 3 of 4 bands, so one band always
+    * matches), but each band key has 2^16 values instead of 2^8 —
+    * bucket population is n/65536, and the round-4 scale rehearsal
+    * measured the difference directly: with 8-bit bands candidate
+    * volume grew O(n²/256) and the 50× corpus took 27 s; 16-bit bands
+    * restore near-linear growth (docs/DESIGN.md table). */
   private def simhashBandPairs(sim: DataFrame): DataFrame = {
     val banded = sim.select(col("doc_id"), col("simhash"),
-      posexplode(expr("transform(sequence(0, 7), b -> shiftright(simhash, b * 8) & 255)"))
+      posexplode(expr("transform(sequence(0, 3), b -> shiftright(simhash, b * 16) & 65535)"))
         .as(Seq("band", "bv")))
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
@@ -325,8 +332,8 @@ object LlmPipeline {
 
   /** SimHash near-dup: 64-bit tf-weighted simhash per doc (two seeded
     * 32-bit md5 hashes per token concatenated); pairs within Hamming
-    * distance ≤ 3 found by *band blocking* over 8 bytes — by pigeonhole
-    * a pair at distance ≤ 3 shares at least 5 of 8 bands, so the band
+    * distance ≤ 3 found by *band blocking* over 4 16-bit bands — by
+    * pigeonhole a pair at distance ≤ 3 shares at least 1 band, so the
     * equi-join has guaranteed recall while scanning only O(Σ bucket²)
     * candidates. The band join is what keeps the operator linear-ish at
     * crawl scale; 64 bits keeps random collisions negligible. The
@@ -359,8 +366,8 @@ object LlmPipeline {
   private val dedupSimhashOracle =
     s"""WITH $oSimhashCtes,
        |banded AS (
-       |  SELECT doc_id, simhash, b AS band, (simhash >> (b * 8)) & 255 AS bv
-       |  FROM sim, unnest(generate_series(0, 7)) AS t(b))
+       |  SELECT doc_id, simhash, b AS band, (simhash >> (b * 16)) & 65535 AS bv
+       |  FROM sim, unnest(generate_series(0, 3)) AS t(b))
        |SELECT DISTINCT a.doc_id da, b.doc_id db,
        |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
        |FROM banded a JOIN banded b
@@ -371,8 +378,8 @@ object LlmPipeline {
   // ------------------------------------------------------ dedup_simhash_recall
   /** The band-blocking recall CONTRACT of dedup_simhash, declared as
     * driver-checked data (the sim_ann_ivf_sweep pattern): by pigeonhole,
-    * any pair at hamming ≤ 3 differs in at most 3 of the 8 byte-bands,
-    * so it SHARES at least 5 — band blocking has recall exactly 1.0
+    * any pair at hamming ≤ 3 differs in at most 3 of the 4 16-bit
+    * bands, so it SHARES at least 1 — band blocking has recall 1.0
     * against the true hamming-≤3 pair set, and `n_missed` is provably 0.
     * The exact side is an all-pairs self-join on the (doc_id, simhash)
     * relation — ONE long per doc, so the audit is O(docs²) on an
@@ -404,8 +411,8 @@ object LlmPipeline {
        |  FROM sim a JOIN sim b ON a.doc_id < b.doc_id
        |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
        |banded AS (
-       |  SELECT doc_id, simhash, b AS band, (simhash >> (b * 8)) & 255 AS bv
-       |  FROM sim, unnest(generate_series(0, 7)) AS t(b)),
+       |  SELECT doc_id, simhash, b AS band, (simhash >> (b * 16)) & 65535 AS bv
+       |  FROM sim, unnest(generate_series(0, 3)) AS t(b)),
        |blocked AS (
        |  SELECT DISTINCT a.doc_id da, b.doc_id db
        |  FROM banded a JOIN banded b
@@ -1571,7 +1578,7 @@ object LlmPipeline {
     GQuery("dedup_minhash", dedupMinhash, Some(dedupMinhashOracle),
       "MinHash(16) + LSH 4x4 banding candidates, exact-Jaccard verify"),
     GQuery("dedup_simhash", dedupSimhash, Some(dedupSimhashOracle),
-      "63-bit tf-weighted SimHash, byte-band blocking, hamming<=3"),
+      "63-bit tf-weighted SimHash, 4x16-bit band blocking, hamming<=3"),
     GQuery("dedup_simhash_recall", dedupSimhashRecall, Some(dedupSimhashRecallOracle),
       "band-blocking recall contract vs exact hamming pairs (pigeonhole)"),
     GQuery("dedup_embed", dedupEmbed, Some(dedupEmbedOracle),
