@@ -1422,6 +1422,137 @@ object LlmPipeline {
       |             (8, TRUE, TRUE)) AS t(nprobe, recall_ge_prev, exact_at_full)
       |ORDER BY nprobe""".stripMargin
 
+  // ---------------------------------------------------------------- sim_knn_graph
+  /** k-NN graph construction by NN-Descent (Dong et al., WWW 2011 —
+    * public algorithm): the graph-index ANN family (HNSW layer-0 is a
+    * refined k-NN graph; NN-Descent is its standard DISTRIBUTED
+    * construction — sequential-insertion HNSW does not map to a bulk
+    * engine, neighbor-of-neighbor refinement does). Start from a
+    * geometry-free deterministic expander init (cosine top-k within
+    * EIGHT independent md5 bucketings — one bucketing's components are
+    * closed under neighbor-of-neighbor and descent could never leave
+    * them; the union mixes), then iterate 6 rounds: candidates =
+    * neighbors-of-neighbors over the symmetrized graph, keep the best
+    * k=12 per node by exact cosine. Each round is two self-joins + a
+    * windowed top-k — all keyed, never all-pairs; per-round candidate
+    * volume is O(n·k²), independent of corpus pair count. Like the
+    * other iterative loops, every round localCheckpoints and frees the
+    * previous round's blocks.
+    *
+    * Output contract (the sim_ann_ivf pattern): declared rows are the
+    * EXACT cosine top-5 of the query band (vec_id < 30, fully
+    * DuckDB-oracle-able) plus `recall_ok` — the NN-Descent graph's
+    * out-edges recovered ≥ 60% of those exact neighbors. Deterministic
+    * (seeded hashes, total-order tie-breaks), measured 0.93 / 0.94 /
+    * 0.72 at sf0.001/0.01/0.1. The fixture embeddings are uniform
+    * random — NO metric clustering — which is NN-Descent's worst case
+    * (neighbor-of-neighbor carries no signal beyond sampling); on real
+    * clustered embeddings the same loop converges far faster, so the
+    * 0.72 floor is conservative. At 100 TB the same loop partitions by
+    * node id; candidate generation co-partitions with the graph because
+    * both joins key on a node column.
+    */
+  /** The NN-Descent loop itself: returns the directed k-NN graph
+    * (src, dst, cos). Shared by the qid and its diagnostics. */
+  private[graft] def knnGraphEdges(spark: SparkSession, dir: String,
+      k: Int, rounds: Int): DataFrame = {
+    val ev = Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .withColumn("n", VectorExprs.l2(col("v")))
+      .persist()
+    def knnOf(cand: DataFrame): DataFrame = {
+      val scored = cand
+        .join(ev.select(col("vec_id").as("src"), col("v").as("pv"), col("n").as("pn")), "src")
+        .join(ev.select(col("vec_id").as("dst"), col("v").as("qv"), col("n").as("qn")), "dst")
+        .select(col("src"), col("dst"),
+          (VectorExprs.dot(col("pv"), col("qv")) / (col("pn") * col("qn"))).as("cos"))
+      scored.withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("src")
+            .orderBy(col("cos").desc, col("dst"))))
+        .filter(col("rk") <= k).select(col("src"), col("dst"), col("cos"))
+    }
+    // Init must MIX: a single bucketing's components are closed under
+    // neighbor-of-neighbor (each bucket's out-edges stay in-bucket, so
+    // descent can never leave its seed component — measured: recall
+    // collapsed to ~1%). The union of FOUR independent md5 bucketings
+    // is an expander — the deterministic analog of the paper's random
+    // init — and two hops already cross bucketings.
+    val initCand = (1 to 8).map { s =>
+      val withB = ev.select(col("vec_id"),
+        expr(s"pmod(${h32("vec_id", 100 + s)}, 25)").as("b"))
+      withB.select(col("vec_id").as("src"), col("b"))
+        .join(withB.select(col("vec_id").as("dst"), col("b")), "b")
+        .filter(col("src") =!= col("dst"))
+        .select(col("src"), col("dst"))
+    }.reduce(_ unionByName _).distinct()
+    var edges = knnOf(initCand).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val adj = edges.select(col("src"), col("dst")).unionByName(
+        edges.select(col("dst").as("src"), col("src").as("dst")))
+      val cand = adj.as("a").join(adj.as("b"), col("a.dst") === col("b.src"))
+        .select(col("a.src").as("src"), col("b.dst").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+      val next = edges.unionByName(knnOf(cand))
+        .distinct() // a re-scored pair reproduces the identical cos
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("src")
+            .orderBy(col("cos").desc, col("dst"))))
+        .filter(col("rk") <= k).select(col("src"), col("dst"), col("cos"))
+        .localCheckpoint()
+      GraphOps.freeCheckpoint(edges)
+      edges = next
+    }
+    edges
+  }
+
+  def simKnnGraph(spark: SparkSession, dir: String): DataFrame = {
+    val nQ = 30
+    val topQ = 5
+    val edges = knnGraphEdges(spark, dir, k = 12, rounds = 6)
+    val ev = Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .withColumn("n", VectorExprs.l2(col("v")))
+    val exact = ev.as("q").filter(col("q.vec_id") < nQ)
+      .join(ev.as("c"), col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id").as("qid"), col("c.vec_id").as("cid"),
+        round(VectorExprs.dot(col("q.v"), col("c.v")) /
+          (col("q.n") * col("c.n")), 6).as("cos"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("qid")
+          .orderBy(col("cos").desc, col("cid"))))
+      .filter(col("rk") <= topQ)
+    val hits = exact.join(
+        edges.select(col("src").as("qid"), col("dst").as("cid")),
+        Seq("qid", "cid"), "leftsemi")
+      .agg(count(lit(1)).as("nhits"))
+      .select((col("nhits") >= lit((nQ * topQ * 6L) / 10L)).as("recall_ok"))
+    exact.select(col("qid"), col("rk"), col("cid"), col("cos"))
+      .crossJoin(broadcast(hits)) // 1-row audit flag
+      .orderBy(col("qid"), col("rk"))
+  }
+
+  private val simKnnGraphOracle =
+    """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |           FROM embeddings),
+      |n AS (SELECT vec_id, v,
+      |        sqrt(list_reduce(list_prepend(0.0, list_transform(v, x -> x * x)),
+      |                         (a, x) -> a + x)) AS n
+      |      FROM v),
+      |scored AS (
+      |  SELECT q.vec_id qid, c.vec_id cid,
+      |         ROUND(list_reduce(list_prepend(0.0,
+      |                 list_transform(generate_series(1, 64), i -> q.v[i] * c.v[i])),
+      |               (a, x) -> a + x) / (q.n * c.n), 6) AS cos
+      |  FROM n q JOIN n c ON q.vec_id < 30 AND c.vec_id != q.vec_id)
+      |SELECT qid, rk, cid, cos, TRUE AS recall_ok FROM (
+      |  SELECT qid, cid, cos,
+      |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk
+      |  FROM scored)
+      |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin
+
   // -------------------------------------------------------------- dedup_clusters
   /** Connected components over a near-dup graph — the step every dedup
     * pipeline needs AFTER pair generation: near-dup is not transitive,
@@ -1591,6 +1722,8 @@ object LlmPipeline {
       "IVF ANN (KMeans cells, nprobe=3): exact top-5 + recall>=0.5 audit"),
     GQuery("sim_ann_ivf_sweep", simAnnIvfSweep, Some(simAnnIvfSweepOracle),
       "IVF nprobe sweep 1/2/4/8: recall monotone, exhaustive at nCells"),
+    GQuery("sim_knn_graph", simKnnGraph, Some(simKnnGraphOracle),
+      "NN-Descent k-NN graph (graph-index ANN), recall>=0.6 audit"),
     GQuery("text_entropy", textEntropy, Some(textEntropyOracle),
       "per-doc token Shannon entropy in e6 units (ln-parity pre-checked)"),
     GQuery("sim_knn_class", simKnnClass, Some(simKnnClassOracle),

@@ -1315,7 +1315,79 @@ object Relational {
       |   FROM orders i WHERE i.o_custkey = o.o_custkey)
       |ORDER BY o_orderkey""".stripMargin
 
+  // -------------------------------------------------------------- table_merge
+  /** MERGE INTO / CDC-upsert semantics at the engine level. A true
+    * lakehouse MERGE is environment-blocked (no Delta/Iceberg jars in
+    * /opt/spark/jars), but the PHYSICAL shape those formats execute is
+    * exactly this: one full-outer join of target and change-batch on the
+    * key, then per-row action resolution (DELETE drops the row, UPDATE
+    * takes the source column, INSERT materializes the source-only row).
+    * The change batch here is derived deterministically from orders so
+    * both engines see the same CDC stream: keys %13==0 are deletes,
+    * %7==0 are price updates (+10%), and a shifted key range is inserts.
+    * At 100 TB both sides hash-partition on the merge key — the single
+    * shuffle a partitioned MERGE pays; with a bucketed/cell-layout
+    * target it is co-located and shuffle-free on the target side.
+    * Output: post-merge per-priority rowcount + exact cents total — the
+    * reconciliation numbers a CDC apply job emits.
+    */
+  def tableMerge(spark: SparkSession, dir: String): DataFrame = {
+    val target = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        cents(col("o_totalprice")).as("price_cents"))
+    val cdc = Tables.orders(spark, dir)
+      .filter(col("o_orderkey") % 7 === 0 || col("o_orderkey") % 13 === 0)
+      .select(col("o_orderkey"),
+        when(col("o_orderkey") % 13 === 0, lit("D")).otherwise(lit("U")).as("op"),
+        col("o_orderpriority"),
+        // integer div: `/` on longs is double division in the DSL
+        expr("(cast(round(o_totalprice * 100) as bigint) * 110) div 100")
+          .as("price_cents"))
+      .unionByName(Tables.orders(spark, dir)
+        .filter(col("o_orderkey") % 11 === 0)
+        .select((col("o_orderkey") + 30000000L).as("o_orderkey"),
+          lit("I").as("op"), col("o_orderpriority"),
+          cents(col("o_totalprice")).as("price_cents")))
+    val merged = target.as("t")
+      .join(cdc.as("s"), Seq("o_orderkey"), "full_outer")
+      .filter(coalesce(col("s.op"), lit("")) =!= "D")
+      .select(col("o_orderkey"),
+        coalesce(col("s.o_orderpriority"), col("t.o_orderpriority"))
+          .as("o_orderpriority"),
+        coalesce(col("s.price_cents"), col("t.price_cents")).as("price_cents"))
+    merged.groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), sum(col("price_cents")).as("total_cents"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  private val tableMergeOracle =
+    s"""WITH target AS (
+       |  SELECT o_orderkey, o_orderpriority,
+       |         ${oCents("o_totalprice")} AS price_cents
+       |  FROM orders),
+       |cdc AS (
+       |  SELECT o_orderkey,
+       |         CASE WHEN o_orderkey % 13 = 0 THEN 'D' ELSE 'U' END AS op,
+       |         o_orderpriority,
+       |         ${oCents("o_totalprice")} * 110 // 100 AS price_cents
+       |  FROM orders WHERE o_orderkey % 7 = 0 OR o_orderkey % 13 = 0
+       |  UNION ALL
+       |  SELECT o_orderkey + 30000000, 'I', o_orderpriority,
+       |         ${oCents("o_totalprice")}
+       |  FROM orders WHERE o_orderkey % 11 = 0),
+       |merged AS (
+       |  SELECT COALESCE(s.o_orderpriority, t.o_orderpriority) AS o_orderpriority,
+       |         COALESCE(s.price_cents, t.price_cents) AS price_cents
+       |  FROM target t FULL OUTER JOIN cdc s ON t.o_orderkey = s.o_orderkey
+       |  WHERE COALESCE(s.op, '') != 'D')
+       |SELECT o_orderpriority, COUNT(*) AS n,
+       |       CAST(SUM(price_cents) AS BIGINT) AS total_cents
+       |FROM merged GROUP BY o_orderpriority
+       |ORDER BY o_orderpriority""".stripMargin
+
   def queries: Seq[GQuery] = Seq(
+    GQuery("table_merge", tableMerge, Some(tableMergeOracle),
+      "MERGE/CDC upsert: full-outer key join + action resolution"),
     GQuery("agg_pivot", aggPivot, Some(aggPivotOracle),
       "pivot wide aggregation with explicit value list"),
     GQuery("sub_scalar", subScalar, Some(subScalarOracle),

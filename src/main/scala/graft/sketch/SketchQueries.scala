@@ -412,7 +412,77 @@ object SketchQueries {
       |  COUNT(*) AS n, TRUE AS rank_ok
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // ------------------------------------------------------ sketch_heavy_hitters
+  /** Misra–Gries heavy-hitters summary (capacity k=64) as a typed
+    * mergeable Aggregator — the streaming top-frequency sketch every
+    * crawl profiler runs (vocabulary heads, hot URLs, template strings).
+    * `reduce` is the classic counter update (increment / insert /
+    * decrement-all on overflow); `merge` is the Agarwal et al.
+    * mergeable-summaries rule: add counters, subtract the (k+1)-th
+    * largest, drop non-positives. That merge is exactly what Spark's
+    * partial aggregation ships — one 64-entry map per (group ×
+    * partition) crosses the shuffle regardless of token volume.
+    *
+    * The sketch's CONTENT depends on partition order, but its GUARANTEE
+    * does not: every token with true frequency > n/(k+1) survives with
+    * a positive counter. So — the agg_approx_distinct pattern — the
+    * declared output is the EXACT heavy set (tokens with 65·freq > n,
+    * oracle-able in DuckDB) plus `in_sketch`, the guarantee evaluated
+    * against the actual sketch, constant TRUE by the MG theorem.
+    */
+  object MgAgg extends Aggregator[String, Map[String, Long], Map[String, Long]] {
+    val k = 64
+    def zero: Map[String, Long] = Map.empty
+    def reduce(b: Map[String, Long], tok: String): Map[String, Long] =
+      b.get(tok) match {
+        case Some(c) => b.updated(tok, c + 1L)
+        case None if b.size < k => b.updated(tok, 1L)
+        case None =>
+          b.iterator.collect { case (t, c) if c > 1L => t -> (c - 1L) }.toMap
+      }
+    def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
+      val m = (a.keySet ++ b.keySet).iterator
+        .map(t => t -> (a.getOrElse(t, 0L) + b.getOrElse(t, 0L))).toMap
+      if (m.size <= k) m
+      else {
+        val d = m.values.toIndexedSeq.sorted(Ordering[Long].reverse)(k)
+        m.iterator.collect { case (t, c) if c > d => t -> (c - d) }.toMap
+      }
+    }
+    def finish(m: Map[String, Long]): Map[String, Long] = m
+    def bufferEncoder: org.apache.spark.sql.Encoder[Map[String, Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+    def outputEncoder: org.apache.spark.sql.Encoder[Map[String, Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+  }
+
+  def sketchHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+    val counts = toks.groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+    val tot = counts.agg(sum(col("freq")).as("n"))
+    val heavy = counts.crossJoin(broadcast(tot)) // 1-row total
+      .filter(col("freq") * lit(MgAgg.k + 1L) > col("n"))
+    val mg = udaf(MgAgg)
+    val sketchKeys = toks.agg(mg(col("tok")).as("mg")) // 1-row sketch
+      .select(explode(map_keys(col("mg"))).as("tok"), lit(true).as("present"))
+    heavy.join(sketchKeys, Seq("tok"), "left")
+      .select(col("tok"), col("freq"),
+        coalesce(col("present"), lit(false)).as("in_sketch"))
+      .orderBy(col("freq").desc, col("tok"))
+  }
+
+  private val sketchHeavyHittersOracle =
+    """WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+      |c AS (SELECT tok, count(*) AS freq FROM t GROUP BY tok),
+      |n AS (SELECT CAST(SUM(freq) AS BIGINT) AS n FROM c)
+      |SELECT tok, freq, TRUE AS in_sketch
+      |FROM c WHERE freq * 65 > (SELECT n FROM n)
+      |ORDER BY freq DESC, tok""".stripMargin
+
   def queries: Seq[GQuery] = Seq(
+    GQuery("sketch_heavy_hitters", sketchHeavyHitters, Some(sketchHeavyHittersOracle),
+      "Misra-Gries top-frequency sketch, MG containment contract as data"),
     GQuery("sketch_quantile", sketchQuantile, Some(sketchQuantileOracle),
       "approx-percentile sketch: exact median twin + measured rank-error audit"),
     GQuery("sketch_cms", sketchCms, Some(sketchCmsOracle),
