@@ -143,4 +143,68 @@ object GraftProperties extends Properties("graft") {
         (((sim >> i) & 1L) == 1L) == (s > 0)
       }
     }
+
+  // Streams drawn from a small alphabet with a planted heavy token so
+  // the n/(k+1) bound actually bites at list sizes ScalaCheck explores.
+  private val tokenStream = Gen.listOfN(400,
+    Gen.frequency(5 -> Gen.const("hot"),
+      3 -> Gen.oneOf("warm1", "warm2"),
+      2 -> Gen.chooseNum(0, 200).map(i => s"t$i")))
+
+  property("MgAgg containment: freq > n/(k+1) tokens survive any split point") =
+    forAll(tokenStream, Gen.chooseNum(0, 400)) { (toks, cut) =>
+      val agg = sketch.SketchQueries.MgAgg
+      val kk = agg.k
+      val split = math.min(cut, toks.size)
+      val (l, r) = toks.splitAt(split)
+      val m = agg.merge(
+        l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce))
+      val n = toks.size.toLong
+      val exact = toks.groupBy(identity).view.mapValues(_.size.toLong)
+      exact.forall { case (t, f) =>
+        f * (kk + 1L) <= n || m.contains(t)
+      }
+    }
+
+  property("MgAgg estimate error bounded by n/(k+1) on both sides") =
+    forAll(tokenStream) { toks =>
+      val agg = sketch.SketchQueries.MgAgg
+      val m = toks.foldLeft(agg.zero)(agg.reduce)
+      val n = toks.size.toLong
+      val bound = n / (agg.k + 1L)
+      val exact = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      m.forall { case (t, est) =>
+        val f = exact.getOrElse(t, 0L)
+        est <= f && est >= f - bound
+      }
+    }
+
+  /** Reference connected components by union-find, for the GraphOps law. */
+  private def ufLabels(edges: List[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      if (a != b) {
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+    }
+    val nodes = edges.filter(e => e._1 != e._2).flatMap(e => List(e._1, e._2)).distinct
+    nodes.map(x => x -> find(x)).toMap
+  }
+
+  property("GraphOps star rounds == union-find labels on random graphs") =
+    forAll(Gen.listOfN(25,
+        Gen.zip(Gen.chooseNum(0L, 30L), Gen.chooseNum(0L, 30L)))) { edges =>
+      import spark.implicits._
+      val expected = ufLabels(edges)
+      val got =
+        if (edges.forall(e => e._1 == e._2)) Map.empty[Long, Long]
+        else operators.GraphOps.connectedComponents(edges.toDF("src", "dst"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      got == expected
+    }
 }
