@@ -1331,11 +1331,15 @@ object Relational {
     * Output: post-merge per-priority rowcount + exact cents total — the
     * reconciliation numbers a CDC apply job emits.
     */
-  def tableMerge(spark: SparkSession, dir: String): DataFrame = {
-    val target = Tables.orders(spark, dir)
+  /** The merge target: (key, priority, exact cents). */
+  private[graft] def mergeTarget(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
       .select(col("o_orderkey"), col("o_orderpriority"),
         cents(col("o_totalprice")).as("price_cents"))
-    val cdc = Tables.orders(spark, dir)
+
+  /** The deterministic change batch: one action per key (D / U / I). */
+  private[graft] def cdcBatch(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
       .filter(col("o_orderkey") % 7 === 0 || col("o_orderkey") % 13 === 0)
       .select(col("o_orderkey"),
         when(col("o_orderkey") % 13 === 0, lit("D")).otherwise(lit("U")).as("op"),
@@ -1348,17 +1352,24 @@ object Relational {
         .select((col("o_orderkey") + 30000000L).as("o_orderkey"),
           lit("I").as("op"), col("o_orderpriority"),
           cents(col("o_totalprice")).as("price_cents")))
-    val merged = target.as("t")
+
+  /** One MERGE application: full-outer key join + action resolution.
+    * Also the per-microbatch step of the streaming CDC apply
+    * (streaming/StreamingOps.streamingCdcMerge). */
+  private[graft] def mergeStep(target: DataFrame, cdc: DataFrame): DataFrame =
+    target.as("t")
       .join(cdc.as("s"), Seq("o_orderkey"), "full_outer")
       .filter(coalesce(col("s.op"), lit("")) =!= "D")
       .select(col("o_orderkey"),
         coalesce(col("s.o_orderpriority"), col("t.o_orderpriority"))
           .as("o_orderpriority"),
         coalesce(col("s.price_cents"), col("t.price_cents")).as("price_cents"))
-    merged.groupBy(col("o_orderpriority"))
+
+  def tableMerge(spark: SparkSession, dir: String): DataFrame =
+    mergeStep(mergeTarget(spark, dir), cdcBatch(spark, dir))
+      .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n"), sum(col("price_cents")).as("total_cents"))
       .orderBy(col("o_orderpriority"))
-  }
 
   private val tableMergeOracle =
     s"""WITH target AS (

@@ -299,4 +299,52 @@ object StreamingOps {
         col("click_id"), col("purch_id")),
       s"ssjoin_${System.nanoTime()}", OutputMode.Append())
   }
+
+  /** Streaming CDC apply — the true streaming form of the table_merge
+    * qid. Change batches land as files; `foreachBatch` applies each
+    * microbatch to the target with the SAME merge step the batch qid
+    * uses (full-outer key join + action resolution), which is exactly
+    * how a lakehouse streaming-MERGE sink is driven (foreachBatch +
+    * MERGE INTO per microbatch). `maxFilesPerTrigger=1` forces the CDC
+    * batch through as two genuine microbatches; the split is by key
+    * hash, so each key's single action rides exactly one batch and
+    * sequential application is order-safe. The evolving target is
+    * localCheckpointed per batch (the iterative-loop lineage rule).
+    * StreamingMlSpec asserts the result equals the one-shot batch
+    * merge on the same input.
+    */
+  def streamingCdcMerge(spark: SparkSession, dir: String): DataFrame = {
+    val staged = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      "graft_cdc_" + Integer.toHexString(dir.hashCode))
+    val rel = graft.operators.Relational
+    val cdc = rel.cdcBatch(spark, dir)
+    if (!java.nio.file.Files.exists(staged.resolve("_DONE"))) {
+      java.nio.file.Files.createDirectories(staged)
+      for (b <- 0 to 1) {
+        cdc.filter(pmod(xxhash64(col("o_orderkey")), lit(2)) === b)
+          .coalesce(1).write.mode("overwrite")
+          .parquet(staged.resolve(s"batch$b").toString)
+      }
+      java.nio.file.Files.createFile(staged.resolve("_DONE"))
+    }
+    var state = rel.mergeTarget(spark, dir).localCheckpoint()
+    val stream = spark.readStream
+      .schema(cdc.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(staged.toString + "/batch*")
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val next = rel.mergeStep(state, batch).localCheckpoint()
+        graft.operators.GraphOps.freeCheckpoint(state)
+        state = next
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    state.groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), sum(col("price_cents")).as("total_cents"))
+      .orderBy(col("o_orderpriority"))
+  }
 }

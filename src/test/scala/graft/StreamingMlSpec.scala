@@ -10,6 +10,15 @@ import org.apache.spark.sql.functions._
   */
 class StreamingMlSpec extends SparkSpec {
 
+  test("streaming CDC merge equals the one-shot batch MERGE") {
+    val streamed = StreamingOps.streamingCdcMerge(spark, sfDir)
+      .collect().map(_.toString).toSeq
+    val batch = graft.operators.Relational.tableMerge(spark, sfDir)
+      .collect().map(_.toString).toSeq
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming tumbling window equals batch groupBy on bounded input") {
     // append mode emits a window only once the watermark passes its end:
     // compare on the closed windows (end <= max_ts - 10 min) both sides
