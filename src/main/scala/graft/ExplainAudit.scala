@@ -25,7 +25,8 @@ object ExplainAudit {
       "scan_pruned", "join_broadcast", "q1_pricing", "sim_cosine",
       "dedup_minhash", "dedup_near", "dedup_simhash", "pa_multi",
       "sketch_bloom_portable", "topk_per_group", "ps_transform",
-      "sketch_cms", "sample_split", "agg_percentile", "unpivot_long")
+      "sketch_cms", "sample_split", "agg_percentile", "unpivot_long",
+      "table_merge", "sketch_heavy_hitters", "agg_incremental")
     for (qid <- qids) {
       if (qid == "skew_demo") {
         println(s"\n========== skew_demo (executed adaptive plan) ==========")

@@ -1396,7 +1396,43 @@ object Relational {
        |FROM merged GROUP BY o_orderpriority
        |ORDER BY o_orderpriority""".stripMargin
 
+  // ----------------------------------------------------------- agg_incremental
+  /** Incremental aggregate maintenance (materialized-view refresh): the
+    * standing per-priority aggregate is updated by FOLDING IN a late
+    * batch's partial aggregate — base ⊕ delta via a full-outer join on
+    * the group key — instead of rescanning the fact table. COUNT and
+    * SUM are the mergeable pair (AVG = SUM/COUNT derives; MIN/MAX merge
+    * the same way; only non-algebraic aggregates like exact DISTINCT
+    * need a re-scan or a sketch). At 100 TB this is the difference
+    * between touching the delta (GBs) and the history (TBs) on every
+    * refresh; the oracle IS the from-scratch recompute over the full
+    * table, so the driver checks the refresh algebra exactly. */
+  def aggIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val all = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        cents(col("o_totalprice")).as("price_cents"))
+    def partial(df: DataFrame): DataFrame =
+      df.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sum(col("price_cents")).as("total_cents"))
+    val base = partial(all.filter(col("o_orderkey") % 17 =!= 0))
+    val delta = partial(all.filter(col("o_orderkey") % 17 === 0))
+    base.as("b").join(delta.as("d"), Seq("o_orderpriority"), "full_outer")
+      .select(col("o_orderpriority"),
+        (coalesce(col("b.n"), lit(0L)) + coalesce(col("d.n"), lit(0L))).as("n"),
+        (coalesce(col("b.total_cents"), lit(0L)) +
+          coalesce(col("d.total_cents"), lit(0L))).as("total_cents"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  private val aggIncrementalOracle =
+    s"""SELECT o_orderpriority, COUNT(*) AS n,
+       |       CAST(SUM(${oCents("o_totalprice")}) AS BIGINT) AS total_cents
+       |FROM orders GROUP BY o_orderpriority
+       |ORDER BY o_orderpriority""".stripMargin
+
   def queries: Seq[GQuery] = Seq(
+    GQuery("agg_incremental", aggIncremental, Some(aggIncrementalOracle),
+      "incremental MV refresh: base + delta partials merged, == full scan"),
     GQuery("table_merge", tableMerge, Some(tableMergeOracle),
       "MERGE/CDC upsert: full-outer key join + action resolution"),
     GQuery("agg_pivot", aggPivot, Some(aggPivotOracle),
