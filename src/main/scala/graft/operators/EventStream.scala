@@ -343,7 +343,106 @@ object EventStream {
        |  ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
        |ORDER BY event_type, event_id""".stripMargin
 
+  // ---------------------------------------------------------------- ts_resample
+  /** Time-series downsampling to hourly OHLC bars per event type — the
+    * standard resample verb (metrics rollups, financial bars, sensor
+    * decimation). Open/close need a DETERMINISTIC first/last: rows are
+    * ranked by the unique composite (ts, event_id) inside each bucket
+    * with one ascending window (row_number + count(*) makes the same
+    * pass yield both endpoints), then one groupBy folds the bar. Two
+    * shuffles total on (bucket, type) — at 100 TB the window and the
+    * groupBy share the same partitioning, so the second exchange is
+    * planner-elided. Money stays integer cents end to end. */
+  def tsResample(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("h"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(date_trunc("hour", col("ts")).as("h"), col("event_type"),
+        col("ts"), col("event_id"), cents(col("value")).as("c"))
+      .withColumn("rn", row_number().over(w))
+      // NB: count over the ORDERED window would be the RUNNING count
+      // (default frame ends at CURRENT ROW) and rn == cnt on every row;
+      // the partition total needs the unordered window.
+      .withColumn("cnt", count(lit(1)).over(
+        Window.partitionBy(col("h"), col("event_type"))))
+      .groupBy(col("h"), col("event_type"))
+      .agg(
+        max(when(col("rn") === 1, col("c"))).as("open_c"),
+        max(col("c")).as("high_c"),
+        min(col("c")).as("low_c"),
+        max(when(col("rn") === col("cnt"), col("c"))).as("close_c"),
+        count(lit(1)).as("n"))
+      .orderBy(col("h"), col("event_type"))
+  }
+
+  private val tsResampleOracle =
+    s"""WITH r AS (
+       |  SELECT date_trunc('hour', ts) AS h, event_type,
+       |         ${oCents("value")} AS c,
+       |         row_number() OVER (PARTITION BY date_trunc('hour', ts), event_type
+       |                            ORDER BY ts, event_id) AS rn,
+       |         count(*) OVER (PARTITION BY date_trunc('hour', ts), event_type) AS cnt
+       |  FROM events)
+       |SELECT h, event_type,
+       |       MAX(CASE WHEN rn = 1 THEN c END) AS open_c,
+       |       MAX(c) AS high_c, MIN(c) AS low_c,
+       |       MAX(CASE WHEN rn = cnt THEN c END) AS close_c,
+       |       COUNT(*) AS n
+       |FROM r GROUP BY h, event_type
+       |ORDER BY h, event_type""".stripMargin
+
+  // -------------------------------------------------------------------- ts_fill
+  /** Gap filling over a DENSE generated time grid: rare series (the
+    * 'error' type) skip hours entirely, and a training join against a
+    * sparse series silently drops those rows — the fix every
+    * time-series pipeline needs is a generated per-key hour spine +
+    * forward fill. The spine comes from sequence() over the observed
+    * [min, max] hour per type (exploded — no driver collect), the
+    * observed hourly sums left-join onto it, `n` zero-fills, and the
+    * running value forward-fills with last_value IGNORE NULLS. At
+    * 100 TB the spine is O(keys × buckets) — tiny next to the events —
+    * and the fill is one window pass per key. */
+  def tsFill(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(spark, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("sum_c"))
+    val spine = hourly.groupBy(col("event_type"))
+      .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      .select(col("event_type"),
+        explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
+    spine.join(hourly, Seq("event_type", "h"), "left")
+      .select(col("event_type"), col("h"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        last(col("sum_c"), ignoreNulls = true).over(
+          Window.partitionBy(col("event_type")).orderBy(col("h"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("sum_c_filled"))
+      .orderBy(col("event_type"), col("h"))
+  }
+
+  private val tsFillOracle =
+    s"""WITH hourly AS (
+       |  SELECT event_type, date_trunc('hour', ts) AS h,
+       |         COUNT(*) AS n, CAST(SUM(${oCents("value")}) AS BIGINT) AS sum_c
+       |  FROM events GROUP BY event_type, date_trunc('hour', ts)),
+       |spine AS (
+       |  SELECT event_type, unnest(generate_series(min(h), max(h),
+       |                            INTERVAL 1 HOUR)) AS h
+       |  FROM hourly GROUP BY event_type)
+       |SELECT s.event_type, s.h,
+       |       COALESCE(hy.n, 0) AS n,
+       |       last_value(hy.sum_c IGNORE NULLS) OVER (
+       |         PARTITION BY s.event_type ORDER BY s.h
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sum_c_filled
+       |FROM spine s LEFT JOIN hourly hy
+       |  ON s.event_type = hy.event_type AND s.h = hy.h
+       |ORDER BY s.event_type, s.h""".stripMargin
+
   def queries: Seq[GQuery] = Seq(
+    GQuery("ts_resample", tsResample, Some(tsResampleOracle),
+      "hourly OHLC downsampling, deterministic open/close endpoints"),
+    GQuery("ts_fill", tsFill, Some(tsFillOracle),
+      "dense hour spine + zero/forward fill for sparse series"),
     GQuery("event_funnel", eventFunnel, Some(eventFunnelOracle),
       "view->click->purchase funnel stages via conditional first-ts mins"),
     GQuery("agg_retention", aggRetention, Some(aggRetentionOracle),
