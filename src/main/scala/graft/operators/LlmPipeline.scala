@@ -1461,17 +1461,18 @@ object LlmPipeline {
         expr("transform(embedding, x -> cast(x as double))").as("v"))
       .withColumn("n", VectorExprs.l2(col("v")))
       .persist()
-    def knnOf(cand: DataFrame): DataFrame = {
-      val scored = cand
-        .join(ev.select(col("vec_id").as("src"), col("v").as("pv"), col("n").as("pn")), "src")
-        .join(ev.select(col("vec_id").as("dst"), col("v").as("qv"), col("n").as("qn")), "dst")
-        .select(col("src"), col("dst"),
-          (VectorExprs.dot(col("pv"), col("qv")) / (col("pn") * col("qn"))).as("cos"))
-      scored.withColumn("rk", row_number().over(
-          org.apache.spark.sql.expressions.Window.partitionBy("src")
-            .orderBy(col("cos").desc, col("dst"))))
-        .filter(col("rk") <= k).select(col("src"), col("dst"), col("cos"))
-    }
+    def score(cand: DataFrame): DataFrame = cand
+      .join(ev.select(col("vec_id").as("src"), col("v").as("pv"), col("n").as("pn")), "src")
+      .join(ev.select(col("vec_id").as("dst"), col("v").as("qv"), col("n").as("qn")), "dst")
+      .select(col("src"), col("dst"),
+        (VectorExprs.dot(col("pv"), col("qv")) / (col("pn") * col("qn"))).as("cos"))
+    // one top-k sort per round (scored candidates + carried edges
+    // together), not one inside the scoring and another after the union
+    def topK(scored: DataFrame): DataFrame = scored
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("src")
+          .orderBy(col("cos").desc, col("dst"))))
+      .filter(col("rk") <= k).select(col("src"), col("dst"), col("cos"))
     // Init must MIX: a single bucketing's components are closed under
     // neighbor-of-neighbor (each bucket's out-edges stay in-bucket, so
     // descent can never leave its seed component — measured: recall
@@ -1486,7 +1487,7 @@ object LlmPipeline {
         .filter(col("src") =!= col("dst"))
         .select(col("src"), col("dst"))
     }.reduce(_ unionByName _).distinct()
-    var edges = knnOf(initCand).localCheckpoint()
+    var edges = topK(score(initCand)).localCheckpoint()
     for (_ <- 1 to rounds) {
       val adj = edges.select(col("src"), col("dst")).unionByName(
         edges.select(col("dst").as("src"), col("src").as("dst")))
@@ -1494,12 +1495,8 @@ object LlmPipeline {
         .select(col("a.src").as("src"), col("b.dst").as("dst"))
         .filter(col("src") =!= col("dst"))
         .distinct()
-      val next = edges.unionByName(knnOf(cand))
-        .distinct() // a re-scored pair reproduces the identical cos
-        .withColumn("rk", row_number().over(
-          org.apache.spark.sql.expressions.Window.partitionBy("src")
-            .orderBy(col("cos").desc, col("dst"))))
-        .filter(col("rk") <= k).select(col("src"), col("dst"), col("cos"))
+      val next = topK(edges.unionByName(score(cand))
+          .distinct()) // a re-scored pair reproduces the identical cos
         .localCheckpoint()
       GraphOps.freeCheckpoint(edges)
       edges = next
