@@ -438,7 +438,54 @@ object EventStream {
        |  ON s.event_type = hy.event_type AND s.h = hy.h
        |ORDER BY s.event_type, s.h""".stripMargin
 
+  // -------------------------------------------------------------- event_pattern
+  /** Row-pattern detection (the MATCH_RECOGNIZE verb, compiled to lag
+    * chains — Spark has no MATCH_RECOGNIZE; strictly-consecutive
+    * patterns are exactly expressible with lag over the per-key
+    * event-time order, which is also how a streaming CEP engine's NFA
+    * sees them). Pattern here: view → click → purchase CONSECUTIVE in
+    * one user's stream (no interleaving events — stricter than
+    * event_funnel's first-timestamp funnel) and completing within 2
+    * hours. Emits one row per match anchored at the purchase. One
+    * shuffle on user_id; the lag window is the same pass a
+    * sessionization would ride.
+    */
+  def eventPattern(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("t1", lag(col("event_type"), 1).over(w))
+      .withColumn("t2", lag(col("event_type"), 2).over(w))
+      .withColumn("ts2", lag(col("ts"), 2).over(w))
+      .withColumn("eid2", lag(col("event_id"), 2).over(w))
+      .filter(col("event_type") === "purchase" && col("t1") === "click" &&
+        col("t2") === "view" &&
+        col("ts").cast("long") - col("ts2").cast("long") <= 7200L)
+      .select(col("user_id"), col("eid2").as("view_id"),
+        col("event_id").as("purchase_id"),
+        (col("ts").cast("long") - col("ts2").cast("long")).as("span_sec"))
+      .orderBy(col("user_id"), col("purchase_id"))
+  }
+
+  private val eventPatternOracle =
+    """WITH r AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |         lag(event_type, 1) OVER w AS t1,
+      |         lag(event_type, 2) OVER w AS t2,
+      |         lag(ts, 2) OVER w AS ts2,
+      |         lag(event_id, 2) OVER w AS eid2
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |SELECT user_id, eid2 AS view_id, event_id AS purchase_id,
+      |       epoch_us(ts) // 1000000 - epoch_us(ts2) // 1000000 AS span_sec
+      |FROM r
+      |WHERE event_type = 'purchase' AND t1 = 'click' AND t2 = 'view'
+      |  AND epoch_us(ts) // 1000000 - epoch_us(ts2) // 1000000 <= 7200
+      |ORDER BY user_id, purchase_id""".stripMargin
+
   def queries: Seq[GQuery] = Seq(
+    GQuery("event_pattern", eventPattern, Some(eventPatternOracle),
+      "MATCH_RECOGNIZE-style consecutive view->click->purchase via lags"),
     GQuery("ts_resample", tsResample, Some(tsResampleOracle),
       "hourly OHLC downsampling, deterministic open/close endpoints"),
     GQuery("ts_fill", tsFill, Some(tsFillOracle),

@@ -1657,6 +1657,37 @@ object LlmPipeline {
        |  FROM documents)
        |WHERE rnk <= 50 ORDER BY lang, rnk""".stripMargin
 
+  // ----------------------------------------------------------- sample_importance
+  /** Quality-proportional (importance) sampling — the Common-Crawl-era
+    * mixing verb: keep each document with probability equal to its
+    * quality weight, HERE the unique-token ratio, so repetitive/
+    * templated docs are downweighted smoothly rather than cut at a
+    * threshold. The coin is the doc's md5 hash, so membership is
+    * deterministic, engine-portable, reproducible under repartitioning,
+    * and decidable from the doc alone (a backfill keeps the same docs).
+    * The keep predicate is ALL-INTEGER — h·n_tok < n_uniq·10⁶ avoids
+    * any float boundary an engine could round differently. Shuffle-free
+    * until the per-language audit aggregate. */
+  def sampleImportance(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"),
+        size(array_distinct(split(col("text"), " "))).cast("long").as("n_uniq"),
+        expr(s"pmod(${h32("cast(doc_id as string)", 31)}, 1000000)").as("h"))
+      .withColumn("keep", col("h") * col("n_tok") < col("n_uniq") * lit(1000000L))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+      .orderBy(col("lang"))
+
+  private val sampleImportanceOracle =
+    s"""SELECT lang, COUNT(*) AS n_total,
+       |  CAST(SUM(CASE WHEN ${oH32("cast(doc_id as varchar)", 31)} % 1000000
+       |                      * length(string_split(text, ' '))
+       |                   < length(list_distinct(string_split(text, ' '))) * 1000000
+       |           THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
   // --------------------------------------------------------------- text_entropy
   /** Per-doc token Shannon entropy — the token-distribution
     * corpus-quality signal (low entropy ⇒ repetitive/templated text).
@@ -1753,6 +1784,8 @@ object LlmPipeline {
       "deterministic hash-bucketed 80/10/10 train/valid/test split"),
     GQuery("sample_stratified", sampleStratified, Some(sampleStratifiedOracle),
       "balanced per-language cap sample by portable md5 hash rank"),
+    GQuery("sample_importance", sampleImportance, Some(sampleImportanceOracle),
+      "quality-proportional sampling, all-integer md5 coin"),
     GQuery("dedup_clusters", dedupClusters, Some(dedupClustersOracle),
       "connected components over rare-shingle pairs (min-label to fixpoint)"),
     GQuery("multimodal_join", multimodalJoin, Some(multimodalJoinOracle),

@@ -219,6 +219,35 @@ class Round4PlanSpec extends SparkSpec {
       .fn(spark, sfDir).queryExecution.analyzed.toString
     assert(!analyzed.contains("ResolvedHint"), analyzed)
   }
+
+  test("ts_resample: window and groupBy share one exchange on (h, type)") {
+    val plan = operators.EventStream.tsResample(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // scan -> exchange (h, type) -> window -> hash agg -> final sort:
+    // the agg reuses the window's partitioning, so exactly 2 exchanges
+    assert("Exchange".r.findAllIn(plan).size <= 2, plan)
+    assert(plan.contains("Window"), plan)
+  }
+
+  test("event_pattern is one window pass, no self-join") {
+    val plan = operators.EventStream.eventPattern(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan)
+    assert(plan.contains("Window"), plan)
+  }
+
+  test("agg_incremental merges partials map-side before the key join") {
+    val plan = operators.Relational.aggIncremental(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"), plan)
+    assert(plan.contains("FullOuter"), plan)
+  }
+
+  test("sketch_heavy_hitters folds MG in an object hash aggregate") {
+    val plan = sketch.SketchQueries.sketchHeavyHitters(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), plan)
+  }
 }
 
 /** Partition pruning proof for the partitioned-layout scan. */
