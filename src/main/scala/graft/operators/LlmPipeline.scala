@@ -1443,8 +1443,8 @@ object LlmPipeline {
     * EXACT cosine top-5 of the query band (vec_id < 30, fully
     * DuckDB-oracle-able) plus `recall_ok` — the NN-Descent graph's
     * out-edges recovered ≥ 60% of those exact neighbors. Deterministic
-    * (seeded hashes, total-order tie-breaks), measured 0.93 / 0.94 /
-    * 0.72 at sf0.001/0.01/0.1. The fixture embeddings are uniform
+    * (seeded hashes, total-order tie-breaks), measured 0.90 / 0.93 /
+    * 0.75 at sf0.001/0.01/0.1. The fixture embeddings are uniform
     * random — NO metric clustering — which is NN-Descent's worst case
     * (neighbor-of-neighbor carries no signal beyond sampling); on real
     * clustered embeddings the same loop converges far faster, so the
@@ -1476,12 +1476,18 @@ object LlmPipeline {
     // Init must MIX: a single bucketing's components are closed under
     // neighbor-of-neighbor (each bucket's out-edges stay in-bucket, so
     // descent can never leave its seed component — measured: recall
-    // collapsed to ~1%). The union of FOUR independent md5 bucketings
+    // collapsed to ~1%). The union of EIGHT independent md5 bucketings
     // is an expander — the deterministic analog of the paper's random
-    // init — and two hops already cross bucketings.
+    // init — and two hops already cross bucketings. The bucket COUNT
+    // scales with n so bucket size stays ~16 constant: a fixed fan-out
+    // makes init volume O(n), where a fixed bucket count would make it
+    // O(n²/B) — the same quadratic class the simhash 8-bit bands had.
+    // (The one count() is the same driver-scalar the iterative
+    // trainers use for loop control — not per-row collection.)
+    val nBuckets = math.max(1L, ev.count() / 16L)
     val initCand = (1 to 8).map { s =>
       val withB = ev.select(col("vec_id"),
-        expr(s"pmod(${h32("vec_id", 100 + s)}, 25)").as("b"))
+        expr(s"pmod(${h32("vec_id", 100 + s)}, $nBuckets)").as("b"))
       withB.select(col("vec_id").as("src"), col("b"))
         .join(withB.select(col("vec_id").as("dst"), col("b")), "b")
         .filter(col("src") =!= col("dst"))
