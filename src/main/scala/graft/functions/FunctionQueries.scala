@@ -294,6 +294,47 @@ object FunctionQueries {
       |WHERE user_id <= 5
       |ORDER BY event_id""".stripMargin
 
+  // ----------------------------------------------------------------- fn_variant
+  /** Spark 4 VARIANT — the open-format semi-structured type (binary
+    * JSON with typed access, the Parquet/Iceberg VARIANT spec): strings
+    * parse ONCE into variant, fields project with `variant_get` at a
+    * typed path (no per-access re-parse, unlike get_json_object), and
+    * malformed input degrades to NULL through `try_parse_json` — the
+    * ingest posture fn_try documents. At 100 TB the parse cost is paid
+    * once at ingest and every downstream access is a binary field
+    * probe; the declared output is scalar (the driver compare needs
+    * scalars), so the variant column itself stays internal. DuckDB has
+    * no VARIANT; the oracle extracts the same fields from the JSON
+    * text, which is exactly the semantic contract variant_get makes.
+    */
+  def fnVariant(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .filter(col("user_id") <= 5)
+      .select(col("event_id"), col("event_type"),
+        try_parse_json(col("props")).as("v"),
+        try_parse_json(lit("{not json")).as("bad"))
+      .select(
+        col("event_id"),
+        variant_get(col("v"), "$.k", "bigint").as("k"),
+        variant_get(col("v"), "$.k", "string").as("k_str"),
+        variant_get(col("v"), "$.missing", "bigint").as("k_missing"),
+        is_variant_null(col("v")).as("v_is_json_null"),
+        col("bad").isNull.as("bad_is_null"),
+        schema_of_variant(col("v")).as("v_schema"))
+      .orderBy(col("event_id"))
+
+  private val fnVariantOracle =
+    """SELECT event_id,
+      |  CAST(props->>'k' AS BIGINT) AS k,
+      |  props->>'k' AS k_str,
+      |  CAST(NULL AS BIGINT) AS k_missing,
+      |  FALSE AS v_is_json_null,
+      |  TRUE AS bad_is_null,
+      |  'OBJECT<k: BIGINT>' AS v_schema
+      |FROM events
+      |WHERE user_id <= 5
+      |ORDER BY event_id""".stripMargin
+
   // -------------------------------------------------------------------- fn_cond
   /** Conditionals: coalesce / nullif / nvl / if / case / isnull. */
   def fnCond(spark: SparkSession, dir: String): DataFrame =
@@ -524,6 +565,8 @@ object FunctionQueries {
       "map fns over JSON-parsed props"),
     GQuery("fn_json", fnJson, Some(fnJsonOracle),
       "JSON extraction + serialization"),
+    GQuery("fn_variant", fnVariant, Some(fnVariantOracle),
+      "Spark 4 VARIANT: parse once, typed variant_get access"),
     GQuery("fn_cond", fnCond, Some(fnCondOracle),
       "conditionals: coalesce/nullif/case/isnull"),
     GQuery("fn_hash", fnHash, Some(fnHashOracle),
