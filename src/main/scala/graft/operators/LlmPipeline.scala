@@ -1510,6 +1510,53 @@ object LlmPipeline {
     edges
   }
 
+  /** Beam search over the built k-NN graph — the HNSW-style QUERY phase
+    * (greedy best-first with a width-b beam, batched: all queries walk
+    * the graph simultaneously as one DataFrame per hop, so serving a
+    * query batch is H keyed joins, not per-query graph walks). Start
+    * from a fixed entry node, expand the beam's out-neighbors each hop,
+    * keep the top-b by exact cosine to each query. Returns (qid, cid,
+    * cos) — the beam's final top-b per query. LlmPipelineSpec asserts
+    * recall ≥ 0.6 of the exact top-5 on the fixtures; a capability
+    * method rather than a qid so the bench doesn't pay a second graph
+    * build (the build itself is the sim_knn_graph qid). */
+  private[graft] def knnGraphSearch(spark: SparkSession, dir: String,
+      k: Int, rounds: Int, beam: Int, hops: Int, nQ: Int): DataFrame = {
+    val edges = knnGraphEdges(spark, dir, k, rounds)
+      .select(col("src"), col("dst")).localCheckpoint()
+    val ev = Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .withColumn("n", VectorExprs.l2(col("v")))
+      .persist()
+    val queries = ev.filter(col("vec_id") < nQ)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("n").as("qn"))
+    val entry = ev.agg(min(col("vec_id")).as("cid"))
+    def scoreBeam(cand: DataFrame): DataFrame = cand
+      .join(ev.select(col("vec_id").as("cid"), col("v"), col("n")), "cid")
+      .join(broadcast(queries), "qid")
+      .select(col("qid"), col("cid"),
+        (VectorExprs.dot(col("qv"), col("v")) / (col("qn") * col("n"))).as("cos"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("qid")
+          .orderBy(col("cos").desc, col("cid"))))
+      .filter(col("rk") <= beam).select(col("qid"), col("cid"), col("cos"))
+    var frontier = scoreBeam(
+      queries.select(col("qid")).crossJoin(broadcast(entry))).localCheckpoint()
+    for (_ <- 1 to hops) {
+      val expanded = frontier.select(col("qid"), col("cid"))
+        .join(edges.select(col("src").as("exp_src"), col("dst")),
+          col("cid") === col("exp_src"))
+        .select(col("qid"), col("dst").as("cid"))
+        .unionByName(frontier.select(col("qid"), col("cid")))
+        .distinct()
+      val next = scoreBeam(expanded).localCheckpoint()
+      GraphOps.freeCheckpoint(frontier)
+      frontier = next
+    }
+    frontier.filter(col("qid") =!= col("cid"))
+  }
+
   def simKnnGraph(spark: SparkSession, dir: String): DataFrame = {
     val nQ = 30
     val topQ = 5
@@ -1694,6 +1741,73 @@ object LlmPipeline {
        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ---------------------------------------------------------------- pipeline_e2e
+  /** The whole training-data pipeline as ONE composed query — the
+    * "switch to this library" proof that the operators chain: exact
+    * dedup (keep-one by normalized-text hash) → quality gate (unique-
+    * token ratio > 0.4 AND length band) → per-language cap-40 by md5
+    * hash rank → deterministic 90/10 train/valid split → per (lang,
+    * split) audit counts. Everything is one Catalyst plan: the dedup
+    * groupBy, the window cap, and the final aggregate share the
+    * pipeline's shuffles, and nothing materializes in between — which
+    * is the actual operational advantage of an engine over a script
+    * chain at 100 TB (no intermediate landings, full pushdown through
+    * every stage).
+    */
+  def pipelineE2e(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val kept = docs
+      .select(col("doc_id"), col("lang"), col("text"),
+        md5(lower(trim(col("text")))).as("text_hash"))
+      .withColumn("rk_dup", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("text_hash")
+          .orderBy(col("doc_id"))))
+      .filter(col("rk_dup") === 1)
+    val quality = kept
+      .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+      .withColumn("n_uniq", size(array_distinct(split(col("text"), " "))).cast("long"))
+      .filter(col("n_uniq") * 10L > col("n_tok") * 4L && col("n_tok") >= 20L)
+    val capped = quality
+      .withColumn("h", expr(h32("cast(doc_id as string)", 93)))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("lang")
+          .orderBy(col("h"), col("doc_id"))))
+      .filter(col("rk") <= 40)
+    capped
+      .withColumn("split",
+        when(expr(s"pmod(${h32("cast(doc_id as string)", 94)}, 10)") < 9, lit("train"))
+          .otherwise(lit("valid")))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n"), sum(col("n_tok")).as("tokens"))
+      .orderBy(col("lang"), col("split"))
+  }
+
+  private val pipelineE2eOracle =
+    s"""WITH kept AS (
+       |  SELECT doc_id, lang, text,
+       |         row_number() OVER (PARTITION BY md5(lower(trim(text)))
+       |                            ORDER BY doc_id) AS rk_dup
+       |  FROM documents),
+       |quality AS (
+       |  SELECT doc_id, lang,
+       |         length(string_split(text, ' ')) AS n_tok,
+       |         length(list_distinct(string_split(text, ' '))) AS n_uniq
+       |  FROM kept WHERE rk_dup = 1),
+       |gated AS (
+       |  SELECT * FROM quality
+       |  WHERE n_uniq * 10 > n_tok * 4 AND n_tok >= 20),
+       |capped AS (
+       |  SELECT doc_id, lang, n_tok,
+       |         row_number() OVER (PARTITION BY lang
+       |           ORDER BY ${oH32("cast(doc_id as varchar)", 93)}, doc_id) AS rk
+       |  FROM gated)
+       |SELECT lang,
+       |       CASE WHEN ${oH32("cast(doc_id as varchar)", 94)} % 10 < 9
+       |            THEN 'train' ELSE 'valid' END AS split,
+       |       COUNT(*) AS n, CAST(SUM(n_tok) AS BIGINT) AS tokens
+       |FROM capped WHERE rk <= 40
+       |GROUP BY 1, 2 ORDER BY lang, split""".stripMargin
+
   // --------------------------------------------------------------- text_entropy
   /** Per-doc token Shannon entropy — the token-distribution
     * corpus-quality signal (low entropy ⇒ repetitive/templated text).
@@ -1792,6 +1906,8 @@ object LlmPipeline {
       "balanced per-language cap sample by portable md5 hash rank"),
     GQuery("sample_importance", sampleImportance, Some(sampleImportanceOracle),
       "quality-proportional sampling, all-integer md5 coin"),
+    GQuery("pipeline_e2e", pipelineE2e, Some(pipelineE2eOracle),
+      "composed pipeline: dedup -> quality gate -> cap -> split, one plan"),
     GQuery("dedup_clusters", dedupClusters, Some(dedupClustersOracle),
       "connected components over rare-shingle pairs (min-label to fixpoint)"),
     GQuery("multimodal_join", multimodalJoin, Some(multimodalJoinOracle),

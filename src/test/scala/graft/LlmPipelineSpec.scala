@@ -9,6 +9,28 @@ import org.apache.spark.sql.functions._
 class LlmPipelineSpec extends SparkSpec {
   import spark.implicits._
 
+  test("kNN-graph beam search recovers the exact neighbors (serve path)") {
+    import graft.functions.VectorExprs
+    val dir = sfDir
+    val nQ = 20
+    val got = operators.LlmPipeline
+      .knnGraphSearch(spark, dir, k = 8, rounds = 3, beam = 24, hops = 6, nQ = nQ)
+    val ev = graft.sources.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .withColumn("n", VectorExprs.l2(col("v")))
+    val exact = ev.as("q").filter(col("q.vec_id") < nQ)
+      .join(ev.as("c"), col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id").as("qid"), col("c.vec_id").as("cid"),
+        (VectorExprs.dot(col("q.v"), col("c.v")) / (col("q.n") * col("c.n"))).as("cos"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("qid")
+          .orderBy(col("cos").desc, col("cid"))))
+      .filter(col("rk") <= 5)
+    val hits = exact.join(got.select(col("qid"), col("cid")),
+      Seq("qid", "cid"), "leftsemi").count()
+    assert(hits >= (nQ * 5 * 6) / 10, s"beam-search recall too low: $hits/${nQ * 5}")
+  }
+
   private def docs(rows: (Long, String)*) =
     rows.toDF("doc_id", "text")
       .withColumn("lang", lit("en"))
