@@ -56,6 +56,70 @@ class OperatorEdgeSpec extends SparkSpec {
     assert(a.unionByName(b).distinct().count() === 1)
   }
 
+  test("merge step: delete beats update, insert lands, untouched rows stay") {
+    val target = Seq((1L, "P1", 100L), (2L, "P2", 200L), (3L, "P3", 300L))
+      .toDF("o_orderkey", "o_orderpriority", "price_cents")
+    val cdc = Seq((2L, "D", "P2", 0L), (3L, "U", "P3", 333L), (9L, "I", "P9", 900L))
+      .toDF("o_orderkey", "op", "o_orderpriority", "price_cents")
+    val out = operators.Relational.mergeStep(target, cdc)
+      .orderBy("o_orderkey").collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(out.toSeq === Seq((1L, 100L), (3L, 333L), (9L, 900L)))
+  }
+
+  test("merge step with an empty change batch is the identity") {
+    val target = Seq((1L, "P1", 100L))
+      .toDF("o_orderkey", "o_orderpriority", "price_cents")
+    val cdc = Seq((1L, "U", "P1", 1L))
+      .toDF("o_orderkey", "op", "o_orderpriority", "price_cents")
+      .filter(col("o_orderkey") > 100)
+    val out = operators.Relational.mergeStep(target, cdc).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(2))).toSeq === Seq((1L, 100L)))
+  }
+
+  test("MgAgg: empty stream yields empty sketch; single token survives") {
+    val agg = sketch.SketchQueries.MgAgg
+    assert(agg.finish(agg.zero).isEmpty)
+    val one = agg.reduce(agg.zero, "t")
+    assert(agg.finish(one) === Map("t" -> 1L))
+  }
+
+  test("event_pattern ignores sequences broken by interleaved events") {
+    // user 1: view,click,purchase (match); user 2: view,X,click,purchase (no match)
+    val ev = Seq(
+      (1L, "2024-01-01 00:00:00", 1L, "view"), (1L, "2024-01-01 00:10:00", 2L, "click"),
+      (1L, "2024-01-01 00:20:00", 3L, "purchase"),
+      (2L, "2024-01-01 00:00:00", 4L, "view"), (2L, "2024-01-01 00:05:00", 5L, "error"),
+      (2L, "2024-01-01 00:10:00", 6L, "click"), (2L, "2024-01-01 00:20:00", 7L, "purchase"))
+      .toDF("user_id", "s", "event_id", "event_type")
+      .withColumn("ts", col("s").cast("timestamp")).drop("s")
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val matches = ev
+      .withColumn("t1", lag(col("event_type"), 1).over(w))
+      .withColumn("t2", lag(col("event_type"), 2).over(w))
+      .filter(col("event_type") === "purchase" && col("t1") === "click" &&
+        col("t2") === "view")
+      .select("user_id").collect().map(_.getLong(0))
+    assert(matches.toSeq === Seq(1L))
+  }
+
+  test("ts_fill semantics: gap hours get n=0 and the carried-forward sum") {
+    // one key with hours 0 and 2 observed, hour 1 missing
+    val hourly = Seq(("k", "2024-01-01 00:00:00", 2L, 10L), ("k", "2024-01-01 02:00:00", 1L, 7L))
+      .toDF("event_type", "s", "n", "sum_c")
+      .withColumn("h", col("s").cast("timestamp")).drop("s")
+    val spine = hourly.groupBy(col("event_type"))
+      .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      .select(col("event_type"), explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
+    val filled = spine.join(hourly, Seq("event_type", "h"), "left")
+      .select(col("h"), coalesce(col("n"), lit(0L)).as("n"),
+        last(col("sum_c"), ignoreNulls = true).over(
+          Window.partitionBy(col("event_type")).orderBy(col("h"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("f"))
+      .orderBy("h").collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(filled.toSeq === Seq((2L, 10L), (0L, 10L), (1L, 7L)))
+  }
+
   test("Det.cents/sum2 are exact on 2-decimal money") {
     val df = Seq(0.01, 0.02, 0.29, 10.10, 99.99).toDF("v")
     val s = df.agg(Det.sum2(col("v"))).head().getDouble(0)
