@@ -5,7 +5,10 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (sfDir, outDir) = (args(0), args(1))
+    // optional trailing qids: dump only those (dev iteration; the driver
+    // always calls with two args and gets the full dump)
+    val only = args.drop(2).toSet
     // default to every core (results are parallelism-independent by the
     // Det contract; this only shortens the wall time of the dump)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -24,7 +27,7 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries.filter(q => only.isEmpty || only(q._1)).foreach { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
         // Output-dtype invariant: every integral output column is int64.

@@ -483,7 +483,123 @@ object EventStream {
       |  AND epoch_us(ts) // 1000000 - epoch_us(ts2) // 1000000 <= 7200
       |ORDER BY user_id, purchase_id""".stripMargin
 
+  // --------------------------------------------------------- event_attribution
+  /** Last-touch attribution — every purchase credits the most recent
+    * preceding non-purchase event (the "touch") in the same user's
+    * stream; purchases with no prior touch are 'organic'. The classic
+    * marketing-analytics verb, and the same carry-forward shape as
+    * win_ignore_nulls: one per-user window with last(...IGNORE NULLS)
+    * over a strictly-preceding frame, then a 5-ary groupBy. One shuffle
+    * on user_id; the report agg reuses nothing heavier than a
+    * broadcast-sized channel table. Event order is (µs, event_id) in
+    * BOTH engines — the oracle orders by epoch_us(ts) because DuckDB
+    * keeps the fixture's nanoseconds while Spark truncates to µs on
+    * read (FIXTURES.md), and a raw-ts order could diverge inside a
+    * microsecond. */
+  def eventAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"), cents(col("value")).as("c"))
+      .withColumn("touch", last(
+        when(col("event_type") =!= "purchase", col("event_type")),
+        ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .groupBy(coalesce(col("touch"), lit("organic")).as("channel"))
+      .agg(count(lit(1)).as("n_purchases"), sum(col("c")).as("revenue_c"))
+      .orderBy(col("channel"))
+  }
+
+  private val eventAttributionOracle =
+    s"""WITH t AS (
+       |  SELECT event_type, ${oCents("value")} AS c,
+       |         last_value(CASE WHEN event_type <> 'purchase'
+       |                         THEN event_type END IGNORE NULLS)
+       |           OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+       |  FROM events)
+       |SELECT COALESCE(touch, 'organic') AS channel,
+       |       COUNT(*) AS n_purchases,
+       |       CAST(SUM(c) AS BIGINT) AS revenue_c
+       |FROM t WHERE event_type = 'purchase'
+       |GROUP BY 1 ORDER BY channel""".stripMargin
+
+  // ---------------------------------------------------------------- ts_outlier
+  /** Robust per-series outlier detection: median / MAD (median absolute
+    * deviation) in integer cents, flagging |x − med| > 5·MAD. Mean/σ
+    * z-scores break under the very outliers they hunt; MAD has a 50%
+    * breakdown point and stays all-integer here, so the result is
+    * bitwise cross-engine. Both medians are computed MANUALLY (row at
+    * position (n+1) div 2 of the per-type value order) rather than via
+    * median()/quantile_disc(), whose even-count tie conventions differ
+    * between engines. Cost: two window passes + one join per pass over
+    * a per-type sort — the exact-median contract twin; at 100 TB the
+    * serving path is the mergeable GK sketch (sketch_quantile), and
+    * the per-type sort partitions by the 5-ary key exactly like the
+    * streaming quantile operator would. */
+  def tsOutlier(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.events(spark, dir)
+      .select(col("event_type"), col("event_id"), cents(col("value")).as("c"))
+    def medianOf(df: DataFrame, valueCol: String, out: String): DataFrame = {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col(valueCol), col("event_id"))
+      df.withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+        .groupBy(col("event_type"))
+        // `div`, not `/`: Column./ is double division and 2.5 never
+        // equals an integer row_number
+        .agg(max(when(col("rn") === expr("(n + 1) div 2"), col(valueCol))).as(out))
+    }
+    val med = medianOf(base, "c", "med_c")
+    val dev = base.join(med, "event_type")
+      .withColumn("dev", abs(col("c") - col("med_c")))
+    val mad = medianOf(dev.select(col("event_type"), col("event_id"), col("dev")),
+      "dev", "mad_c")
+    dev.join(mad, "event_type")
+      .groupBy(col("event_type"), col("med_c"), col("mad_c"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("dev") > lit(5) * col("mad_c"), 1L).otherwise(0L))
+          .as("n_outliers"),
+        max(col("dev")).as("max_dev_c"))
+      .orderBy(col("event_type"))
+  }
+
+  private val tsOutlierOracle =
+    s"""WITH base AS (
+       |  SELECT event_type, event_id, ${oCents("value")} AS c FROM events),
+       |med AS (
+       |  SELECT event_type,
+       |         MAX(CASE WHEN rn = (n + 1) // 2 THEN c END) AS med_c
+       |  FROM (SELECT event_type, c,
+       |               row_number() OVER (PARTITION BY event_type ORDER BY c, event_id) AS rn,
+       |               count(*) OVER (PARTITION BY event_type) AS n
+       |        FROM base)
+       |  GROUP BY event_type),
+       |dev AS (
+       |  SELECT b.event_type, b.event_id, m.med_c, abs(b.c - m.med_c) AS dev
+       |  FROM base b JOIN med m USING (event_type)),
+       |mad AS (
+       |  SELECT event_type,
+       |         MAX(CASE WHEN rn = (n + 1) // 2 THEN dev END) AS mad_c
+       |  FROM (SELECT event_type, dev,
+       |               row_number() OVER (PARTITION BY event_type ORDER BY dev, event_id) AS rn,
+       |               count(*) OVER (PARTITION BY event_type) AS n
+       |        FROM dev)
+       |  GROUP BY event_type)
+       |SELECT d.event_type, d.med_c, a.mad_c, COUNT(*) AS n,
+       |       CAST(SUM(CASE WHEN d.dev > 5 * a.mad_c THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       |       MAX(d.dev) AS max_dev_c
+       |FROM dev d JOIN mad a USING (event_type)
+       |GROUP BY d.event_type, d.med_c, a.mad_c
+       |ORDER BY d.event_type""".stripMargin
+
   def queries: Seq[GQuery] = Seq(
+    GQuery("event_attribution", eventAttribution, Some(eventAttributionOracle),
+      "last-touch purchase attribution via carry-forward window"),
+    GQuery("ts_outlier", tsOutlier, Some(tsOutlierOracle),
+      "median/MAD robust outlier counts per series, all-integer"),
     GQuery("event_pattern", eventPattern, Some(eventPatternOracle),
       "MATCH_RECOGNIZE-style consecutive view->click->purchase via lags"),
     GQuery("ts_resample", tsResample, Some(tsResampleOracle),

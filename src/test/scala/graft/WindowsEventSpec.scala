@@ -54,6 +54,61 @@ class WindowsEventSpec extends SparkSpec {
     assert(n === 4 * events)
   }
 
+  test("attribution conserves purchases and revenue across channels") {
+    val rep = graft.operators.EventStream.queries.find(_.id == "event_attribution").get
+      .fn(spark, sfDir)
+    val ev = graft.sources.Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+    assert(rep.agg(sum("n_purchases")).head().getLong(0) === ev.count())
+    assert(rep.agg(sum("revenue_c")).head().getLong(0) ===
+      ev.agg(sum(round(col("value") * 100).cast("long"))).head().getLong(0))
+    // channels are touch types or 'organic' — never 'purchase' itself
+    assert(rep.filter(col("channel") === "purchase").count() === 0)
+  }
+
+  test("last-touch carry-forward picks the nearest preceding touch") {
+    val df = Seq(
+      (1L, 1L, "view", 0.0), (1L, 2L, "click", 0.0), (1L, 3L, "purchase", 5.0),
+      (2L, 4L, "purchase", 7.0)) // no prior touch -> organic
+      .toDF("user_id", "event_id", "event_type", "value")
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val r = df.withColumn("touch", last(
+        when(col("event_type") =!= "purchase", col("event_type")), true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select("user_id", "touch").collect().map(x => (x.getLong(0), x.getString(1))).toMap
+    assert(r === Map(1L -> "click", 2L -> null))
+  }
+
+  test("ts_outlier medians are in-range and counts conserve") {
+    val out = graft.operators.EventStream.queries.find(_.id == "ts_outlier").get
+      .fn(spark, sfDir)
+    val perType = graft.sources.Tables.events(spark, sfDir)
+      .groupBy("event_type").agg(
+        count(lit(1)).as("n_ev"),
+        min(round(col("value") * 100).cast("long")).as("lo"),
+        max(round(col("value") * 100).cast("long")).as("hi"))
+    val joined = out.join(perType, "event_type")
+    assert(joined.filter(col("n") =!= col("n_ev")).count() === 0)
+    assert(joined.filter(col("med_c") < col("lo") || col("med_c") > col("hi"))
+      .count() === 0)
+    assert(joined.filter(col("mad_c") < 0 || col("n_outliers") > col("n"))
+      .count() === 0)
+  }
+
+  test("manual median position matches percentile_disc semantics") {
+    // n=4 -> position (4+1) div 2 = 2; values 10,20,30,40 -> med 20
+    val df = Seq(10L, 20L, 30L, 40L).zipWithIndex
+      .map { case (v, i) => ("a", i.toLong, v) }.toDF("k", "id", "v")
+    val w = Window.partitionBy("k").orderBy("v", "id")
+    val med = df.withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("k")))
+      .groupBy("k")
+      .agg(max(when(col("rn") === expr("(n + 1) div 2"), col("v"))).as("med"))
+      .head().getLong(1)
+    assert(med === 20L)
+  }
+
   test("session windows never contain an internal gap over the threshold") {
     val out = graft.operators.EventStream.queries.find(_.id == "stream_session").get
       .fn(spark, sfDir)

@@ -22,6 +22,6 @@ done
 java $ADD_OPENS -Xmx8g \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
-  graft.Verify "$SF_DIR" "$OUT" 2>&1 | grep -vE "^\s*$|INFO|WARN" || true
+  graft.Verify "$SF_DIR" "$OUT" "$@" 2>&1 | grep -vE "^\s*$|INFO|WARN" || true
 
 python3 tools/check_oracle.py "$OUT" "$SF_DIR" "$@"
