@@ -1741,6 +1741,31 @@ object LlmPipeline {
        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ------------------------------------------------------------- sample_bottomk
+  /** Fixed-size uniform sample WITHOUT replacement via bottom-k hashing
+    * — the distributed replacement for reservoir sampling: the k docs
+    * with the smallest md5 hashes ARE a uniform k-sample, membership is
+    * deterministic and engine-portable, and (unlike a reservoir) the
+    * sample is stable under repartitioning, restarts, and corpus
+    * appends-at-the-end (a doc's hash never changes, so growing the
+    * corpus only ever evicts by hash rank). Physically this is Spark's
+    * TakeOrderedAndProject: a size-k heap per partition, then a k-way
+    * driver merge — O(n) scan, O(k) memory, NO global sort shuffle,
+    * which is the whole point at 100 TB (a sort-based LIMIT would
+    * shuffle everything). Ties are impossible to matter: the order key
+    * is (hash, doc_id) and doc_id is unique. */
+  def sampleBottomK(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        expr(h32("cast(doc_id as string)", 47)).as("h"))
+      .orderBy(col("h"), col("doc_id"))
+      .limit(100)
+
+  private val sampleBottomKOracle =
+    s"""SELECT doc_id, lang,
+       |       ${oH32("cast(doc_id as varchar)", 47)} AS h
+       |FROM documents ORDER BY h, doc_id LIMIT 100""".stripMargin
+
   // ---------------------------------------------------------------- pipeline_e2e
   /** The whole training-data pipeline as ONE composed query — the
     * "switch to this library" proof that the operators chain: exact
@@ -1904,6 +1929,8 @@ object LlmPipeline {
       "deterministic hash-bucketed 80/10/10 train/valid/test split"),
     GQuery("sample_stratified", sampleStratified, Some(sampleStratifiedOracle),
       "balanced per-language cap sample by portable md5 hash rank"),
+    GQuery("sample_bottomk", sampleBottomK, Some(sampleBottomKOracle),
+      "bottom-k-hash uniform sample (distributed reservoir equivalent)"),
     GQuery("sample_importance", sampleImportance, Some(sampleImportanceOracle),
       "quality-proportional sampling, all-integer md5 coin"),
     GQuery("pipeline_e2e", pipelineE2e, Some(pipelineE2eOracle),

@@ -1430,7 +1430,53 @@ object Relational {
        |FROM orders GROUP BY o_orderpriority
        |ORDER BY o_orderpriority""".stripMargin
 
+  // ------------------------------------------------------------ skyline_pareto
+  /** 2-D skyline (Pareto frontier) over parts: minimize retail price,
+    * maximize size — "no other part is both cheaper and larger". The
+    * implementation and the oracle deliberately use DIFFERENT
+    * formulations so the oracle cross-checks the algorithm against the
+    * declarative spec: Spark computes the frontier with the sort +
+    * prefix-max sweep (a pair sorted by (price asc, size desc) is
+    * dominated iff some strictly-preceding pair has size ≥ its own),
+    * the oracle with the textbook NOT EXISTS dominance predicate.
+    * Scale: the sweep needs a GLOBAL prefix max, but only over the
+    * DISTINCT (price, size) pairs — the first groupBy shrinks 100 TB of
+    * parts to the value-domain cross product, so the single-partition
+    * window is O(|domain|), not O(rows); for unbounded domains the
+    * two-phase variant (per-bucket skyline, then sweep the union of
+    * bucket skylines) drops in without changing the result. */
+  def skylinePareto(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = Tables.part(spark, dir)
+      .groupBy(cents(col("p_retailprice")).as("price_c"),
+        col("p_size").cast("long").as("size"))
+      .agg(count(lit(1)).as("n_parts"))
+    // strictly-preceding frame: a row never competes with itself, and
+    // equal-price pairs (distinct sizes, sorted desc) are correctly
+    // dominated by the larger size ahead of them
+    val w = Window.orderBy(col("price_c"), col("size").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    pairs.withColumn("best", max(col("size")).over(w))
+      .filter(col("best").isNull || col("size") > col("best"))
+      .select(col("price_c"), col("size"), col("n_parts"))
+      .orderBy(col("price_c"))
+  }
+
+  private val skylineParetoOracle =
+    s"""WITH pairs AS (
+       |  SELECT ${oCents("p_retailprice")} AS price_c,
+       |         CAST(p_size AS BIGINT) AS size, COUNT(*) AS n_parts
+       |  FROM part GROUP BY 1, 2)
+       |SELECT price_c, size, n_parts FROM pairs p
+       |WHERE NOT EXISTS (
+       |  SELECT 1 FROM pairs q
+       |  WHERE q.price_c <= p.price_c AND q.size >= p.size
+       |    AND (q.price_c < p.price_c OR q.size > p.size))
+       |ORDER BY price_c""".stripMargin
+
   def queries: Seq[GQuery] = Seq(
+    GQuery("skyline_pareto", skylinePareto, Some(skylineParetoOracle),
+      "2-D Pareto frontier: sweep algorithm vs NOT EXISTS spec oracle"),
     GQuery("agg_incremental", aggIncremental, Some(aggIncrementalOracle),
       "incremental MV refresh: base + delta partials merged, == full scan"),
     GQuery("table_merge", tableMerge, Some(tableMergeOracle),

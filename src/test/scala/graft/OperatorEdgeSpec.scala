@@ -120,6 +120,54 @@ class OperatorEdgeSpec extends SparkSpec {
     assert(filled.toSeq === Seq((2L, 10L), (0L, 10L), (1L, 7L)))
   }
 
+  test("skyline sweep matches the anti-join dominance spec in-engine") {
+    // cross-validate the prefix-max sweep against a Spark anti-join of
+    // the same dominance predicate (the DuckDB oracle already does this
+    // cross-engine; this keeps the check in the unit suite)
+    val frontier = graft.operators.Relational.queries
+      .find(_.id == "skyline_pareto").get.fn(spark, sfDir)
+    val pairs = graft.sources.Tables.part(spark, sfDir)
+      .groupBy(round(col("p_retailprice") * 100).cast("long").as("price_c"),
+        col("p_size").cast("long").as("size"))
+      .agg(count(lit(1)).as("n_parts"))
+    val spec = pairs.as("p").join(pairs.as("q"),
+        col("q.price_c") <= col("p.price_c") && col("q.size") >= col("p.size") &&
+          (col("q.price_c") < col("p.price_c") || col("q.size") > col("p.size")),
+        "left_anti")
+      .select(col("price_c"), col("size"), col("n_parts"))
+    assert(frontier.exceptAll(spec).count() === 0)
+    assert(spec.exceptAll(frontier).count() === 0)
+  }
+
+  test("skyline of a hand-computed micro set") {
+    // (price, size): (1,1) (1,3) (2,5) (3,5) (3,2)
+    // frontier: (1,3) cheaper-largest at 1; (2,5) largest overall at 2.
+    // (3,5) loses to (2,5); (1,1) to (1,3); (3,2) to (1,3).
+    val df = Seq((1L, 1L), (1L, 3L), (2L, 5L), (3L, 5L), (3L, 2L))
+      .toDF("price_c", "size")
+    val w = Window.orderBy(col("price_c"), col("size").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val got = df.withColumn("best", max(col("size")).over(w))
+      .filter(col("best").isNull || col("size") > col("best"))
+      .select("price_c", "size").orderBy("price_c")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === Seq((1L, 3L), (2L, 5L)))
+  }
+
+  test("bottom-k sample is exactly the k smallest hashes, via top-k plan") {
+    val q = graft.operators.LlmPipeline.queries
+      .find(_.id == "sample_bottomk").get.fn(spark, sfDir)
+    // plan: TakeOrderedAndProject (heap top-k), not a global sort
+    assert(q.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"))
+    val got = q.select("doc_id").collect().map(_.getLong(0)).toSet
+    val want = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        expr("cast(conv(substring(md5(concat('47:', cast(doc_id as string))), 1, 8), 16, 10) as bigint)").as("h"))
+      .orderBy("h", "doc_id").limit(100)
+      .collect().map(_.getLong(0)).toSet
+    assert(got === want)
+  }
+
   test("Det.cents/sum2 are exact on 2-decimal money") {
     val df = Seq(0.01, 0.02, 0.29, 10.10, 99.99).toDF("v")
     val s = df.agg(Det.sum2(col("v"))).head().getDouble(0)
