@@ -113,6 +113,40 @@ object GraphOps {
     * (its RDD is persisted outside the CacheManager, so `unpersist` on
     * the Dataset is a no-op and cleanup otherwise waits for driver GC).
     * Safe no-op if the plan is not the expected LogicalRDD shape. */
+  /** Fixed-iteration PageRank in e6-scaled integer arithmetic.
+    *
+    * Input: a symmetric distinct edge list (`src`, `dst`, long). Every
+    * node starts at rank 1.0 (1,000,000 in e6 units); one iteration is
+    * r'(v) = 0.15 + 0.85 · Σ_{u→v} r(u)/deg(u), computed as
+    * `150000 + (85 · Σ (r div deg)) div 100` — ALL integer, so the
+    * result is bitwise identical across engines, partitionings, and
+    * aggregation orders (a float PageRank could not be driver-oracled
+    * by hash). Each `div` floors; the systematic mass loss is < deg
+    * ulps per node per round — irrelevant for ranking, essential for
+    * determinism. On a symmetric graph every node has an in-edge, so
+    * no dangling-mass term is needed.
+    *
+    * Scale: one co-keyed join + one groupBy-sum per iteration, the
+    * canonical Pregel round as relational algebra. The caller fixes
+    * the iteration count (the qid unrolls the SAME three rounds in its
+    * DuckDB oracle); an open-ended convergence loop would add the
+    * localCheckpoint regimen of [[connectedComponents]]. Σ(85·r) stays
+    * far under Long range until ~10¹¹ nodes; a decimal widening is the
+    * escape hatch beyond. */
+  def pageRank(edges: DataFrame, iters: Int): DataFrame = {
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val withDeg = edges.join(deg, "src")
+    var ranks = deg.select(col("src").as("node"),
+      lit(1000000L).as("rank_e6"))
+    for (_ <- 1 to iters) {
+      ranks = withDeg.join(ranks, col("src") === col("node"))
+        .selectExpr("dst", "rank_e6 div deg AS contrib")
+        .groupBy(col("dst")).agg(sum(col("contrib")).as("inb"))
+        .selectExpr("dst AS node", "150000L + (85L * inb) div 100L AS rank_e6")
+    }
+    ranks
+  }
+
   private[graft] def freeCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed.collectFirst {
       case lr: LogicalRDD => lr.rdd

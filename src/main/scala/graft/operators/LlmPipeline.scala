@@ -1741,6 +1741,84 @@ object LlmPipeline {
        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ----------------------------------------------------------------- text_bm25
+  /** BM25 relevance ranking (Robertson–Spärck Jones) of the corpus for
+    * the query {spark, hash, join} — the retrieval scorer every
+    * RAG/dedup-adjacent pipeline needs next to tf-idf. k1=1.2, b=0.75,
+    * idf = ln(1 + (N − df + ½)/(df + ½)) (the "plus one" form, always
+    * positive). Doc length comes from size(split(text)) — no explode
+    * needed for dl — and the exploded token stream is filtered to the
+    * 3 query terms BEFORE the tf groupBy, so the heavy shuffle carries
+    * only query-term postings (at 100 TB: |postings(q)|, not |tokens|).
+    * df and the 1-row corpus stats are broadcast. Determinism: every
+    * input to the float math is an integer (tf, df, dl, N, Σdl); both
+    * engines evaluate the same expression tree, and each per-term
+    * weight is fixed to e6 integer units BEFORE the per-doc sum — an
+    * integer sum is order-independent where a float sum is not (ln is
+    * the one libm call, same margin contract as text_entropy). */
+  def textBm25(spark: SparkSession, dir: String): DataFrame = {
+    val qterms = Seq("spark", "hash", "join")
+    val d = Tables.documents(spark, dir)
+    val dl = d.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val toks = d.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term").isin(qterms: _*))
+    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df_ = toks.select(col("doc_id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(broadcast(df_), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs").cast("double"))
+      .withColumn("idf", log(lit(1.0) +
+        (col("n_docs").cast("double") - col("df").cast("double") + 0.5) /
+          (col("df").cast("double") + 0.5)))
+      .withColumn("w", col("idf") * (col("tf").cast("double") * 2.2) /
+        (col("tf").cast("double") +
+          lit(1.2) * (lit(0.25) + lit(0.75) * col("dl").cast("double") / col("avgdl"))))
+      // per-term e6 fixpoint BEFORE the sum: a float sum's value depends
+      // on addition order (Det contract); integer sums do not
+      .withColumn("w_e6", round(col("w") * 1e6).cast("long"))
+      .groupBy(col("doc_id")).agg(sum(col("w_e6")).as("score_e6"))
+    scored.withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("score_e6").desc, col("doc_id"))))
+      .filter(col("rk") <= 10)
+      .select(col("rk"), col("doc_id"), col("score_e6"))
+      .orderBy(col("rk"))
+  }
+
+  private val textBm25Oracle =
+    """WITH dl AS (
+      |  SELECT doc_id, length(string_split(text, ' ')) AS dl FROM documents),
+      |stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dl),
+      |toks AS (
+      |  SELECT doc_id, term FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+      |  WHERE term IN ('spark', 'hash', 'join')),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+      |df AS (SELECT term, COUNT(*) AS df
+      |       FROM (SELECT DISTINCT doc_id, term FROM toks) GROUP BY term),
+      |scored AS (
+      |  SELECT tf.doc_id,
+      |         CAST(SUM(CAST(ROUND(
+      |           ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+      |                    / (CAST(df AS DOUBLE) + 0.5))
+      |           * (CAST(tf AS DOUBLE) * 2.2)
+      |           / (CAST(tf AS DOUBLE)
+      |              + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE)
+      |                              / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))
+      |           * 1e6) AS BIGINT)) AS BIGINT) AS score_e6
+      |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+      |  GROUP BY tf.doc_id)
+      |SELECT rk, doc_id, score_e6 FROM (
+      |  SELECT doc_id, score_e6,
+      |         row_number() OVER (ORDER BY score_e6 DESC, doc_id) AS rk
+      |  FROM scored)
+      |WHERE rk <= 10 ORDER BY rk""".stripMargin
+
   // ------------------------------------------------------------- sample_bottomk
   /** Fixed-size uniform sample WITHOUT replacement via bottom-k hashing
     * — the distributed replacement for reservoir sampling: the k docs
@@ -1929,6 +2007,8 @@ object LlmPipeline {
       "deterministic hash-bucketed 80/10/10 train/valid/test split"),
     GQuery("sample_stratified", sampleStratified, Some(sampleStratifiedOracle),
       "balanced per-language cap sample by portable md5 hash rank"),
+    GQuery("text_bm25", textBm25, Some(textBm25Oracle),
+      "BM25 top-10 retrieval ranking, query-term-pruned postings"),
     GQuery("sample_bottomk", sampleBottomK, Some(sampleBottomKOracle),
       "bottom-k-hash uniform sample (distributed reservoir equivalent)"),
     GQuery("sample_importance", sampleImportance, Some(sampleImportanceOracle),

@@ -1474,7 +1474,56 @@ object Relational {
        |    AND (q.price_c < p.price_c OR q.size > p.size))
        |ORDER BY price_c""".stripMargin
 
+  // ------------------------------------------------------------ graph_pagerank
+  /** PageRank over the co-purchase graph — parts are linked when some
+    * order contains both (the "customers who bought X also bought Y"
+    * graph), 3 damped iterations, top-20 by final rank. The iteration
+    * lives in [[GraphOps.pageRank]]: all-integer e6 arithmetic, one
+    * co-keyed join + groupBy-sum per round (the Pregel round as
+    * relational algebra), bitwise-deterministic so the DuckDB oracle
+    * can unroll the SAME three rounds as CTEs and hash-compare. Edge
+    * building is a per-order self-join — O(lines²) within an order,
+    * bounded by TPC-H's ≤7 lines/order, so it scales linearly in
+    * orders; `distinct` collapses repeat co-purchases. At 100 TB the
+    * fixed-iteration plan re-reads lineitem per round (3 scans);
+    * production loops persist the edge relation once — the qid keeps
+    * the pure-plan form the oracle can mirror. */
+  def graphPagerank(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val edges = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
+      .select(col("a.pk").as("src"), col("b.pk").as("dst")).distinct()
+    GraphOps.pageRank(edges, 3)
+      .orderBy(col("rank_e6").desc, col("node"))
+      .limit(20)
+      .select(col("node"), col("rank_e6"))
+  }
+
+  private val graphPagerankOracle = {
+    def round(prev: String, cur: String) =
+      s"""$cur AS (
+         |  SELECT e.dst AS node,
+         |         150000 + (85 * CAST(SUM(r.rank_e6 // d.deg) AS BIGINT)) // 100 AS rank_e6
+         |  FROM edges e JOIN $prev r ON e.src = r.node
+         |               JOIN deg d ON e.src = d.src
+         |  GROUP BY e.dst)""".stripMargin
+    s"""WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+       |edges AS (
+       |  SELECT DISTINCT a.pk AS src, b.pk AS dst
+       |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk),
+       |deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+       |r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS rank_e6 FROM deg),
+       |${round("r0", "r1")},
+       |${round("r1", "r2")},
+       |${round("r2", "r3")}
+       |SELECT node, CAST(rank_e6 AS BIGINT) AS rank_e6
+       |FROM r3 ORDER BY rank_e6 DESC, node LIMIT 20""".stripMargin
+  }
+
   def queries: Seq[GQuery] = Seq(
+    GQuery("graph_pagerank", graphPagerank, Some(graphPagerankOracle),
+      "3-iteration integer PageRank on the co-purchase graph, top-20"),
     GQuery("skyline_pareto", skylinePareto, Some(skylineParetoOracle),
       "2-D Pareto frontier: sweep algorithm vs NOT EXISTS spec oracle"),
     GQuery("agg_incremental", aggIncremental, Some(aggIncrementalOracle),

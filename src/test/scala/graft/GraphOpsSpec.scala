@@ -61,4 +61,46 @@ class GraphOpsSpec extends SparkSpec {
     val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
     assert(operators.GraphOps.connectedComponents(empty).count() === 0)
   }
+
+  test("pagerank: a regular graph is a fixpoint of the integer iteration") {
+    import spark.implicits._
+    // triangle, symmetric: deg 2 everywhere -> inbound = 2*(1e6 div 2) = 1e6
+    // -> r' = 150000 + 850000 = 1e6 at every node, every iteration
+    val tri = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (1L, 3L), (3L, 1L))
+      .toDF("src", "dst")
+    val r = operators.GraphOps.pageRank(tri, 3).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toMap
+    assert(r === Map(1L -> 1000000L, 2L -> 1000000L, 3L -> 1000000L))
+  }
+
+  test("pagerank: hand-computed star after one iteration") {
+    import spark.implicits._
+    // star 1-{2,3}: deg(1)=2, deg(2)=deg(3)=1
+    // r1(leaf) = 150000 + 85*(1e6 div 2) div 100 = 575000
+    // r1(hub)  = 150000 + 85*(1e6 + 1e6) div 100 = 1850000
+    val star = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 1L)).toDF("src", "dst")
+    val r = operators.GraphOps.pageRank(star, 1).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toMap
+    assert(r === Map(1L -> 1850000L, 2L -> 575000L, 3L -> 575000L))
+  }
+
+  test("pagerank conserves mass up to integer floor loss on the fixture graph") {
+    val q = operators.Relational.queries.find(_.id == "graph_pagerank").get
+      .fn(spark, sfDir)
+    assert(q.count() === 20)
+    // recompute full ranks for the conservation check
+    val li = sources.Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val edges = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
+      .select(col("a.pk").as("src"), col("b.pk").as("dst")).distinct()
+    val ranks = operators.GraphOps.pageRank(edges, 3)
+    val n = ranks.count()
+    val total = ranks.agg(sum("rank_e6")).head().getLong(0)
+    // each div floors: loss strictly below 1e6-per-node per round is far
+    // more than actually possible; 1% slack is generous and tight enough
+    assert(total <= n * 1000000L)
+    assert(total >= (n * 1000000L * 99L) / 100L)
+    assert(ranks.filter(col("rank_e6") < 150000L).count() === 0)
+  }
 }

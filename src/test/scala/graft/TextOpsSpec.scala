@@ -56,4 +56,27 @@ class TextOpsSpec extends SparkSpec {
       .filter(col("quality_e6") < 400000L)
     assert(inBand.count() === 0) // band floor respected
   }
+
+  test("bm25: top-10 docs all contain a query term, ranks total-ordered") {
+    val top = operators.LlmPipeline.queries.find(_.id == "text_bm25").get
+      .fn(spark, sfDir)
+    val rows = top.collect()
+    assert(rows.length === 10)
+    assert(rows.map(_.getAs[Int]("rk").toLong).toSeq === (1L to 10L))
+    assert(rows.forall(_.getLong(2) > 0L)) // +1-form idf keeps scores positive
+    val docs = sources.Tables.documents(spark, sfDir)
+      .filter(col("doc_id").isin(rows.map(r => r.getLong(1)): _*))
+      .filter(!col("text").rlike("\\b(spark|hash|join)\\b"))
+    assert(docs.count() === 0)
+  }
+
+  test("bm25 favors higher tf at equal length, penalizes longer docs at equal tf") {
+    import spark.implicits._
+    // same shape as the operator's scoring: direct formula micro-check
+    val k1 = 1.2; val b = 0.75
+    def w(tf: Double, dl: Double, avgdl: Double, idf: Double) =
+      idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * dl / avgdl))
+    assert(w(3, 50, 50, 1.0) > w(1, 50, 50, 1.0))
+    assert(w(2, 100, 50, 1.0) < w(2, 25, 50, 1.0))
+  }
 }
