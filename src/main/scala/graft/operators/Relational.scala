@@ -1474,6 +1474,57 @@ object Relational {
        |    AND (q.price_c < p.price_c OR q.size > p.size))
        |ORDER BY price_c""".stripMargin
 
+  // --------------------------------------------------------------- table_scd2
+  /** Slowly-Changing-Dimension Type 2 build — the warehouse verb that
+    * turns an event/change stream into versioned dimension rows with
+    * validity intervals. Source: each customer's order stream, tracking
+    * o_orderpriority as the versioned attribute. Two window passes on
+    * the SAME (custkey, date, orderkey) order: pass 1 keeps only
+    * change points (attr ≠ lag(attr) — consecutive-equal values
+    * collapse, which is what makes it SCD2 and not a snapshot log);
+    * pass 2 numbers versions and closes each interval with
+    * lead(valid_from) (NULL = current). Both windows share one
+    * partitioning, so the plan carries ONE shuffle on custkey; at
+    * 100 TB this is the standard one-pass history rebuild, and
+    * incremental maintenance rides table_merge on (key, valid_from). */
+  def tableScd2(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("o_orderpriority"))
+      .withColumn("prev", lag(col("o_orderpriority"), 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("o_orderpriority"))
+      .withColumn("version", row_number().over(w))
+      .withColumn("valid_to", lead(col("o_orderdate"), 1).over(w))
+      .select(col("o_custkey"), col("version"),
+        col("o_orderpriority").as("attr"),
+        col("o_orderdate").as("valid_from"), col("valid_to"),
+        when(col("valid_to").isNull, 1L).otherwise(0L).as("is_current"))
+      .orderBy(col("o_custkey"), col("version"))
+  }
+
+  private val tableScd2Oracle =
+    """WITH marked AS (
+      |  SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority,
+      |         lag(o_orderpriority) OVER (PARTITION BY o_custkey
+      |           ORDER BY o_orderdate, o_orderkey) AS prev
+      |  FROM orders),
+      |changes AS (
+      |  SELECT * FROM marked
+      |  WHERE prev IS NULL OR prev <> o_orderpriority)
+      |SELECT o_custkey,
+      |       row_number() OVER w AS version,
+      |       o_orderpriority AS attr,
+      |       o_orderdate AS valid_from,
+      |       lead(o_orderdate) OVER w AS valid_to,
+      |       CASE WHEN lead(o_orderdate) OVER w IS NULL
+      |            THEN 1 ELSE 0 END AS is_current
+      |FROM changes
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, version""".stripMargin
+
   // ------------------------------------------------------------ graph_pagerank
   /** PageRank over the co-purchase graph — parts are linked when some
     * order contains both (the "customers who bought X also bought Y"
@@ -1524,6 +1575,8 @@ object Relational {
   def queries: Seq[GQuery] = Seq(
     GQuery("graph_pagerank", graphPagerank, Some(graphPagerankOracle),
       "3-iteration integer PageRank on the co-purchase graph, top-20"),
+    GQuery("table_scd2", tableScd2, Some(tableScd2Oracle),
+      "SCD Type-2 history build: change compression + validity intervals"),
     GQuery("skyline_pareto", skylinePareto, Some(skylineParetoOracle),
       "2-D Pareto frontier: sweep algorithm vs NOT EXISTS spec oracle"),
     GQuery("agg_incremental", aggIncremental, Some(aggIncrementalOracle),

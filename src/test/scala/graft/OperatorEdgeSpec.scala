@@ -168,6 +168,42 @@ class OperatorEdgeSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("scd2 history: one current row per key, contiguous compressed intervals") {
+    // plan shape FIRST (before cache() swaps in an InMemoryRelation):
+    // both window passes share the custkey partitioning — exactly two
+    // shuffles, one hash (windows), one range (final ORDER BY). AQE off
+    // so the static plan exposes raw ShuffleExchangeExec nodes.
+    {
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val fresh = graft.operators.Relational.queries.find(_.id == "table_scd2").get
+          .fn(spark, sfDir)
+        val exchanges = fresh.queryExecution.executedPlan.collect {
+          case e: ShuffleExchangeExec => e
+        }.length
+        assert(exchanges === 2, s"expected 2 shuffles, got $exchanges")
+      } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+    }
+    val h = graft.operators.Relational.queries.find(_.id == "table_scd2").get
+      .fn(spark, sfDir).cache()
+    try {
+      // exactly one open interval per customer
+      val cur = h.groupBy("o_custkey")
+        .agg(sum("is_current").as("n_cur"))
+        .filter(col("n_cur") =!= 1L)
+      assert(cur.count() === 0)
+      // consecutive versions: valid_to(v) == valid_from(v+1), attr changed
+      val w = Window.partitionBy("o_custkey").orderBy("version")
+      val nxt = h.withColumn("nf", lead(col("valid_from"), 1).over(w))
+        .withColumn("na", lead(col("attr"), 1).over(w))
+        .filter(col("nf").isNotNull)
+      assert(nxt.filter(col("valid_to") =!= col("nf")).count() === 0)
+      assert(nxt.filter(col("attr") === col("na")).count() === 0)
+    } finally h.unpersist()
+  }
+
   test("Det.cents/sum2 are exact on 2-decimal money") {
     val df = Seq(0.01, 0.02, 0.29, 10.10, 99.99).toDF("v")
     val s = df.agg(Det.sum2(col("v"))).head().getDouble(0)
