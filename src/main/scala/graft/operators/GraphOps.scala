@@ -135,7 +135,12 @@ object GraphOps {
     * escape hatch beyond. */
   def pageRank(edges: DataFrame, iters: Int): DataFrame = {
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val withDeg = edges.join(deg, "src")
+    // the (edge, deg) relation feeds EVERY iteration's join — persist it
+    // once instead of re-deriving the upstream edge build per round
+    // (measured 5.2 -> ~2.5 s on the sf0.1 co-purchase graph); freed by
+    // the caller's clearCache or executor eviction, same contract as the
+    // other iterative loops' persisted inputs
+    val withDeg = edges.join(deg, "src").persist()
     var ranks = deg.select(col("src").as("node"),
       lit(1000000L).as("rank_e6"))
     for (_ <- 1 to iters) {

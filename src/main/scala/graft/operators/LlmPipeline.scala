@@ -1431,7 +1431,7 @@ object LlmPipeline {
     * geometry-free deterministic expander init (cosine top-k within
     * EIGHT independent md5 bucketings — one bucketing's components are
     * closed under neighbor-of-neighbor and descent could never leave
-    * them; the union mixes), then iterate 6 rounds: candidates =
+    * them; the union mixes), then iterate 5 rounds: candidates =
     * neighbors-of-neighbors over the symmetrized graph, keep the best
     * k=12 per node by exact cosine. Each round is two self-joins + a
     * windowed top-k — all keyed, never all-pairs; per-round candidate
@@ -1444,7 +1444,7 @@ object LlmPipeline {
     * DuckDB-oracle-able) plus `recall_ok` — the NN-Descent graph's
     * out-edges recovered ≥ 60% of those exact neighbors. Deterministic
     * (seeded hashes, total-order tie-breaks), measured 0.90 / 0.93 /
-    * 0.75 at sf0.001/0.01/0.1. The fixture embeddings are uniform
+    * 0.73 at sf0.001/0.01/0.1. The fixture embeddings are uniform
     * random — NO metric clustering — which is NN-Descent's worst case
     * (neighbor-of-neighbor carries no signal beyond sampling); on real
     * clustered embeddings the same loop converges far faster, so the
@@ -1560,7 +1560,10 @@ object LlmPipeline {
   def simKnnGraph(spark: SparkSession, dir: String): DataFrame = {
     val nQ = 30
     val topQ = 5
-    val edges = knnGraphEdges(spark, dir, k = 12, rounds = 6)
+    // rounds=5: measured recall 0.90/0.93/0.73 at the three SFs (vs
+    // 0.90/0.93/0.75 at 6) — one full round of wall time buys 2 hits
+    // out of 150 against a 90-hit contract; 5 keeps a 20-hit margin
+    val edges = knnGraphEdges(spark, dir, k = 12, rounds = 5)
     val ev = Tables.embeddings(spark, dir)
       .select(col("vec_id"),
         expr("transform(embedding, x -> cast(x as double))").as("v"))
