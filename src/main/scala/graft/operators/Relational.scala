@@ -1474,6 +1474,61 @@ object Relational {
        |    AND (q.price_c < p.price_c OR q.size > p.size))
        |ORDER BY price_c""".stripMargin
 
+  // ----------------------------------------------------------- graph_triangles
+  /** Triangle counting over the co-purchase graph: per-node triangle
+    * participation, top-10. Spark orients each undirected edge from its
+    * LOWER-DEGREE endpoint (ties by id) — the classic wedge-volume
+    * bound: every wedge is generated at its lowest-degree corner, so
+    * per-node wedge work is O(deg · min(deg, …)) and the hub that would
+    * generate deg² wedges under id-orientation generates almost none
+    * (Σ wedges = O(m^{3/2}) for any graph). The DuckDB oracle orients
+    * by id instead — far simpler SQL, identical triangle SET (a
+    * triangle exists independent of orientation), so the oracle
+    * cross-checks the optimized algorithm against the naive spec, the
+    * skyline_pareto pattern. Wedge join + closing-edge semi-join are
+    * both equi-joins on node pairs; nothing is ever all-pairs. */
+  def graphTriangles(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val und = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
+      .select(col("a.pk").as("u"), col("b.pk").as("v")).distinct()
+    val deg = und.groupBy(col("u")).agg(count(lit(1)).as("d"))
+    // orient u -> v iff (d(u), u) < (d(v), v); each undirected edge
+    // survives exactly once
+    val oriented = und
+      .join(deg.select(col("u"), col("d").as("du")), "u")
+      .join(deg.select(col("u").as("v"), col("d").as("dv")), "v")
+      .filter(col("du") < col("dv") ||
+        (col("du") === col("dv") && col("u") < col("v")))
+      .select(col("u"), col("v"))
+      .persist() // feeds the wedge join AND the closing-edge check
+    val wedges = oriented.as("e1").join(oriented.as("e2"),
+        col("e1.v") === col("e2.u"))
+      .select(col("e1.u").as("a"), col("e1.v").as("b"), col("e2.v").as("c"))
+    val tris = wedges.join(oriented.select(col("u").as("a"), col("v").as("c")),
+      Seq("a", "c"), "leftsemi")
+    tris.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+      .orderBy(col("n_tri").desc, col("node"))
+      .limit(10)
+  }
+
+  private val graphTrianglesOracle =
+    """WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |und AS (
+      |  SELECT DISTINCT a.pk AS u, b.pk AS v
+      |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk),
+      |e AS (SELECT u, v FROM und WHERE u < v),
+      |tri AS (
+      |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      |  FROM e e1 JOIN e e2 ON e1.v = e2.u
+      |  WHERE EXISTS (SELECT 1 FROM e e3 WHERE e3.u = e1.u AND e3.v = e2.v)),
+      |nodes AS (
+      |  SELECT unnest([a, b, c]) AS node FROM tri)
+      |SELECT node, COUNT(*) AS n_tri FROM nodes
+      |GROUP BY node ORDER BY n_tri DESC, node LIMIT 10""".stripMargin
+
   // --------------------------------------------------------------- table_scd2
   /** Slowly-Changing-Dimension Type 2 build — the warehouse verb that
     * turns an event/change stream into versioned dimension rows with
@@ -1577,6 +1632,8 @@ object Relational {
       "3-iteration integer PageRank on the co-purchase graph, top-20"),
     GQuery("table_scd2", tableScd2, Some(tableScd2Oracle),
       "SCD Type-2 history build: change compression + validity intervals"),
+    GQuery("graph_triangles", graphTriangles, Some(graphTrianglesOracle),
+      "degree-ordered triangle counting vs naive id-ordered spec oracle"),
     GQuery("skyline_pareto", skylinePareto, Some(skylineParetoOracle),
       "2-D Pareto frontier: sweep algorithm vs NOT EXISTS spec oracle"),
     GQuery("agg_incremental", aggIncremental, Some(aggIncrementalOracle),

@@ -84,6 +84,33 @@ class GraphOpsSpec extends SparkSpec {
     assert(r === Map(1L -> 1850000L, 2L -> 575000L, 3L -> 575000L))
   }
 
+  test("degree-ordered triangle orientation finds each K4 triangle once") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} plus pendant 5-1: 4 triangles, each K4 node in 3,
+    // pendant in none
+    val undPairs = for {
+      a <- 1L to 4L; b <- 1L to 4L if a != b
+    } yield (a, b)
+    val und = (undPairs ++ Seq((1L, 5L), (5L, 1L))).toDF("u", "v")
+    val deg = und.groupBy(col("u")).agg(count(lit(1)).as("d"))
+    val oriented = und
+      .join(deg.select(col("u"), col("d").as("du")), "u")
+      .join(deg.select(col("u").as("v"), col("d").as("dv")), "v")
+      .filter(col("du") < col("dv") ||
+        (col("du") === col("dv") && col("u") < col("v")))
+      .select(col("u"), col("v"))
+    val wedges = oriented.as("e1").join(oriented.as("e2"),
+        col("e1.v") === col("e2.u"))
+      .select(col("e1.u").as("a"), col("e1.v").as("b"), col("e2.v").as("c"))
+    val tris = wedges.join(oriented.select(col("u").as("a"), col("v").as("c")),
+      Seq("a", "c"), "leftsemi")
+    assert(tris.count() === 4)
+    val perNode = tris.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(perNode === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
   test("pagerank conserves mass up to integer floor loss on the fixture graph") {
     val q = operators.Relational.queries.find(_.id == "graph_pagerank").get
       .fn(spark, sfDir)
