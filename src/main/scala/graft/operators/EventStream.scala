@@ -438,6 +438,73 @@ object EventStream {
        |  ON s.event_type = hy.event_type AND s.h = hy.h
        |ORDER BY s.event_type, s.h""".stripMargin
 
+  // ------------------------------------------------------------------ ts_trend
+  /** Per-series linear trend (OLS slope + R²) over hourly sums — the
+    * metrics verb behind "is this series drifting". Exact where it can
+    * be: x (hour index from the series' first hour) and y (cents) are
+    * integers, all five moments (Σx, Σy, Σxy, Σx², Σy²) are integer
+    * sums (order-independent), and slope = num/den touches floating
+    * point only in ONE IEEE division + multiply per output — identical
+    * inputs give bitwise-identical doubles in both engines (no libm).
+    * slope_e6 = round(1e6·(nΣxy−ΣxΣy)/(nΣx²−(Σx)²)); r2_e6 likewise
+    * from num²/(den·denY). Magnitude audit: x ≤ 720 (a month of
+    * hours), y ≤ 10⁷ cents/hour ⇒ nΣxy < 10¹⁵, far under Long — the
+    * moments fit until ~10⁴× the fixture density (then widen to
+    * decimal). One shuffle to hourly buckets (map-side combinable),
+    * one 5-ary window for the per-series x offset, one 5-row reduce. */
+  def tsTrend(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(sum(cents(col("value"))).as("y"))
+    val xed = hourly
+      .withColumn("sec", col("h").cast("long"))
+      .withColumn("x", expr(
+        "(sec - min(sec) OVER (PARTITION BY event_type)) div 3600"))
+    xed.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .withColumn("num", col("n") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("den", col("n") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("deny", col("n") * col("syy") - col("sy") * col("sy"))
+      .select(col("event_type"), col("n"),
+        round(col("num").cast("double") / col("den").cast("double") * 1e6)
+          .cast("long").as("slope_e6"),
+        round(col("num").cast("double") * col("num").cast("double") /
+          (col("den").cast("double") * col("deny").cast("double")) * 1e6)
+          .cast("long").as("r2_e6"))
+      .orderBy(col("event_type"))
+  }
+
+  private val tsTrendOracle =
+    s"""WITH hourly AS (
+       |  SELECT event_type, date_trunc('hour', ts) AS h,
+       |         CAST(SUM(${oCents("value")}) AS BIGINT) AS y
+       |  FROM events GROUP BY 1, 2),
+       |xed AS (
+       |  SELECT event_type, y,
+       |         (epoch_us(h) // 1000000
+       |          - min(epoch_us(h) // 1000000) OVER (PARTITION BY event_type))
+       |         // 3600 AS x
+       |  FROM hourly),
+       |m AS (
+       |  SELECT event_type, COUNT(*) AS n,
+       |         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+       |         CAST(SUM(x * y) AS BIGINT) AS sxy,
+       |         CAST(SUM(x * x) AS BIGINT) AS sxx,
+       |         CAST(SUM(y * y) AS BIGINT) AS syy
+       |  FROM xed GROUP BY event_type)
+       |SELECT event_type, n,
+       |       CAST(ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+       |                  / CAST(n * sxx - sx * sx AS DOUBLE) * 1000000.0)
+       |            AS BIGINT) AS slope_e6,
+       |       CAST(ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+       |                  * CAST(n * sxy - sx * sy AS DOUBLE)
+       |                  / (CAST(n * sxx - sx * sx AS DOUBLE)
+       |                     * CAST(n * syy - sy * sy AS DOUBLE)) * 1000000.0)
+       |            AS BIGINT) AS r2_e6
+       |FROM m ORDER BY event_type""".stripMargin
+
   // -------------------------------------------------------------- event_pattern
   /** Row-pattern detection (the MATCH_RECOGNIZE verb, compiled to lag
     * chains — Spark has no MATCH_RECOGNIZE; strictly-consecutive
@@ -600,6 +667,8 @@ object EventStream {
       "last-touch purchase attribution via carry-forward window"),
     GQuery("ts_outlier", tsOutlier, Some(tsOutlierOracle),
       "median/MAD robust outlier counts per series, all-integer"),
+    GQuery("ts_trend", tsTrend, Some(tsTrendOracle),
+      "per-series OLS slope+R2 from exact integer moments, one IEEE div"),
     GQuery("event_pattern", eventPattern, Some(eventPatternOracle),
       "MATCH_RECOGNIZE-style consecutive view->click->purchase via lags"),
     GQuery("ts_resample", tsResample, Some(tsResampleOracle),

@@ -1529,6 +1529,38 @@ object Relational {
       |SELECT node, COUNT(*) AS n_tri FROM nodes
       |GROUP BY node ORDER BY n_tri DESC, node LIMIT 10""".stripMargin
 
+  // --------------------------------------------------------- graph_degree_dist
+  /** Degree distribution of the co-purchase graph in log₂ bins — the
+    * first thing anyone asks of a graph at scale (is it heavy-tailed?
+    * where do the hubs start?), and the audit that justifies
+    * graph_triangles' degree orientation. The log₂ bin is computed
+    * WITHOUT floats: bucket = string length of the degree's binary
+    * form (conv/bin in the two engines) = ⌊log₂ d⌋ + 1 exactly, for
+    * any BIGINT. One groupBy for degrees, one 6-ish-ary groupBy for
+    * bins; both map-side combinable. */
+  def graphDegreeDist(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val und = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
+      .select(col("a.pk").as("u"), col("b.pk").as("v")).distinct()
+    und.groupBy(col("u")).agg(count(lit(1)).as("d"))
+      .groupBy(length(conv(col("d"), 10, 2)).cast("long").as("log2_bin"))
+      .agg(count(lit(1)).as("n_nodes"), min(col("d")).as("min_deg"),
+        max(col("d")).as("max_deg"))
+      .orderBy(col("log2_bin"))
+  }
+
+  private val graphDegreeDistOracle =
+    """WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |und AS (
+      |  SELECT DISTINCT a.pk AS u, b.pk AS v
+      |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk),
+      |deg AS (SELECT u, COUNT(*) AS d FROM und GROUP BY u)
+      |SELECT CAST(length(bin(d)) AS BIGINT) AS log2_bin,
+      |       COUNT(*) AS n_nodes, MIN(d) AS min_deg, MAX(d) AS max_deg
+      |FROM deg GROUP BY 1 ORDER BY log2_bin""".stripMargin
+
   // --------------------------------------------------------------- table_scd2
   /** Slowly-Changing-Dimension Type 2 build — the warehouse verb that
     * turns an event/change stream into versioned dimension rows with
@@ -1634,6 +1666,8 @@ object Relational {
       "SCD Type-2 history build: change compression + validity intervals"),
     GQuery("graph_triangles", graphTriangles, Some(graphTrianglesOracle),
       "degree-ordered triangle counting vs naive id-ordered spec oracle"),
+    GQuery("graph_degree_dist", graphDegreeDist, Some(graphDegreeDistOracle),
+      "log2-binned degree distribution, float-free binning"),
     GQuery("skyline_pareto", skylinePareto, Some(skylineParetoOracle),
       "2-D Pareto frontier: sweep algorithm vs NOT EXISTS spec oracle"),
     GQuery("agg_incremental", aggIncremental, Some(aggIncrementalOracle),

@@ -96,6 +96,46 @@ class WindowsEventSpec extends SparkSpec {
       .count() === 0)
   }
 
+  test("integer-moment OLS recovers a perfect line exactly") {
+    // y = 2x + 5 -> slope_e6 = 2_000_000, r2_e6 = 1_000_000, zero drift
+    val df = (0L to 10L).map(x => ("a", x, 2 * x + 5)).toDF("k", "x", "y")
+    val m = df.groupBy("k").agg(
+      count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+      sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+      .withColumn("num", col("n") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("den", col("n") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("deny", col("n") * col("syy") - col("sy") * col("sy"))
+      .select(
+        round(col("num").cast("double") / col("den").cast("double") * 1e6)
+          .cast("long").as("slope_e6"),
+        round(col("num").cast("double") * col("num").cast("double") /
+          (col("den").cast("double") * col("deny").cast("double")) * 1e6)
+          .cast("long").as("r2_e6"))
+      .head()
+    assert(m.getLong(0) === 2000000L)
+    assert(m.getLong(1) === 1000000L)
+  }
+
+  test("ts_trend R2 is a valid fraction and n matches the hour buckets") {
+    val out = graft.operators.EventStream.queries.find(_.id == "ts_trend").get
+      .fn(spark, sfDir)
+    assert(out.filter(col("r2_e6") < 0 || col("r2_e6") > 1000000L).count() === 0)
+    val hours = graft.sources.Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts"))).count()
+      .groupBy("event_type").count().withColumnRenamed("count", "n_hours")
+    assert(out.join(hours, "event_type")
+      .filter(col("n") =!= col("n_hours")).count() === 0)
+  }
+
+  test("binary-length binning equals floor(log2)+1 for 1..1000") {
+    val df = (1L to 1000L).toDF("d")
+      .withColumn("bin_conv", length(conv(col("d"), 10, 2)).cast("long"))
+      .withColumn("bin_math",
+        floor(log(2.0, col("d").cast("double"))).cast("long") + 1L)
+    assert(df.filter(col("bin_conv") =!= col("bin_math")).count() === 0)
+  }
+
   test("manual median position matches percentile_disc semantics") {
     // n=4 -> position (4+1) div 2 = 2; values 10,20,30,40 -> med 20
     val df = Seq(10L, 20L, 30L, 40L).zipWithIndex
