@@ -28,11 +28,14 @@ object ScaleRehearsal {
   private val baseDir = "/root/testdata/sf0.1"
   private val qids = Seq(
     "dedup_near", "dedup_minhash", "dedup_simhash", "dedup_clusters",
-    "sim_ann_ivf", "sim_knn_graph")
+    "sim_ann_ivf", "sim_knn_graph", "graph_pagerank", "graph_triangles")
 
   private def synth(spark: SparkSession, scale: Int, outDir: String): Unit = {
     val out = new java.io.File(outDir)
-    if (new java.io.File(out, "_DONE").exists()) return
+    // lineitem presence re-checked so dirs synthesized before the graph
+    // family joined the rehearsal get upgraded in place
+    if (new java.io.File(out, "_DONE").exists() &&
+      new java.io.File(out, "lineitem.parquet").exists()) return
     out.mkdirs()
     val docs = spark.read.parquet(s"$baseDir/documents.parquet")
     val embs = spark.read.parquet(s"$baseDir/embeddings.parquet")
@@ -60,6 +63,21 @@ object ScaleRehearsal {
     embReps.reduce(_ unionByName _)
       .repartition(32).write.mode("overwrite")
       .parquet(s"$outDir/embeddings.parquet")
+    // graph family: replica r shifts order and part keys into disjoint
+    // ranges, so the co-purchase graph becomes k disjoint copies of the
+    // base graph — k× nodes, k× edges, identical per-replica structure
+    // (the growth-curve invariant). Only the two columns the graph qids
+    // scan are written; their parquet reads prune to these anyway.
+    val li = spark.read.parquet(s"$baseDir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey"))
+    val liReps = (0 until scale).map { r =>
+      if (r == 0) li
+      else li.select((col("l_orderkey") + lit(r * 1000000000L)).as("l_orderkey"),
+        (col("l_partkey") + lit(r * 10000000L)).as("l_partkey"))
+    }
+    liReps.reduce(_ unionByName _)
+      .repartition(32).write.mode("overwrite")
+      .parquet(s"$outDir/lineitem.parquet")
     new java.io.File(out, "_DONE").createNewFile()
   }
 

@@ -505,6 +505,68 @@ object EventStream {
        |            AS BIGINT) AS r2_e6
        |FROM m ORDER BY event_type""".stripMargin
 
+  // ------------------------------------------------------------- ts_changepoint
+  /** CUSUM changepoint detection per series: the hour where the
+    * cumulative deviation from the series mean peaks — the standard
+    * level-shift locator (Page 1954). All-integer trick: the running
+    * deviation Σᵢ(xᵢ − μ) needs a fractional μ, but n·Σᵢ(xᵢ − μ) =
+    * n·Σᵢxᵢ − i·Σx is INTEGER, has its |max| at the same hour (n > 0
+    * scales, never reorders), and never overflows before ~10⁹ hours ×
+    * 10⁷ cents. Two window passes per series (running sum, then
+    * argmax by (|cusum| desc, h)) sharing one partitioning, one hourly
+    * pre-aggregate shuffle before them. Output: the located hour, its
+    * scaled peak, and the two half means (in cents, floored) as the
+    * shift evidence. */
+  def tsChangepoint(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+    val wAll = Window.partitionBy(col("event_type"))
+    val hourly = Tables.events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(sum(cents(col("value"))).as("x"))
+    val cum = hourly
+      .withColumn("i", row_number().over(w).cast("long"))
+      .withColumn("cx", sum(col("x")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("sx", sum(col("x")).over(wAll))
+      // n·Σ_{j≤i} x_j − i·Σx  ==  n · CUSUM_i, integer-exact; x ≥ 0 in
+      // this fixture so every div below has non-negative operands
+      // (Spark div truncates, DuckDB // floors — equal only there)
+      .withColumn("cusum", col("n") * col("cx") - col("i") * col("sx"))
+    cum
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("event_type"))
+          .orderBy(abs(col("cusum")).desc, col("h"))))
+      .filter(col("rk") === 1)
+      .select(col("event_type"), col("h").as("cp_hour"), col("cusum"),
+        expr("cx div i").as("mean_before_c"),
+        // flat single-bucket series would put the peak at i = n; NULL
+        // beats a divide-by-zero discrepancy between engines
+        expr("(sx - cx) div nullif(n - i, 0)").as("mean_after_c"))
+      .orderBy(col("event_type"))
+  }
+
+  private val tsChangepointOracle =
+    s"""WITH hourly AS (
+       |  SELECT event_type, date_trunc('hour', ts) AS h,
+       |         CAST(SUM(${oCents("value")}) AS BIGINT) AS x
+       |  FROM events GROUP BY 1, 2),
+       |cum AS (
+       |  SELECT event_type, h,
+       |         CAST(row_number() OVER (PARTITION BY event_type ORDER BY h) AS BIGINT) AS i,
+       |         CAST(SUM(x) OVER (PARTITION BY event_type ORDER BY h
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cx,
+       |         CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+       |         CAST(SUM(x) OVER (PARTITION BY event_type) AS BIGINT) AS sx
+       |  FROM hourly)
+       |SELECT event_type, h AS cp_hour, n * cx - i * sx AS cusum,
+       |       cx // i AS mean_before_c,
+       |       (sx - cx) // NULLIF(n - i, 0) AS mean_after_c
+       |FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+       |        ORDER BY abs(n * cx - i * sx) DESC, h) AS rk
+       |      FROM cum)
+       |WHERE rk = 1 ORDER BY event_type""".stripMargin
+
   // -------------------------------------------------------------- event_pattern
   /** Row-pattern detection (the MATCH_RECOGNIZE verb, compiled to lag
     * chains — Spark has no MATCH_RECOGNIZE; strictly-consecutive
@@ -669,6 +731,8 @@ object EventStream {
       "median/MAD robust outlier counts per series, all-integer"),
     GQuery("ts_trend", tsTrend, Some(tsTrendOracle),
       "per-series OLS slope+R2 from exact integer moments, one IEEE div"),
+    GQuery("ts_changepoint", tsChangepoint, Some(tsChangepointOracle),
+      "integer CUSUM level-shift locator per series"),
     GQuery("event_pattern", eventPattern, Some(eventPatternOracle),
       "MATCH_RECOGNIZE-style consecutive view->click->purchase via lags"),
     GQuery("ts_resample", tsResample, Some(tsResampleOracle),

@@ -128,6 +128,30 @@ class WindowsEventSpec extends SparkSpec {
       .filter(col("n") =!= col("n_hours")).count() === 0)
   }
 
+  test("integer CUSUM locates a planted level shift at its last low point") {
+    // series 10,10,10,50,50: n·cx − i·sx = -80,-160,-240,-120,0 —
+    // peak |…| at i=3, halves mean 10 and 50
+    val df = Seq(1L -> 10L, 2L -> 10L, 3L -> 10L, 4L -> 50L, 5L -> 50L)
+      .map { case (h, x) => ("a", h, x) }.toDF("k", "h", "x")
+    val w = Window.partitionBy("k").orderBy("h")
+    val cum = df
+      .withColumn("i", row_number().over(w).cast("long"))
+      .withColumn("cx", sum(col("x")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("k")))
+      .withColumn("sx", sum(col("x")).over(Window.partitionBy("k")))
+      .withColumn("cusum", col("n") * col("cx") - col("i") * col("sx"))
+    val top = cum.withColumn("rk", row_number().over(
+        Window.partitionBy("k").orderBy(abs(col("cusum")).desc, col("h"))))
+      .filter(col("rk") === 1)
+      .select(col("h"), col("cusum"), expr("cx div i"),
+        expr("(sx - cx) div nullif(n - i, 0)")).head()
+    assert(top.getLong(0) === 3L)
+    assert(top.getLong(1) === -240L)
+    assert(top.getLong(2) === 10L)
+    assert(top.getLong(3) === 50L)
+  }
+
   test("binary-length binning equals floor(log2)+1 for 1..1000") {
     val df = (1L to 1000L).toDF("d")
       .withColumn("bin_conv", length(conv(col("d"), 10, 2)).cast("long"))
