@@ -98,10 +98,13 @@ object ScaleRehearsal {
       .select(md5(col("text")).as("h"), explode(split(col("text"), " ")).as("t"))
       .groupBy("h", "t").count().count()
     Class.forName("org.apache.spark.sql.catalyst.util.CollationAwareUTF8String")
+    // optional family filter for partial re-runs after a fix
+    val only = sys.env.get("SPARK_GRAFT_REHEARSE_QIDS")
+      .map(_.split(",").toSet).getOrElse(qids.toSet)
     for (scale <- scales) {
       val dir = s"/tmp/graft_scale/x$scale"
       synth(spark, scale, dir)
-      for (qid <- qids) {
+      for (qid <- qids if only(qid)) {
         val fn = Registry.byId(qid).fn
         val t0 = System.nanoTime()
         val rows = fn(spark, dir).count()

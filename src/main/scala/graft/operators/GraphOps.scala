@@ -137,10 +137,15 @@ object GraphOps {
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     // the (edge, deg) relation feeds EVERY iteration's join — persist it
     // once instead of re-deriving the upstream edge build per round
-    // (measured 5.2 -> ~2.5 s on the sf0.1 co-purchase graph); freed by
-    // the caller's clearCache or executor eviction, same contract as the
-    // other iterative loops' persisted inputs
-    val withDeg = edges.join(deg, "src").persist()
+    // (measured 5.2 -> ~2.5 s on the sf0.1 co-purchase graph), and
+    // persist it ALREADY HASH-PARTITIONED on the join key: the cached
+    // partitioning satisfies each iteration's join distribution, so
+    // only the small ranks side shuffles per round — the big relation
+    // crosses the wire once, not once per iteration (measured ~50 ->
+    // ~31 s on the 20x-rehearsal graph, 48M edges). Freed by the
+    // caller's clearCache or executor eviction, same contract as the
+    // other iterative loops' persisted inputs.
+    val withDeg = edges.join(deg, "src").repartition(col("src")).persist()
     var ranks = deg.select(col("src").as("node"),
       lit(1000000L).as("rank_e6"))
     for (_ <- 1 to iters) {
