@@ -505,6 +505,100 @@ object EventStream {
        |            AS BIGINT) AS r2_e6
        |FROM m ORDER BY event_type""".stripMargin
 
+  // ------------------------------------------------------------------ ts_acf
+  /** Sample autocorrelation at lags 1..3 per series — the "is there
+    * hourly persistence?" diagnostic that precedes any forecasting
+    * model. r_L = Σ(y_t−ȳ)(y_{t+L}−ȳ) / Σ(y_t−ȳ)² with ȳ the full-series
+    * mean; multiplying through by n² clears the fractional mean, so
+    * every term is an exact integer moment: n²·P_L − n·S·(H_L+T_L) +
+    * m_L·S² over den n²·SS − n·S². The moments are LONG sums; the
+    * combinations go through DECIMAL(38,0) (HUGEINT in the oracle)
+    * because m·S² ≈ 4.5e19 already exceeds long range at sf0.1 — then
+    * ONE IEEE division per (series, lag), e6-rounded (tsTrend's Det
+    * contract). Lags are INDEX lags over the observed-hour sequence
+    * (sparse series: compose with ts_fill's dense spine for time lags).
+    * One shuffle (hourly pre-aggregate); the window lead() and the
+    * final aggregate reuse its partitioning. All three lags come from
+    * one pass — lead(y,1..3) in the same window frame, null-guarded
+    * pair sums — not three self-joins.
+    */
+  def tsAcf(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(sum(cents(col("value"))).as("y"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+    val led = hourly.select(col("event_type"), col("y"),
+      lead(col("y"), 1).over(w).as("y1"),
+      lead(col("y"), 2).over(w).as("y2"),
+      lead(col("y"), 3).over(w).as("y3"))
+    val lagAggs = (1 to 3).flatMap { l =>
+      Seq(count(col(s"y$l")).as(s"m$l"),
+        sum(col("y") * col(s"y$l")).as(s"p$l"),
+        sum(when(col(s"y$l").isNotNull, col("y"))).as(s"h$l"),
+        sum(col(s"y$l")).as(s"t$l"))
+    }
+    val aggs = Seq(count(lit(1)).as("n"), sum(col("y")).as("s"),
+      sum(col("y") * col("y")).as("ss")) ++ lagAggs
+    val agg = led.groupBy(col("event_type")).agg(aggs.head, aggs.tail: _*)
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    def acfE6(l: Int) = round(
+      (dec(col("n")) * dec(col("n")) * dec(col(s"p$l"))
+        - dec(col("n")) * dec(col("s")) * (dec(col(s"h$l")) + dec(col(s"t$l")))
+        + dec(col(s"m$l")) * dec(col("s")) * dec(col("s"))).cast("double")
+        / (dec(col("n")) * dec(col("n")) * dec(col("ss"))
+          - dec(col("n")) * dec(col("s")) * dec(col("s"))).cast("double")
+        * 1e6).cast("long").as(s"acf$l")
+    agg.select(col("event_type") +: col("n") +:
+        (1 to 3).flatMap(l => Seq(col(s"m$l"), acfE6(l))): _*)
+      .select(col("event_type"), explode(array((1 to 3).map(l =>
+        struct(lit(l).as("lag"), col(s"m$l").as("n_pairs"),
+          col(s"acf$l").as("acf_e6"))): _*)).as("r"))
+      .select(col("event_type"), col("r.lag").as("lag"),
+        col("r.n_pairs").as("n_pairs"), col("r.acf_e6").as("acf_e6"))
+      .orderBy(col("event_type"), col("lag"))
+  }
+
+  private val tsAcfOracle =
+    s"""WITH hourly AS (
+       |  SELECT event_type, date_trunc('hour', ts) AS h,
+       |         CAST(SUM(${oCents("value")}) AS BIGINT) AS y
+       |  FROM events GROUP BY 1, 2),
+       |led AS (
+       |  SELECT event_type, y,
+       |         lead(y, 1) OVER (PARTITION BY event_type ORDER BY h) AS y1,
+       |         lead(y, 2) OVER (PARTITION BY event_type ORDER BY h) AS y2,
+       |         lead(y, 3) OVER (PARTITION BY event_type ORDER BY h) AS y3
+       |  FROM hourly),
+       |m AS (
+       |  SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n,
+       |         CAST(SUM(y) AS HUGEINT) AS s, CAST(SUM(y*y) AS HUGEINT) AS ss,
+       |         CAST(COUNT(y1) AS HUGEINT) AS m1, CAST(SUM(y*y1) AS HUGEINT) AS p1,
+       |         CAST(SUM(CASE WHEN y1 IS NOT NULL THEN y END) AS HUGEINT) AS h1,
+       |         CAST(SUM(y1) AS HUGEINT) AS t1,
+       |         CAST(COUNT(y2) AS HUGEINT) AS m2, CAST(SUM(y*y2) AS HUGEINT) AS p2,
+       |         CAST(SUM(CASE WHEN y2 IS NOT NULL THEN y END) AS HUGEINT) AS h2,
+       |         CAST(SUM(y2) AS HUGEINT) AS t2,
+       |         CAST(COUNT(y3) AS HUGEINT) AS m3, CAST(SUM(y*y3) AS HUGEINT) AS p3,
+       |         CAST(SUM(CASE WHEN y3 IS NOT NULL THEN y END) AS HUGEINT) AS h3,
+       |         CAST(SUM(y3) AS HUGEINT) AS t3
+       |  FROM led GROUP BY event_type)
+       |SELECT event_type, lag, n_pairs, acf_e6 FROM (
+       |  SELECT event_type, 1 AS lag, CAST(m1 AS BIGINT) AS n_pairs,
+       |         CAST(ROUND(CAST(n*n*p1 - n*s*(h1+t1) + m1*s*s AS DOUBLE)
+       |                    / CAST(n*n*ss - n*s*s AS DOUBLE) * 1000000.0)
+       |              AS BIGINT) AS acf_e6 FROM m
+       |  UNION ALL
+       |  SELECT event_type, 2, CAST(m2 AS BIGINT),
+       |         CAST(ROUND(CAST(n*n*p2 - n*s*(h2+t2) + m2*s*s AS DOUBLE)
+       |                    / CAST(n*n*ss - n*s*s AS DOUBLE) * 1000000.0)
+       |              AS BIGINT) FROM m
+       |  UNION ALL
+       |  SELECT event_type, 3, CAST(m3 AS BIGINT),
+       |         CAST(ROUND(CAST(n*n*p3 - n*s*(h3+t3) + m3*s*s AS DOUBLE)
+       |                    / CAST(n*n*ss - n*s*s AS DOUBLE) * 1000000.0)
+       |              AS BIGINT) FROM m)
+       |ORDER BY event_type, lag""".stripMargin
+
   // ------------------------------------------------------------- ts_changepoint
   /** CUSUM changepoint detection per series: the hour where the
     * cumulative deviation from the series mean peaks — the standard
@@ -733,6 +827,8 @@ object EventStream {
       "per-series OLS slope+R2 from exact integer moments, one IEEE div"),
     GQuery("ts_changepoint", tsChangepoint, Some(tsChangepointOracle),
       "integer CUSUM level-shift locator per series"),
+    GQuery("ts_acf", tsAcf, Some(tsAcfOracle),
+      "autocorrelation lags 1-3 from exact integer moments, one div each"),
     GQuery("event_pattern", eventPattern, Some(eventPatternOracle),
       "MATCH_RECOGNIZE-style consecutive view->click->purchase via lags"),
     GQuery("ts_resample", tsResample, Some(tsResampleOracle),

@@ -182,4 +182,43 @@ class WindowsEventSpec extends SparkSpec {
       col("sess_end_us") - col("sess_start_us") > (col("n_events") - 1) * gapUs)
     assert(bad.count() === 0)
   }
+
+  test("ACF integer moments recover the alternating-series correlogram") {
+    // y = +1,-1,... (n=10): S=0, so acf_L = P_L/SS exactly:
+    // -9/10, +8/10, -7/10
+    val df = (1L to 10L).map(i => ("a", i, if (i % 2 == 1) 1L else -1L))
+      .toDF("k", "h", "y")
+    val w = Window.partitionBy("k").orderBy("h")
+    val led = df.select(col("k"), col("y"),
+      lead("y", 1).over(w).as("y1"), lead("y", 2).over(w).as("y2"),
+      lead("y", 3).over(w).as("y3"))
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val m = led.groupBy("k").agg(
+      count(lit(1)).as("n"), sum("y").as("s"),
+      sum(col("y") * col("y")).as("ss"),
+      count("y1").as("m1"), sum(col("y") * col("y1")).as("p1"),
+      sum(when(col("y1").isNotNull, col("y"))).as("h1"), sum("y1").as("t1"))
+      .select(round(
+        (dec(col("n")) * dec(col("n")) * dec(col("p1"))
+          - dec(col("n")) * dec(col("s")) * (dec(col("h1")) + dec(col("t1")))
+          + dec(col("m1")) * dec(col("s")) * dec(col("s"))).cast("double")
+          / (dec(col("n")) * dec(col("n")) * dec(col("ss"))
+            - dec(col("n")) * dec(col("s")) * dec(col("s"))).cast("double")
+          * 1e6).cast("long").as("acf1"))
+      .head()
+    assert(m.getLong(0) === -900000L)
+  }
+
+  test("ts_acf output is a bounded correlogram with n-L pairs per lag") {
+    val out = graft.operators.EventStream.queries.find(_.id == "ts_acf").get
+      .fn(spark, sfDir)
+    assert(out.count() === 15) // 5 series x 3 lags
+    assert(out.filter(col("acf_e6") < -1000000L || col("acf_e6") > 1000000L)
+      .count() === 0)
+    val hours = graft.sources.Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts"))).count()
+      .groupBy("event_type").count().withColumnRenamed("count", "n_hours")
+    assert(out.join(hours, "event_type")
+      .filter(col("n_pairs") =!= col("n_hours") - col("lag")).count() === 0)
+  }
 }
