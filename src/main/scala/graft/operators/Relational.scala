@@ -1544,6 +1544,72 @@ object Relational {
       |SELECT node, COUNT(*) AS n_tri FROM nodes
       |GROUP BY node ORDER BY n_tri DESC, node LIMIT 10""".stripMargin
 
+  // ------------------------------------------------------------ graph_jaccard
+  /** Neighborhood-Jaccard link prediction on the co-purchase graph:
+    * score NON-adjacent part pairs by |N(u)∩N(v)| / |N(u)∪N(v)| — the
+    * classic "customers who bought these also bought..." candidate
+    * generator (Liben-Nowell & Kleinberg 2003). Candidates come only
+    * from wedge enumeration (pairs sharing ≥ 1 neighbor), so the cost
+    * is O(Σ_w d(w)²) over the SUPPORT-PRUNED graph (same ≥ 2 threshold
+    * as graph_triangles), never all-pairs; at crawl scale the same
+    * shape additionally caps hub degree before the wedge join. The
+    * score is exact integer arithmetic end to end: intersection from
+    * the wedge count, union as d(u)+d(v)−inter, and the ratio as
+    * FLOOR(1e6·inter/union) — integer floor-div is bitwise portable
+    * across engines, no IEEE rounding boundary at all. One shuffle
+    * per groupBy, one self-join on the wedge center. */
+  def graphJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val canon = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= 2)
+      .select(col("u"), col("v"))
+    val und = canon.unionByName(
+      canon.select(col("v").as("u"), col("u").as("v")))
+      .persist() // wedge join reads it twice, degrees once
+    val deg = und.groupBy(col("u")).agg(count(lit(1)).as("d"))
+    val pairs = und.as("e1").join(und.as("e2"),
+        col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))
+      .groupBy(col("e1.v").as("u"), col("e2.v").as("v"))
+      .agg(count(lit(1)).as("n_common"))
+      // predicted links only: drop pairs that are already edges
+      .join(canon, Seq("u", "v"), "leftanti")
+    pairs
+      .join(deg.select(col("u"), col("d").as("du")), "u")
+      .join(deg.select(col("u").as("v"), col("d").as("dv")), "v")
+      .withColumn("n_union", col("du") + col("dv") - col("n_common"))
+      .select(col("u"), col("v"), col("n_common"), col("n_union"),
+        expr("(1000000 * n_common) div n_union").as("jacc_e6"))
+      .orderBy(col("jacc_e6").desc, col("u"), col("v"))
+      .limit(20)
+  }
+
+  private val graphJaccardOracle =
+    """WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |canon AS (
+      |  SELECT a.pk AS u, b.pk AS v
+      |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      |und AS (
+      |  SELECT u, v FROM canon UNION ALL SELECT v, u FROM canon),
+      |deg AS (SELECT u, COUNT(*) AS d FROM und GROUP BY u),
+      |pairs AS (
+      |  SELECT e1.v AS u, e2.v AS v, COUNT(*) AS n_common
+      |  FROM und e1 JOIN und e2 ON e1.u = e2.u AND e1.v < e2.v
+      |  GROUP BY 1, 2),
+      |nonedge AS (
+      |  SELECT p.* FROM pairs p
+      |  WHERE NOT EXISTS (SELECT 1 FROM canon c WHERE c.u = p.u AND c.v = p.v))
+      |SELECT p.u, p.v, p.n_common,
+      |       da.d + db.d - p.n_common AS n_union,
+      |       (1000000 * p.n_common) // (da.d + db.d - p.n_common) AS jacc_e6
+      |FROM nonedge p
+      |JOIN deg da ON da.u = p.u JOIN deg db ON db.u = p.v
+      |ORDER BY jacc_e6 DESC, p.u, p.v LIMIT 20""".stripMargin
+
   // --------------------------------------------------------- graph_degree_dist
   /** Degree distribution of the co-purchase graph in log₂ bins — the
     * first thing anyone asks of a graph at scale (is it heavy-tailed?
@@ -1679,6 +1745,8 @@ object Relational {
       "3-iteration integer PageRank on the co-purchase graph, top-20"),
     GQuery("table_scd2", tableScd2, Some(tableScd2Oracle),
       "SCD Type-2 history build: change compression + validity intervals"),
+    GQuery("graph_jaccard", graphJaccard, Some(graphJaccardOracle),
+      "neighborhood-Jaccard link prediction, exact integer floor-div score"),
     GQuery("graph_triangles", graphTriangles, Some(graphTrianglesOracle),
       "degree-ordered triangle counting vs naive id-ordered spec oracle"),
     GQuery("graph_degree_dist", graphDegreeDist, Some(graphDegreeDistOracle),

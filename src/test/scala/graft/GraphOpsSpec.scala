@@ -130,4 +130,25 @@ class GraphOpsSpec extends SparkSpec {
     assert(total >= (n * 1000000L * 99L) / 100L)
     assert(ranks.filter(col("rank_e6") < 150000L).count() === 0)
   }
+
+  test("jaccard link prediction scores the square's diagonals at 1.0") {
+    import spark.implicits._
+    // square a-b-c-d-a (support satisfied by construction below):
+    // diagonals (1,3) and (2,4) share BOTH neighbors -> jaccard 1.0,
+    // and are the only non-adjacent wedge pairs
+    val canon = Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 1L -> 4L).toDF("u", "v")
+    val und = canon.unionByName(canon.select(col("v").as("u"), col("u").as("v")))
+    val deg = und.groupBy(col("u")).agg(count(lit(1)).as("d"))
+    val scored = und.as("e1").join(und.as("e2"),
+        col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))
+      .groupBy(col("e1.v").as("u"), col("e2.v").as("v"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(canon, Seq("u", "v"), "leftanti")
+      .join(deg.select(col("u"), col("d").as("du")), "u")
+      .join(deg.select(col("u").as("v"), col("d").as("dv")), "v")
+      .select(col("u"), col("v"),
+        expr("(1000000 * n_common) div (du + dv - n_common)").as("jacc_e6"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(scored === Set((1L, 3L, 1000000L), (2L, 4L, 1000000L)))
+  }
 }
