@@ -413,6 +413,49 @@ object Relational {
     * cost (no column pruning/pushdown) — the qid exists to ingest such
     * data, not to keep it in that format.
     */
+  // -------------------------------------------------------- source_binaryfile
+  /** `binaryFile` source — the ingestion path for raw multimodal
+    * assets (images / audio / shards of anything) at lake scale: each
+    * file becomes one row of (path, modificationTime, length, content)
+    * with NO decode on read, so the scan parallelizes over files and
+    * defers byte-level work to the query. Here the first 100 documents
+    * are staged once as one text file each (crash-safe snapshot;
+    * Spark's own `_SUCCESS` commit marker gates reuse), read back as
+    * whole binary files, and fingerprinted: the id is recovered from
+    * the partition path, the size from the file metadata, and the
+    * content hash from the raw bytes — exactly the manifest/integrity
+    * pass a 100-TB asset lake runs before decode. The md5-of-bytes
+    * equality with the oracle's md5-of-text proves the byte round trip
+    * (single-line UTF-8 text + the writer's trailing newline).
+    */
+  def sourceBinaryFile(spark: SparkSession, dir: String): DataFrame = {
+    val staged = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      "graft_binfile_docs_" + Integer.toHexString(dir.hashCode))
+    val files = graft.sources.Snapshots.materialize(spark, staged,
+      Tables.documents(spark, dir)
+        .filter(col("doc_id") < 100)
+        .select(col("doc_id"), col("text").as("value")),
+      (df, p) => df.repartition(1).write.mode("overwrite")
+        .partitionBy("doc_id").text(p),
+      (s, p) => s.read.format("binaryFile")
+        .option("pathGlobFilter", "part-*")
+        .option("recursiveFileLookup", "true")
+        .load(p))
+    files.select(
+        regexp_extract(col("path"), "doc_id=(\\d+)", 1).cast("long")
+          .as("doc_id"),
+        col("length").as("n_bytes"),
+        md5(col("content")).as("content_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val sourceBinaryFileOracle =
+    """SELECT doc_id,
+      |       CAST(octet_length(encode(text)) + 1 AS BIGINT) AS n_bytes,
+      |       md5(text || chr(10)) AS content_md5
+      |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin
+
   def sourceJsonl(spark: SparkSession, dir: String): DataFrame = {
     val staged = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"),
@@ -1789,6 +1832,8 @@ object Relational {
       "ARGMAX/ARGMIN via max_by/min_by on a unique composite key"),
     GQuery("source_jsonl", sourceJsonl, Some(sourceJsonlOracle),
       "JSON-lines sink + explicit-schema source round trip"),
+    GQuery("source_binaryfile", sourceBinaryFile, Some(sourceBinaryFileOracle),
+      "binaryFile whole-file source: multimodal manifest + content hash"),
     GQuery("source_json_col", sourceJsonCol, Some(sourceJsonColOracle),
       "JSON-in-string extraction (events.props)"),
     GQuery("filter_pred", filterPred, Some(filterPredOracle),

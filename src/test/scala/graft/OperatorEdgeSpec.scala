@@ -437,6 +437,19 @@ class PartitionPruneSpec extends SparkSpec {
       .head().getString(1)
     assert(seq === "20,9,3") // date order, not numeric order of ok
   }
+
+  test("binaryFile source round-trips document bytes exactly") {
+    val out = graft.operators.Relational.queries
+      .find(_.id == "source_binaryfile").get.fn(spark, sfDir)
+    val expect = graft.sources.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") < 100)
+      .select(col("doc_id"),
+        md5(to_binary(concat(col("text"), lit("\n")), lit("utf-8")))
+          .as("expect_md5"))
+    assert(out.count() === 100)
+    assert(out.join(expect, "doc_id")
+      .filter(col("content_md5") =!= col("expect_md5")).count() === 0)
+  }
 }
 
 /** AQE is active and re-plans at runtime (coalesces small shuffles). */
