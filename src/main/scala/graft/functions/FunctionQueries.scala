@@ -335,6 +335,46 @@ object FunctionQueries {
       |WHERE user_id <= 5
       |ORDER BY event_id""".stripMargin
 
+  // ------------------------------------------------------------------ fn_collate
+  /** Spark 4 string collations: the same relation counted DISTINCT
+    * under binary (UTF8_BINARY, the default) and case-insensitive
+    * (UTF8_LCASE) comparison — collation-aware equality runs inside
+    * the hash aggregate itself, no normalizing projection in the plan.
+    * The fixture's brands are single-case, so a 3-way case-variant
+    * union (upper/lower/original) makes the two semantics visibly
+    * diverge: 3 binary-distinct variants collapse to 1 under
+    * UTF8_LCASE. The oracle's portable twin is COUNT(DISTINCT
+    * lower(brand)) — for ASCII data UTF8_LCASE equality IS
+    * lowercase-normalized equality, which is exactly the collapse the
+    * qid asserts cross-engine. At scale collation beats the lower()
+    * projection because the comparison stays inside codegen and no
+    * derived column is materialized through the shuffle.
+    */
+  def fnCollate(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir).select(
+      split(col("p_type"), " ").getItem(0).as("type_class"), col("p_brand"))
+    val mixed = p.select(col("type_class"), upper(col("p_brand")).as("brand"))
+      .unionByName(p.select(col("type_class"), lower(col("p_brand")).as("brand")))
+      .unionByName(p.select(col("type_class"), col("p_brand").as("brand")))
+    mixed.groupBy(col("type_class"))
+      .agg(count(lit(1)).as("n_rows"),
+        count_distinct(col("brand")).as("n_case_sensitive"),
+        count_distinct(collate(col("brand"), "UTF8_LCASE"))
+          .as("n_case_insensitive"))
+      .orderBy(col("type_class"))
+  }
+
+  private val fnCollateOracle =
+    """WITH mixed AS (
+      |  SELECT string_split(p_type, ' ')[1] AS type_class,
+      |         UPPER(p_brand) AS brand FROM part
+      |  UNION ALL SELECT string_split(p_type, ' ')[1], LOWER(p_brand) FROM part
+      |  UNION ALL SELECT string_split(p_type, ' ')[1], p_brand FROM part)
+      |SELECT type_class, COUNT(*) AS n_rows,
+      |       COUNT(DISTINCT brand) AS n_case_sensitive,
+      |       COUNT(DISTINCT lower(brand)) AS n_case_insensitive
+      |FROM mixed GROUP BY type_class ORDER BY type_class""".stripMargin
+
   // -------------------------------------------------------------------- fn_cond
   /** Conditionals: coalesce / nullif / nvl / if / case / isnull. */
   def fnCond(spark: SparkSession, dir: String): DataFrame =
@@ -565,6 +605,8 @@ object FunctionQueries {
       "map fns over JSON-parsed props"),
     GQuery("fn_json", fnJson, Some(fnJsonOracle),
       "JSON extraction + serialization"),
+    GQuery("fn_collate", fnCollate, Some(fnCollateOracle),
+      "UTF8_LCASE vs binary collation distinct counts, no normalize column"),
     GQuery("fn_variant", fnVariant, Some(fnVariantOracle),
       "Spark 4 VARIANT: parse once, typed variant_get access"),
     GQuery("fn_cond", fnCond, Some(fnCondOracle),

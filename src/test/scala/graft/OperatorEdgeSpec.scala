@@ -450,6 +450,14 @@ class PartitionPruneSpec extends SparkSpec {
     assert(out.join(expect, "doc_id")
       .filter(col("content_md5") =!= col("expect_md5")).count() === 0)
   }
+
+  test("UTF8_LCASE collation collapses the 3 case variants to 1") {
+    val out = graft.functions.FunctionQueries.queries
+      .find(_.id == "fn_collate").get.fn(spark, sfDir)
+    assert(out.count() === 6)
+    assert(out.filter(
+      col("n_case_sensitive") =!= col("n_case_insensitive") * 3).count() === 0)
+  }
 }
 
 /** AQE is active and re-plans at runtime (coalesces small shuffles). */
