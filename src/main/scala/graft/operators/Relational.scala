@@ -779,6 +779,96 @@ object Relational {
       |  ROUND(QUANTILE_CONT(l_extendedprice, 0.5), 6) AS median_price
       |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
 
+  // ---------------------------------------------------------- agg_corr_matrix
+  /** Pairwise correlation MATRIX over (quantity, price_cents,
+    * discount_e2) per return flag — the feature-correlation pass that
+    * precedes any model fit, in ONE scan (9 moment sums, map-side
+    * combinable; no per-pair re-scan). Unlike agg_stats' corr() (a
+    * float aggregate, 6-dp rounded), this derives every entry from
+    * EXACT integer moments: num = n·Σxy − Σx·Σy and the two variance
+    * terms carry through DECIMAL(38,0) / HUGEINT (Σprice_cents² ≈
+    * 6e19 already exceeds BIGINT at sf0.1), then sign(num) and
+    * r²·1e6 = num²/(varx·vary) take the tsTrend route: identical
+    * exact integers cast to double, identical IEEE ops, identical
+    * e6 rounding on both engines. Sign is kept SEPARATE from r² so no
+    * square root ever enters the pipeline — sqrt is where cross-libm
+    * drift lives. */
+  def aggCorrMatrix(spark: SparkSession, dir: String): DataFrame = {
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val base = Tables.lineitem(spark, dir).select(
+      col("l_returnflag"),
+      col("l_quantity").cast("long").as("x1"),
+      cents(col("l_extendedprice")).as("x2"),
+      cents(col("l_discount")).as("x3"))
+    val pairs = Seq(("qty_price", "x1", "x2"), ("qty_disc", "x1", "x3"),
+      ("price_disc", "x2", "x3"))
+    val moments = base.groupBy(col("l_returnflag")).agg(
+      count(lit(1)).as("n"),
+      sum(dec(col("x1"))).as("s1"), sum(dec(col("x2"))).as("s2"),
+      sum(dec(col("x3"))).as("s3"),
+      sum(dec(col("x1")) * dec(col("x1"))).as("q1"),
+      sum(dec(col("x2")) * dec(col("x2"))).as("q2"),
+      sum(dec(col("x3")) * dec(col("x3"))).as("q3"),
+      sum(dec(col("x1")) * dec(col("x2"))).as("p12"),
+      sum(dec(col("x1")) * dec(col("x3"))).as("p13"),
+      sum(dec(col("x2")) * dec(col("x3"))).as("p23"))
+    val entries = pairs.zip(Seq("p12", "p13", "p23")).map {
+      case ((name, a, b), p) =>
+        val ia = a.last.asDigit; val ib = b.last.asDigit
+        val num = dec(col("n")) * col(p) - col(s"s$ia") * col(s"s$ib")
+        val va = dec(col("n")) * col(s"q$ia") - col(s"s$ia") * col(s"s$ia")
+        val vb = dec(col("n")) * col(s"q$ib") - col(s"s$ib") * col(s"s$ib")
+        struct(lit(name).as("pair"),
+          signum(num).cast("long").as("corr_sign"),
+          round(num.cast("double") * num.cast("double")
+            / (va.cast("double") * vb.cast("double")) * 1e6)
+            .cast("long").as("r2_e6"))
+    }
+    moments.select(col("l_returnflag"),
+        explode(array(entries: _*)).as("e"))
+      .select(col("l_returnflag"), col("e.pair").as("pair"),
+        col("e.corr_sign").as("corr_sign"), col("e.r2_e6").as("r2_e6"))
+      .orderBy(col("l_returnflag"), col("pair"))
+  }
+
+  private val aggCorrMatrixOracle =
+    s"""WITH base AS (
+       |  SELECT l_returnflag, CAST(l_quantity AS HUGEINT) AS x1,
+       |         CAST(${oCents("l_extendedprice")} AS HUGEINT) AS x2,
+       |         CAST(${oCents("l_discount")} AS HUGEINT) AS x3
+       |  FROM lineitem),
+       |m AS (
+       |  SELECT l_returnflag, CAST(COUNT(*) AS HUGEINT) AS n,
+       |         SUM(x1) AS s1, SUM(x2) AS s2, SUM(x3) AS s3,
+       |         SUM(x1*x1) AS q1, SUM(x2*x2) AS q2, SUM(x3*x3) AS q3,
+       |         SUM(x1*x2) AS p12, SUM(x1*x3) AS p13, SUM(x2*x3) AS p23
+       |  FROM base GROUP BY l_returnflag)
+       |SELECT l_returnflag, pair, corr_sign, r2_e6 FROM (
+       |  SELECT l_returnflag, 'qty_price' AS pair,
+       |         CAST(sign(n*p12 - s1*s2) AS BIGINT) AS corr_sign,
+       |         CAST(ROUND(CAST(n*p12 - s1*s2 AS DOUBLE)
+       |                    * CAST(n*p12 - s1*s2 AS DOUBLE)
+       |                    / (CAST(n*q1 - s1*s1 AS DOUBLE)
+       |                       * CAST(n*q2 - s2*s2 AS DOUBLE)) * 1000000.0)
+       |              AS BIGINT) AS r2_e6 FROM m
+       |  UNION ALL
+       |  SELECT l_returnflag, 'qty_disc',
+       |         CAST(sign(n*p13 - s1*s3) AS BIGINT),
+       |         CAST(ROUND(CAST(n*p13 - s1*s3 AS DOUBLE)
+       |                    * CAST(n*p13 - s1*s3 AS DOUBLE)
+       |                    / (CAST(n*q1 - s1*s1 AS DOUBLE)
+       |                       * CAST(n*q3 - s3*s3 AS DOUBLE)) * 1000000.0)
+       |              AS BIGINT) FROM m
+       |  UNION ALL
+       |  SELECT l_returnflag, 'price_disc',
+       |         CAST(sign(n*p23 - s2*s3) AS BIGINT),
+       |         CAST(ROUND(CAST(n*p23 - s2*s3 AS DOUBLE)
+       |                    * CAST(n*p23 - s2*s3 AS DOUBLE)
+       |                    / (CAST(n*q2 - s2*s2 AS DOUBLE)
+       |                       * CAST(n*q3 - s3*s3 AS DOUBLE)) * 1000000.0)
+       |              AS BIGINT) FROM m)
+       |ORDER BY l_returnflag, pair""".stripMargin
+
   // --------------------------------------------------------------- agg_collect
   /** Set/list collection — always array_sort'ed for determinism. */
   def aggCollect(spark: SparkSession, dir: String): DataFrame =
@@ -1866,6 +1956,8 @@ object Relational {
       "post-aggregation HAVING filter"),
     GQuery("agg_stats", aggStats, Some(aggStatsOracle),
       "stddev/var/corr/covar/percentile statistics"),
+    GQuery("agg_corr_matrix", aggCorrMatrix, Some(aggCorrMatrixOracle),
+      "pairwise correlation matrix from exact integer moments, one scan"),
     GQuery("agg_mode", aggMode, Some(aggModeOracle),
       "deterministic exact mode: count-rank with total-order tiebreak"),
     GQuery("agg_histogram", aggHistogram, Some(aggHistogramOracle),

@@ -221,6 +221,32 @@ class OperatorEdgeSpec extends SparkSpec {
     val ids = sess.orderBy("t").collect().map(_.getLong(4))
     assert(ids.toSeq === Seq(1L, 1L, 2L, 2L))
   }
+
+  test("integer-moment correlation: exact +-1 on linear data, 0 on flat") {
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    // y = 2x -> r=+1; z = -3x -> r=-1 (both exactly 1e6 in r2)
+    val df = (1L to 5L).map(i => (i, 2 * i, -3 * i)).toDF("x", "y", "z")
+    val m = df.agg(count(lit(1)).as("n"),
+        sum(dec(col("x"))).as("sx"), sum(dec(col("y"))).as("sy"),
+        sum(dec(col("z"))).as("sz"),
+        sum(dec(col("x")) * dec(col("x"))).as("qx"),
+        sum(dec(col("y")) * dec(col("y"))).as("qy"),
+        sum(dec(col("z")) * dec(col("z"))).as("qz"),
+        sum(dec(col("x")) * dec(col("y"))).as("pxy"),
+        sum(dec(col("x")) * dec(col("z"))).as("pxz"))
+    def entry(p: String, a: String, b: String) = {
+      val num = dec(col("n")) * col(p) - col(s"s$a") * col(s"s$b")
+      val va = dec(col("n")) * col(s"q$a") - col(s"s$a") * col(s"s$a")
+      val vb = dec(col("n")) * col(s"q$b") - col(s"s$b") * col(s"s$b")
+      Seq(signum(num).cast("long"),
+        round(num.cast("double") * num.cast("double")
+          / (va.cast("double") * vb.cast("double")) * 1e6).cast("long"))
+    }
+    val r = m.select(entry("pxy", "x", "y") ++ entry("pxz", "x", "z"): _*)
+      .head()
+    assert((r.getLong(0), r.getLong(1)) === (1L, 1000000L))
+    assert((r.getLong(2), r.getLong(3)) === (-1L, 1000000L))
+  }
 }
 
 /** Physical-plan assertions for the scale-technique joins. */
