@@ -1694,15 +1694,19 @@ object Relational {
   def graphJaccard(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    // persist the SUPPORT-PRUNED canonical edges — the expensive
+    // lineitem self-join runs once; und, the wedge join's two sides,
+    // the degree count, and the anti join are all cheap derivations
+    // of this small cached relation
     val canon = li.as("a").join(li.as("b"),
         col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
       .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
       .agg(count(lit(1)).as("support"))
       .filter(col("support") >= 2)
       .select(col("u"), col("v"))
+      .persist()
     val und = canon.unionByName(
       canon.select(col("v").as("u"), col("u").as("v")))
-      .persist() // wedge join reads it twice, degrees once
     val deg = und.groupBy(col("u")).agg(count(lit(1)).as("d"))
     val pairs = und.as("e1").join(und.as("e2"),
         col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))
