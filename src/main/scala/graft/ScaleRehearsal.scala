@@ -28,7 +28,8 @@ object ScaleRehearsal {
   private val baseDir = "/root/testdata/sf0.1"
   private val qids = Seq(
     "dedup_near", "dedup_minhash", "dedup_simhash", "dedup_clusters",
-    "sim_ann_ivf", "sim_knn_graph", "graph_pagerank", "graph_triangles")
+    "sim_ann_ivf", "sim_knn_graph", "graph_pagerank", "graph_triangles",
+    "graph_jaccard")
 
   private def synth(spark: SparkSession, scale: Int, outDir: String): Unit = {
     val out = new java.io.File(outDir)

@@ -422,6 +422,26 @@ class Round4PlanSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("ObjectHashAggregate"), plan)
   }
+
+  test("agg_corr_matrix: all 9 moments in ONE scan, join-free") {
+    val plan = operators.Relational.aggCorrMatrix(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan)
+    assert("Scan parquet".r.findAllIn(plan).size == 1, plan)
+    assert(plan.contains("partial_"), plan) // map-side combine present
+  }
+
+  test("ts_acf: all 3 lags from one window pass, join-free single scan") {
+    val plan = operators.EventStream.tsAcf(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan)
+    assert("Scan parquet".r.findAllIn(plan).size == 1, plan)
+    // hourly agg exchange + per-series exchange (SHARED by the window
+    // and the moment aggregate — no exchange between them) + the final
+    // presentation sort's range exchange
+    assert("Exchange".r.findAllIn(plan).size <= 3, plan)
+    assert(plan.contains("Window"), plan)
+  }
 }
 
 /** Partition pruning proof for the partitioned-layout scan. */
