@@ -599,6 +599,50 @@ object EventStream {
        |              AS BIGINT) FROM m)
        |ORDER BY event_type, lag""".stripMargin
 
+  // ------------------------------------------------------------- ts_seasonal
+  /** Day-of-week seasonal index per series: mean(value | dow) relative
+    * to the series mean, as e6-scaled integers — the decomposition
+    * step that separates weekly shape from level before any forecast
+    * or anomaly threshold. The ratio of two rational means clears to
+    * one integer expression: idx_e6 = round(1e6 · dow_sum·n_total /
+    * (dow_n·total_sum)) — exact integer products (≤ ~2e8·7e5 ≈ 1e14·n,
+    * DECIMAL/HUGEINT-carried), ONE IEEE division at the end. A single
+    * groupBy(series, dow) then a tiny per-series broadcast-back of the
+    * totals (7 rows join 1 row per series via a window — no second
+    * scan): cost is one shuffle of 35 groups regardless of row count,
+    * the fully map-side-combinable shape. */
+  def tsSeasonal(spark: SparkSession, dir: String): DataFrame = {
+    val byDow = Tables.events(spark, dir)
+      .groupBy(col("event_type"), dayofweek(col("ts")).cast("long").as("dow"))
+      .agg(count(lit(1)).as("dow_n"), sum(cents(col("value"))).as("dow_sum"))
+    val w = Window.partitionBy(col("event_type"))
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    byDow
+      .withColumn("tot_n", sum(col("dow_n")).over(w))
+      .withColumn("tot_sum", sum(col("dow_sum")).over(w))
+      .select(col("event_type"), col("dow"), col("dow_n"),
+        round((dec(col("dow_sum")) * dec(col("tot_n"))).cast("double")
+          / (dec(col("dow_n")) * dec(col("tot_sum"))).cast("double") * 1e6)
+          .cast("long").as("idx_e6"))
+      .orderBy(col("event_type"), col("dow"))
+  }
+
+  private val tsSeasonalOracle =
+    s"""WITH by_dow AS (
+       |  SELECT event_type, CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+       |         COUNT(*) AS dow_n,
+       |         CAST(SUM(${oCents("value")}) AS BIGINT) AS dow_sum
+       |  FROM events GROUP BY 1, 2),
+       |tot AS (
+       |  SELECT *, SUM(dow_n) OVER (PARTITION BY event_type) AS tot_n,
+       |         SUM(dow_sum) OVER (PARTITION BY event_type) AS tot_sum
+       |  FROM by_dow)
+       |SELECT event_type, dow, dow_n,
+       |       CAST(ROUND(CAST(CAST(dow_sum AS HUGEINT) * tot_n AS DOUBLE)
+       |                  / CAST(CAST(dow_n AS HUGEINT) * tot_sum AS DOUBLE)
+       |                  * 1000000.0) AS BIGINT) AS idx_e6
+       |FROM tot ORDER BY event_type, dow""".stripMargin
+
   // ------------------------------------------------------------- ts_changepoint
   /** CUSUM changepoint detection per series: the hour where the
     * cumulative deviation from the series mean peaks — the standard
@@ -829,6 +873,8 @@ object EventStream {
       "integer CUSUM level-shift locator per series"),
     GQuery("ts_acf", tsAcf, Some(tsAcfOracle),
       "autocorrelation lags 1-3 from exact integer moments, one div each"),
+    GQuery("ts_seasonal", tsSeasonal, Some(tsSeasonalOracle),
+      "day-of-week seasonal index per series, integer ratio-of-means"),
     GQuery("event_pattern", eventPattern, Some(eventPatternOracle),
       "MATCH_RECOGNIZE-style consecutive view->click->purchase via lags"),
     GQuery("ts_resample", tsResample, Some(tsResampleOracle),

@@ -209,6 +209,30 @@ class WindowsEventSpec extends SparkSpec {
     assert(m.getLong(0) === -900000L)
   }
 
+  test("ts_seasonal: flat series indexes at exactly 1e6; shape detected") {
+    import org.apache.spark.sql.expressions.{Window => W}
+    // dow means 10,10,10 and 10,40,10: flat -> all 1e6; spiky -> spike
+    // day indexes at 40/20 = 2e6 and the flat days at 10/20 = 5e5
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val df = Seq(("flat", 1L, 10L), ("flat", 2L, 10L), ("flat", 3L, 10L),
+      ("spike", 1L, 10L), ("spike", 2L, 40L), ("spike", 3L, 10L))
+      .toDF("k", "dow", "v")
+    val w = W.partitionBy("k")
+    val out = df.groupBy("k", "dow")
+      .agg(count(lit(1)).as("dow_n"), sum("v").as("dow_sum"))
+      .withColumn("tot_n", sum(col("dow_n")).over(w))
+      .withColumn("tot_sum", sum(col("dow_sum")).over(w))
+      .select(col("k"), col("dow"),
+        round((dec(col("dow_sum")) * dec(col("tot_n"))).cast("double")
+          / (dec(col("dow_n")) * dec(col("tot_sum"))).cast("double") * 1e6)
+          .cast("long").as("idx"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out(("flat", 1L)) === 1000000L)
+    assert(out(("flat", 2L)) === 1000000L)
+    assert(out(("spike", 2L)) === 2000000L)
+    assert(out(("spike", 1L)) === 500000L)
+  }
+
   test("ts_acf output is a bounded correlogram with n-L pairs per lag") {
     val out = graft.operators.EventStream.queries.find(_.id == "ts_acf").get
       .fn(spark, sfDir)
