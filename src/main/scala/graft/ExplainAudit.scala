@@ -26,7 +26,8 @@ object ExplainAudit {
       "dedup_minhash", "dedup_near", "dedup_simhash", "pa_multi",
       "sketch_bloom_portable", "topk_per_group", "ps_transform",
       "sketch_cms", "sample_split", "agg_percentile", "unpivot_long",
-      "table_merge", "sketch_heavy_hitters", "agg_incremental")
+      "table_merge", "sketch_heavy_hitters", "agg_incremental",
+      "agg_corr_matrix", "ts_acf", "graph_jaccard", "source_binaryfile")
     for (qid <- qids) {
       if (qid == "skew_demo") {
         println(s"\n========== skew_demo (executed adaptive plan) ==========")
