@@ -157,6 +157,45 @@ object GraphOps {
     ranks
   }
 
+  /** Depth-to-root for every node of a rooted forest, by pointer
+    * doubling with distance accumulation — the engine's answer to the
+    * recursive CTE Spark lacks (org charts, BOM explosions, category
+    * trees). Input: (node, parent) with roots encoded as parent ==
+    * node. State (node, anc, d) starts at the parent pointer and each
+    * round substitutes the ancestor's own state: anc jumps 2^k hops by
+    * round k, so a depth-10⁶ chain needs 20 rounds, not 10⁶ — the
+    * O(log d) bound that makes hierarchy flattening feasible at
+    * 100 TB (each round is one self-join co-keyed on the ancestor).
+    * Root rows are their own fixpoint (anc = self, d = 0), so settled
+    * rows pass through unchanged. Same localCheckpoint + explicit
+    * freeCheckpoint regimen as [[connectedComponents]]; convergence by
+    * an exact "any unsettled row left" anti-join count. */
+  def rootedDepth(parents: DataFrame): DataFrame = {
+    val roots = parents.filter(col("parent") === col("node"))
+      .select(col("node").as("r")).persist()
+    var cur = parents.select(col("node"), col("parent").as("anc"),
+        when(col("parent") === col("node"), lit(0L)).otherwise(lit(1L)).as("d"))
+      .localCheckpoint()
+    var rounds = 0
+    var done = false
+    while (!done && rounds < 40) {
+      val hop = cur.select(col("node").as("j_node"), col("anc").as("j_anc"),
+        col("d").as("j_d"))
+      val next = cur.join(hop, col("anc") === col("j_node"))
+        .select(col("node"), col("j_anc").as("anc"),
+          (col("d") + col("j_d")).as("d"))
+        .localCheckpoint()
+      freeCheckpoint(cur)
+      cur = next
+      rounds += 1
+      done = cur.join(roots, col("anc") === col("r"), "leftanti")
+        .isEmpty
+    }
+    lastRounds = rounds
+    roots.unpersist(blocking = false)
+    cur.select(col("node"), col("anc").as("root"), col("d").as("depth"))
+  }
+
   private[graft] def freeCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed.collectFirst {
       case lr: LogicalRDD => lr.rdd

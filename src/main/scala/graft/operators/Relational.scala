@@ -1747,6 +1747,45 @@ object Relational {
       |JOIN deg da ON da.u = p.u JOIN deg db ON db.u = p.v
       |ORDER BY jacc_e6 DESC, p.u, p.v LIMIT 20""".stripMargin
 
+  // --------------------------------------------------------------- hier_depth
+  /** Hierarchy flattening — the recursive-CTE query class Spark lacks
+    * natively (org charts, BOM explosions, category trees), answered
+    * by [[GraphOps.rootedDepth]]'s O(log depth) pointer doubling. The
+    * fixture has no parent column, so a deterministic random forest is
+    * DERIVED portably: parent(p) = 1 + h32(p) mod (p−1) for p > 1 — a
+    * uniform ancestor below each node, the classical random recursive
+    * tree (expected depth Θ(log n), so doubling settles in ~5 rounds).
+    * Both engines build the SAME tree from the same md5 bytes; the
+    * oracle then walks it with a true recursive CTE — cross-engine
+    * evidence that the iterative loop IS the recursion. Output: depth
+    * histogram + per-depth node-id checksum (order-free exact sum). */
+  def hierDepth(spark: SparkSession, dir: String): DataFrame = {
+    val parents = Tables.part(spark, dir).select(
+      col("p_partkey").as("node"),
+      when(col("p_partkey") === 1, lit(1L)).otherwise(
+        expr("1 + cast(conv(substring(md5(concat('hier:', cast(p_partkey as string))), 1, 8), 16, 10) as bigint) % (p_partkey - 1)"))
+        .as("parent"))
+    GraphOps.rootedDepth(parents)
+      .groupBy(col("depth"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("node")).as("node_sum"))
+      .orderBy(col("depth"))
+  }
+
+  private val hierDepthOracle =
+    """WITH RECURSIVE parents AS (
+      |  SELECT p_partkey AS node,
+      |         CASE WHEN p_partkey = 1 THEN 1
+      |              ELSE 1 + CAST(('0x' || substr(md5(concat('hier:', CAST(p_partkey AS VARCHAR))), 1, 8)) AS BIGINT) % (p_partkey - 1)
+      |         END AS parent
+      |  FROM part),
+      |walk AS (
+      |  SELECT node, CAST(0 AS BIGINT) AS depth FROM parents WHERE node = 1
+      |  UNION ALL
+      |  SELECT p.node, w.depth + 1 FROM parents p
+      |  JOIN walk w ON p.parent = w.node WHERE p.node <> 1)
+      |SELECT depth, COUNT(*) AS n_nodes, CAST(SUM(node) AS BIGINT) AS node_sum
+      |FROM walk GROUP BY depth ORDER BY depth""".stripMargin
+
   // --------------------------------------------------------- graph_degree_dist
   /** Degree distribution of the co-purchase graph in log₂ bins — the
     * first thing anyone asks of a graph at scale (is it heavy-tailed?
@@ -1882,6 +1921,8 @@ object Relational {
       "3-iteration integer PageRank on the co-purchase graph, top-20"),
     GQuery("table_scd2", tableScd2, Some(tableScd2Oracle),
       "SCD Type-2 history build: change compression + validity intervals"),
+    GQuery("hier_depth", hierDepth, Some(hierDepthOracle),
+      "recursive-CTE hierarchy flatten via O(log d) pointer doubling"),
     GQuery("graph_jaccard", graphJaccard, Some(graphJaccardOracle),
       "neighborhood-Jaccard link prediction, exact integer floor-div score"),
     GQuery("graph_triangles", graphTriangles, Some(graphTrianglesOracle),

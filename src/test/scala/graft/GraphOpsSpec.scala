@@ -131,6 +131,23 @@ class GraphOpsSpec extends SparkSpec {
     assert(ranks.filter(col("rank_e6") < 150000L).count() === 0)
   }
 
+  test("rootedDepth: chain depths exact, O(log d) rounds, star in one hop") {
+    import spark.implicits._
+    // chain 1 <- 2 <- ... <- 33: depth(p) = p - 1, 32 hops deep
+    val chain = (1L to 33L).map(p => (p, math.max(1L, p - 1))).toDF("node", "parent")
+    val d = operators.GraphOps.rootedDepth(chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(d(1L) === 0L && d(2L) === 1L && d(33L) === 32L)
+    // 2^5 = 32: doubling must settle in ~log2(depth) rounds, not depth
+    assert(operators.GraphOps.lastRounds <= 7,
+      s"rounds = ${operators.GraphOps.lastRounds}")
+    // star: every node points at the root directly
+    val star = (1L to 50L).map(p => (p, 1L)).toDF("node", "parent")
+    val ds = operators.GraphOps.rootedDepth(star)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(ds(1L) === 0L && (2L to 50L).forall(ds(_) === 1L))
+  }
+
   test("jaccard link prediction scores the square's diagonals at 1.0") {
     import spark.implicits._
     // square a-b-c-d-a (support satisfied by construction below):
