@@ -29,14 +29,15 @@ object ScaleRehearsal {
   private val qids = Seq(
     "dedup_near", "dedup_minhash", "dedup_simhash", "dedup_clusters",
     "sim_ann_ivf", "sim_knn_graph", "graph_pagerank", "graph_triangles",
-    "graph_jaccard")
+    "graph_jaccard", "hier_depth")
 
   private def synth(spark: SparkSession, scale: Int, outDir: String): Unit = {
     val out = new java.io.File(outDir)
     // lineitem presence re-checked so dirs synthesized before the graph
     // family joined the rehearsal get upgraded in place
     if (new java.io.File(out, "_DONE").exists() &&
-      new java.io.File(out, "lineitem.parquet").exists()) return
+      new java.io.File(out, "lineitem.parquet").exists() &&
+      new java.io.File(out, "part.parquet").exists()) return
     out.mkdirs()
     val docs = spark.read.parquet(s"$baseDir/documents.parquet")
     val embs = spark.read.parquet(s"$baseDir/embeddings.parquet")
@@ -79,6 +80,23 @@ object ScaleRehearsal {
     liReps.reduce(_ unionByName _)
       .repartition(32).write.mode("overwrite")
       .parquet(s"$outDir/lineitem.parquet")
+    // hierarchy family: replicas must keep the keyspace DENSE —
+    // hier_depth's random parent is `h32 mod (p-1)`, i.e. any key
+    // below p, so a 10⁷ shift would point most parents at nonexistent
+    // keys and orphan their subtrees (rootedDepth's documented closed-
+    // forest precondition). Shifting by exactly max(key)+1 per replica
+    // keeps 0..k·n-1 contiguous: one larger random recursive tree,
+    // the honest k× shape.
+    val pt = spark.read.parquet(s"$baseDir/part.parquet")
+      .select(col("p_partkey"))
+    val ptStride = pt.agg(max(col("p_partkey"))).head().getLong(0) + 1L
+    val ptReps = (0 until scale).map { r =>
+      if (r == 0) pt
+      else pt.select((col("p_partkey") + lit(r * ptStride)).as("p_partkey"))
+    }
+    ptReps.reduce(_ unionByName _)
+      .repartition(32).write.mode("overwrite")
+      .parquet(s"$outDir/part.parquet")
     new java.io.File(out, "_DONE").createNewFile()
   }
 

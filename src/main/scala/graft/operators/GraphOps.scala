@@ -169,7 +169,13 @@ object GraphOps {
     * Root rows are their own fixpoint (anc = self, d = 0), so settled
     * rows pass through unchanged. Same localCheckpoint + explicit
     * freeCheckpoint regimen as [[connectedComponents]]; convergence by
-    * an exact "any unsettled row left" anti-join count. */
+    * an exact "any unsettled row left" anti-join count.
+    *
+    * PRECONDITION: every parent value must exist as a node (a closed
+    * forest). A dangling parent orphans its whole subtree — the hop
+    * join finds no ancestor row and the subtree drops from the output
+    * silently. Validate with a parents-minus-nodes anti-join upstream
+    * if the hierarchy column is untrusted. */
   def rootedDepth(parents: DataFrame): DataFrame = {
     val roots = parents.filter(col("parent") === col("node"))
       .select(col("node").as("r")).persist()
