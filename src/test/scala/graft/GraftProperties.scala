@@ -207,4 +207,22 @@ object GraftProperties extends Properties("graft") {
           .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       got == expected
     }
+
+  property("GraphOps.rootedDepth == sequential walk on random forests") =
+    // parent(i) uniform below i (node 0 is the root): the same random
+    // recursive tree family hier_depth derives from md5 — here against
+    // a direct in-memory walk
+    forAll(Gen.chooseNum(1, 24).flatMap(n =>
+        Gen.sequence[List[Long], Long]((1 to n).map(i =>
+          Gen.chooseNum(0L, i - 1L))))) { ps =>
+      import spark.implicits._
+      val parentOf = (0L :: Nil ++ ps).zipWithIndex
+        .map { case (p, i) => i.toLong -> p }.toMap
+      def walk(x: Long): Long = if (x == 0L) 0L else 1L + walk(parentOf(x))
+      val expected = parentOf.keys.map(x => x -> walk(x)).toMap
+      val got = operators.GraphOps.rootedDepth(
+          parentOf.toSeq.toDF("node", "parent"))
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      got == expected
+    }
 }
