@@ -335,6 +335,32 @@ object FunctionQueries {
       |WHERE user_id <= 5
       |ORDER BY event_id""".stripMargin
 
+  // ------------------------------------------------------------------ fn_bitmap
+  /** Bitmap-index distinct counting (Spark 3.5+ bitmap functions): keys
+    * bucket by `bitmap_bucket_number` (32k-bit buckets), each bucket
+    * folds to ONE roaring-style bitmap via `bitmap_construct_agg`, and
+    * popcounts sum to the exact distinct count. Versus COUNT(DISTINCT)
+    * this shuffles one ~4KB bitmap per (group, bucket) instead of every
+    * distinct key — the materialized-view-friendly shape (bitmaps OR
+    * together with `bitmap_or_agg` across partitions/days, so the MV
+    * refresh is mergeable exactly like agg_incremental's partials).
+    * The oracle is the plain COUNT(DISTINCT) it must equal. */
+  def fnBitmap(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_orderkey"))
+      .groupBy(col("l_returnflag"),
+        expr("bitmap_bucket_number(l_orderkey)").as("bucket"))
+      .agg(expr(
+        "bitmap_count(bitmap_construct_agg(bitmap_bit_position(l_orderkey)))")
+        .as("cnt"))
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("cnt")).as("n_orders"))
+      .orderBy(col("l_returnflag"))
+
+  private val fnBitmapOracle =
+    """SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS n_orders
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   // ------------------------------------------------------------------ fn_collate
   /** Spark 4 string collations: the same relation counted DISTINCT
     * under binary (UTF8_BINARY, the default) and case-insensitive
@@ -605,6 +631,8 @@ object FunctionQueries {
       "map fns over JSON-parsed props"),
     GQuery("fn_json", fnJson, Some(fnJsonOracle),
       "JSON extraction + serialization"),
+    GQuery("fn_bitmap", fnBitmap, Some(fnBitmapOracle),
+      "bitmap-index exact distinct: bucketed construct_agg + popcount"),
     GQuery("fn_collate", fnCollate, Some(fnCollateOracle),
       "UTF8_LCASE vs binary collation distinct counts, no normalize column"),
     GQuery("fn_variant", fnVariant, Some(fnVariantOracle),

@@ -1849,6 +1849,51 @@ object Relational {
       .orderBy(col("o_custkey"), col("version"))
   }
 
+  // ----------------------------------------------------------- table_timetravel
+  /** AS-OF read over the SCD2 history — the query half of time travel
+    * (the lakehouse formats stay environment-blocked, but "what did
+    * this table say on date D" is an SQL shape, not a format feature):
+    * pick each key's version whose [valid_from, valid_to) interval
+    * covers the probe date. Exactly one interval per key can match (the
+    * SCD2 invariant table_scd2's spec pins: contiguous, non-overlapping
+    * half-open intervals), so the filter IS the snapshot — no window,
+    * no dedup pass. Output is the compact per-attr census of that
+    * snapshot with an order-free key checksum, so the driver hash
+    * pins every row of the reconstructed state, not just its size.
+    * At 100 TB the history table is partitioned by valid_from month
+    * and the probe prunes to partitions overlapping D. */
+  def tableTimetravel(spark: SparkSession, dir: String): DataFrame = {
+    val asOf = lit("1999-06-15").cast("timestamp")
+    tableScd2(spark, dir)
+      .filter(col("valid_from") <= asOf &&
+        (col("valid_to").isNull || col("valid_to") > asOf))
+      .groupBy(col("attr"))
+      .agg(count(lit(1)).as("n_cust"), sum(col("o_custkey")).as("custkey_sum"))
+      .orderBy(col("attr"))
+  }
+
+  private val tableTimetravelOracle =
+    """WITH marked AS (
+      |  SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority,
+      |         lag(o_orderpriority) OVER (PARTITION BY o_custkey
+      |           ORDER BY o_orderdate, o_orderkey) AS prev
+      |  FROM orders),
+      |changes AS (
+      |  SELECT * FROM marked
+      |  WHERE prev IS NULL OR prev <> o_orderpriority),
+      |hist AS (
+      |  SELECT o_custkey, o_orderpriority AS attr,
+      |         o_orderdate AS valid_from,
+      |         lead(o_orderdate) OVER (PARTITION BY o_custkey
+      |           ORDER BY o_orderdate, o_orderkey) AS valid_to
+      |  FROM changes)
+      |SELECT attr, COUNT(*) AS n_cust,
+      |       CAST(SUM(o_custkey) AS BIGINT) AS custkey_sum
+      |FROM hist
+      |WHERE valid_from <= TIMESTAMP '1999-06-15'
+      |  AND (valid_to IS NULL OR valid_to > TIMESTAMP '1999-06-15')
+      |GROUP BY attr ORDER BY attr""".stripMargin
+
   private val tableScd2Oracle =
     """WITH marked AS (
       |  SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority,
@@ -1921,6 +1966,8 @@ object Relational {
       "3-iteration integer PageRank on the co-purchase graph, top-20"),
     GQuery("table_scd2", tableScd2, Some(tableScd2Oracle),
       "SCD Type-2 history build: change compression + validity intervals"),
+    GQuery("table_timetravel", tableTimetravel, Some(tableTimetravelOracle),
+      "AS-OF snapshot read over the SCD2 history (time-travel query half)"),
     GQuery("hier_depth", hierDepth, Some(hierDepthOracle),
       "recursive-CTE hierarchy flatten via O(log d) pointer doubling"),
     GQuery("graph_jaccard", graphJaccard, Some(graphJaccardOracle),

@@ -222,6 +222,28 @@ class OperatorEdgeSpec extends SparkSpec {
     assert(ids.toSeq === Seq(1L, 1L, 2L, 2L))
   }
 
+  test("time-travel snapshot picks exactly one interval per key") {
+    val asOf = to_timestamp(lit("1999-06-15"))
+    val snap = graft.operators.Relational.tableScd2(spark, sfDir)
+      .filter(col("valid_from") <= asOf &&
+        (col("valid_to").isNull || col("valid_to") > asOf))
+    // the SCD2 invariant: intervals are disjoint, so a probe date hits
+    // at most one version per customer
+    assert(snap.groupBy("o_custkey").count().filter(col("count") > 1)
+      .count() === 0)
+    assert(snap.count() > 0)
+  }
+
+  test("bitmap popcount equals COUNT(DISTINCT) per group") {
+    val bm = graft.functions.FunctionQueries.queries
+      .find(_.id == "fn_bitmap").get.fn(spark, sfDir)
+    val cd = graft.sources.Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_orderkey")).as("expect"))
+    assert(bm.join(cd, "l_returnflag")
+      .filter(col("n_orders") =!= col("expect")).count() === 0)
+  }
+
   test("integer-moment correlation: exact +-1 on linear data, 0 on flat") {
     def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
     // y = 2x -> r=+1; z = -3x -> r=-1 (both exactly 1e6 in r2)
