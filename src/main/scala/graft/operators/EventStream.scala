@@ -599,6 +599,47 @@ object EventStream {
        |              AS BIGINT) FROM m)
        |ORDER BY event_type, lag""".stripMargin
 
+  // ------------------------------------------------------------- event_markov
+  /** First-order Markov transition counts over each user's time-ordered
+    * event stream — the behavioral model behind next-action prediction
+    * and funnel-drop diagnosis. One window pass pairs every event with
+    * its successor (lag chain, the event_pattern machinery), one
+    * groupBy counts (from, to) cells, and the row-conditional
+    * probability is the exact integer floor-div p_e6 = 1e6·n/row_n —
+    * no IEEE step at all. Scale: shuffle on user_id once, window
+    * order-locally, then a 25-cell aggregate; the transition matrix is
+    * O(|event types|²) regardless of corpus size. */
+  def eventMarkov(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val pairs = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("from_type"))
+      .withColumn("to_type", lead(col("from_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+    pairs.groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("row_n", sum(col("n")).over(
+        Window.partitionBy(col("from_type"))))
+      .select(col("from_type"), col("to_type"), col("n"),
+        expr("(1000000 * n) div row_n").as("p_e6"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  private val eventMarkovOracle =
+    """WITH pairs AS (
+      |  SELECT event_type AS from_type,
+      |         lead(event_type) OVER (PARTITION BY user_id
+      |           ORDER BY ts, event_id) AS to_type
+      |  FROM events),
+      |cells AS (
+      |  SELECT from_type, to_type, COUNT(*) AS n
+      |  FROM pairs WHERE to_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT from_type, to_type, n,
+      |       CAST((1000000 * n) // CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT)
+      |            AS BIGINT) AS p_e6
+      |FROM cells ORDER BY from_type, to_type""".stripMargin
+
   // ------------------------------------------------------------- ts_seasonal
   /** Day-of-week seasonal index per series: mean(value | dow) relative
     * to the series mean, as e6-scaled integers — the decomposition
@@ -875,6 +916,8 @@ object EventStream {
       "autocorrelation lags 1-3 from exact integer moments, one div each"),
     GQuery("ts_seasonal", tsSeasonal, Some(tsSeasonalOracle),
       "day-of-week seasonal index per series, integer ratio-of-means"),
+    GQuery("event_markov", eventMarkov, Some(eventMarkovOracle),
+      "first-order Markov transition matrix, integer floor-div probs"),
     GQuery("event_pattern", eventPattern, Some(eventPatternOracle),
       "MATCH_RECOGNIZE-style consecutive view->click->purchase via lags"),
     GQuery("ts_resample", tsResample, Some(tsResampleOracle),

@@ -1786,6 +1786,61 @@ object Relational {
       |SELECT depth, COUNT(*) AS n_nodes, CAST(SUM(node) AS BIGINT) AS node_sum
       |FROM walk GROUP BY depth ORDER BY depth""".stripMargin
 
+  // ------------------------------------------------------- graph_shortest_path
+  /** Bounded-hop BFS distance from a deterministic source (the minimum
+    * part key in the support-pruned co-purchase graph) — "how many
+    * co-purchase steps away is everything from this anchor product".
+    * Six rounds of frontier relaxation, each one co-keyed join + one
+    * min-groupBy (the Bellman-Ford round as relational algebra; same
+    * bounded-iteration contract as graph_pagerank — an open-ended
+    * variant would add connectedComponents' localCheckpoint regimen).
+    * The source is carried as a BROADCAST 1-row aggregate, never a
+    * driver-side scalar. The oracle is a DuckDB recursive CTE whose
+    * UNION-distinct frontier mirrors the same 6-hop bound; output is
+    * the per-distance census with an order-free node checksum.
+    * Unreached-within-6 nodes are absent on both sides by construction. */
+  def graphShortestPath(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val canon = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= 2)
+      .select(col("u"), col("v"))
+    val und = canon.unionByName(
+        canon.select(col("v").as("u"), col("u").as("v")))
+      .persist() // six relaxation rounds read it
+    val srcDf = und.agg(min(col("u")).as("node"))
+    var dist = srcDf.select(col("node"), lit(0L).as("dist"))
+    for (_ <- 1 to 6) {
+      val nxt = dist.join(und, col("node") === col("u"))
+        .select(col("v").as("node"), (col("dist") + 1).as("dist"))
+      dist = dist.unionByName(nxt)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+    }
+    dist.groupBy(col("dist"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("node")).as("node_sum"))
+      .orderBy(col("dist"))
+  }
+
+  private val graphShortestPathOracle =
+    """WITH RECURSIVE li AS (
+      |  SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |canon AS (
+      |  SELECT a.pk AS u, b.pk AS v
+      |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      |e AS (SELECT u, v FROM canon UNION ALL SELECT v, u FROM canon),
+      |walk AS (
+      |  SELECT MIN(u) AS node, CAST(0 AS BIGINT) AS dist FROM e
+      |  UNION
+      |  SELECT e.v, w.dist + 1 FROM walk w JOIN e ON e.u = w.node
+      |  WHERE w.dist < 6),
+      |best AS (SELECT node, MIN(dist) AS dist FROM walk GROUP BY node)
+      |SELECT dist, COUNT(*) AS n_nodes, CAST(SUM(node) AS BIGINT) AS node_sum
+      |FROM best GROUP BY dist ORDER BY dist""".stripMargin
+
   // --------------------------------------------------------- graph_degree_dist
   /** Degree distribution of the co-purchase graph in log₂ bins — the
     * first thing anyone asks of a graph at scale (is it heavy-tailed?
@@ -1972,6 +2027,8 @@ object Relational {
       "recursive-CTE hierarchy flatten via O(log d) pointer doubling"),
     GQuery("graph_jaccard", graphJaccard, Some(graphJaccardOracle),
       "neighborhood-Jaccard link prediction, exact integer floor-div score"),
+    GQuery("graph_shortest_path", graphShortestPath, Some(graphShortestPathOracle),
+      "6-hop BFS census from a deterministic anchor vs recursive-CTE oracle"),
     GQuery("graph_triangles", graphTriangles, Some(graphTrianglesOracle),
       "degree-ordered triangle counting vs naive id-ordered spec oracle"),
     GQuery("graph_degree_dist", graphDegreeDist, Some(graphDegreeDistOracle),

@@ -148,6 +148,24 @@ class GraphOpsSpec extends SparkSpec {
     assert(ds(1L) === 0L && (2L to 50L).forall(ds(_) === 1L))
   }
 
+  test("bounded BFS relaxation: exact hop distances on a lollipop graph") {
+    import spark.implicits._
+    // triangle 1-2-3 with a tail 3-4-5-6: dist from 1 = 0,1,1,2,3,4
+    val canon = Seq(1L -> 2L, 2L -> 3L, 1L -> 3L, 3L -> 4L, 4L -> 5L,
+      5L -> 6L).toDF("u", "v")
+    val und = canon.unionByName(canon.select(col("v").as("u"), col("u").as("v")))
+    var dist = und.agg(min(col("u")).as("node")).select(col("node"), lit(0L).as("dist"))
+    for (_ <- 1 to 6) {
+      val nxt = dist.join(und, col("node") === col("u"))
+        .select(col("v").as("node"), (col("dist") + 1).as("dist"))
+      dist = dist.unionByName(nxt)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+    }
+    val got = dist.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 2L,
+      5L -> 3L, 6L -> 4L))
+  }
+
   test("jaccard link prediction scores the square's diagonals at 1.0") {
     import spark.implicits._
     // square a-b-c-d-a (support satisfied by construction below):
