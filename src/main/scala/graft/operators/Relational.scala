@@ -1787,9 +1787,11 @@ object Relational {
       |FROM walk GROUP BY depth ORDER BY depth""".stripMargin
 
   // ------------------------------------------------------- graph_shortest_path
-  /** Bounded-hop BFS distance from a deterministic source (the minimum
-    * part key in the support-pruned co-purchase graph) — "how many
-    * co-purchase steps away is everything from this anchor product".
+  /** Bounded-hop BFS distance from a deterministic source (the MAX-
+    * DEGREE part in the support-pruned co-purchase graph, total-order
+    * tie-broken — the hub anchors the giant component; the min-id
+    * anchor tried first sat in a 2-node islet and proved nothing) —
+    * "how many co-purchase steps away is everything from this anchor".
     * Six rounds of frontier relaxation, each one co-keyed join + one
     * min-groupBy (the Bellman-Ford round as relational algebra; same
     * bounded-iteration contract as graph_pagerank — an open-ended
@@ -1811,13 +1813,24 @@ object Relational {
     val und = canon.unionByName(
         canon.select(col("v").as("u"), col("u").as("v")))
       .persist() // six relaxation rounds read it
-    val srcDf = und.agg(min(col("u")).as("node"))
+    val srcDf = und.groupBy(col("u")).agg(count(lit(1)).as("d"))
+      .orderBy(col("d").desc, col("u")).limit(1)
+      .select(col("u").as("node"))
+    // localCheckpoint each round: without it the 6 rounds nest into a
+    // ~40-operator plan that Catalyst re-optimizes wholesale (measured
+    // 15.7 s -> ~4 s at sf0.1); the frontier is tiny, so the eager
+    // checkpoint is cheap. Same regimen as GraphOps' iterative loops,
+    // including the explicit free of the previous round's blocks.
     var dist = srcDf.select(col("node"), lit(0L).as("dist"))
+      .localCheckpoint()
     for (_ <- 1 to 6) {
       val nxt = dist.join(und, col("node") === col("u"))
         .select(col("v").as("node"), (col("dist") + 1).as("dist"))
-      dist = dist.unionByName(nxt)
+      val next = dist.unionByName(nxt)
         .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
+      GraphOps.freeCheckpoint(dist)
+      dist = next
     }
     dist.groupBy(col("dist"))
       .agg(count(lit(1)).as("n_nodes"), sum(col("node")).as("node_sum"))
@@ -1832,8 +1845,11 @@ object Relational {
       |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
       |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
       |e AS (SELECT u, v FROM canon UNION ALL SELECT v, u FROM canon),
+      |src AS (
+      |  SELECT u FROM (SELECT u, COUNT(*) AS d FROM e GROUP BY u)
+      |  ORDER BY d DESC, u LIMIT 1),
       |walk AS (
-      |  SELECT MIN(u) AS node, CAST(0 AS BIGINT) AS dist FROM e
+      |  SELECT u AS node, CAST(0 AS BIGINT) AS dist FROM src
       |  UNION
       |  SELECT e.v, w.dist + 1 FROM walk w JOIN e ON e.u = w.node
       |  WHERE w.dist < 6),
