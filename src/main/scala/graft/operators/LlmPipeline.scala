@@ -142,6 +142,56 @@ object LlmPipeline {
       .orderBy(col("da"), col("db"))
   }
 
+  // ---------------------------------------------------------- dedup_containment
+  /** Asymmetric CONTAINMENT dedup — |A∩B| / min(|A|,|B|) over the same
+    * df-capped shingle universe as dedup_near. Jaccard misses the
+    * quote/prefix case: a short doc fully embedded in a long one has
+    * tiny Jaccard (union is the long doc) but containment 1.0, and at
+    * crawl scale that is exactly the boilerplate-wrapper and quoted-
+    * reply duplication Jaccard lets through (Broder's containment, the
+    * measure CC-pipeline suffix dedup approximates). Same inverted-
+    * index blocking — candidates only through shared rare shingles,
+    * O(Σ df²) never all-pairs — and the score is the exact integer
+    * floor-div (1e6·inter) div min(na,nb): no IEEE step anywhere. */
+  def dedupContainment(spark: SparkSession, dir: String): DataFrame = {
+    val dfCap = 1000
+    val shAll = shingles(Tables.documents(spark, dir)).cache()
+    val hot = shAll.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfCap).select("shingle")
+    val sh = shAll.join(hot, Seq("shingle"), "left_anti")
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = sh.as("x").join(sh.as("y"),
+        col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("da"), col("n_sh").as("na")), "da")
+      .join(sizes.select(col("doc_id").as("db"), col("n_sh").as("nb")), "db")
+      .withColumn("containment_e6",
+        expr("(1000000 * inter) div least(na, nb)"))
+      .filter(col("containment_e6") >= 900000L)
+      .select(col("da"), col("db"), col("inter"), col("containment_e6"))
+      .orderBy(col("da"), col("db"))
+  }
+
+  private val dedupContainmentOracle =
+    s"""WITH sh_all AS ($oShingles),
+       |hot AS (SELECT shingle FROM sh_all GROUP BY shingle HAVING count(*) > 1000),
+       |sh AS (SELECT * FROM sh_all
+       |       WHERE shingle NOT IN (SELECT shingle FROM hot)),
+       |sizes AS (SELECT doc_id, count(*) n_sh FROM sh GROUP BY doc_id),
+       |inter AS (SELECT x.doc_id da, y.doc_id db, count(*) inter
+       |          FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+       |          GROUP BY 1, 2)
+       |SELECT da, db, inter,
+       |       CAST((1000000 * inter) // LEAST(sa.n_sh, sb.n_sh) AS BIGINT)
+       |         AS containment_e6
+       |FROM inter
+       |JOIN sizes sa ON sa.doc_id = da
+       |JOIN sizes sb ON sb.doc_id = db
+       |WHERE (1000000 * inter) // LEAST(sa.n_sh, sb.n_sh) >= 900000
+       |ORDER BY da, db""".stripMargin
+
   private val dedupNearOracle =
     s"""WITH sh_all AS ($oShingles),
        |hot AS (SELECT shingle FROM sh_all GROUP BY shingle HAVING count(*) > 1000),
@@ -1960,6 +2010,8 @@ object LlmPipeline {
       "exact dedup by normalized-text hash over a re-crawled corpus"),
     GQuery("dedup_near", dedupNear, Some(dedupNearOracle),
       "near-dup via 3-gram Jaccard with rare-shingle block join"),
+    GQuery("dedup_containment", dedupContainment, Some(dedupContainmentOracle),
+      "asymmetric containment dedup (doc-in-doc), integer floor-div score"),
     GQuery("dedup_minhash", dedupMinhash, Some(dedupMinhashOracle),
       "MinHash(16) + LSH 4x4 banding candidates, exact-Jaccard verify"),
     GQuery("dedup_simhash", dedupSimhash, Some(dedupSimhashOracle),

@@ -112,4 +112,25 @@ class LlmPipelineSpec extends SparkSpec {
     assert(out.forall(_.getInt(1) === 16))
     assert(out.forall(r => r.getLong(2) >= 0 && r.getLong(2) <= 16L * 255))
   }
+
+  test("containment catches an embedded doc that Jaccard misses") {
+    import spark.implicits._
+    // doc 2's shingles are a strict subset of doc 1's (quote-in-wrapper):
+    // containment = 5/5 = 1.0 while jaccard = 5/20 = 0.25
+    val sh = ((1 to 20).map(i => (1L, s"s$i")) ++
+      (1 to 5).map(i => (2L, s"s$i"))).toDF("doc_id", "shingle")
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = sh.as("x").join(sh.as("y"),
+        col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+      .agg(count(lit(1)).as("inter"))
+    val r = inter
+      .join(sizes.select(col("doc_id").as("da"), col("n_sh").as("na")), "da")
+      .join(sizes.select(col("doc_id").as("db"), col("n_sh").as("nb")), "db")
+      .select(expr("(1000000 * inter) div least(na, nb)"),
+        expr("(1000000 * inter) div (na + nb - inter)"))
+      .head()
+    assert(r.getLong(0) === 1000000L) // containment: perfect hit
+    assert(r.getLong(1) === 250000L)  // jaccard: far below any threshold
+  }
 }
