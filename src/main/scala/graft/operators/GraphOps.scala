@@ -109,10 +109,6 @@ object GraphOps {
     leaves.unionByName(roots).distinct()
   }
 
-  /** Free the block store of a localCheckpointed DataFrame explicitly
-    * (its RDD is persisted outside the CacheManager, so `unpersist` on
-    * the Dataset is a no-op and cleanup otherwise waits for driver GC).
-    * Safe no-op if the plan is not the expected LogicalRDD shape. */
   /** Fixed-iteration PageRank in e6-scaled integer arithmetic.
     *
     * Input: a symmetric distinct edge list (`src`, `dst`, long). Every
@@ -175,7 +171,10 @@ object GraphOps {
     * forest). A dangling parent orphans its whole subtree — the hop
     * join finds no ancestor row and the subtree drops from the output
     * silently. Validate with a parents-minus-nodes anti-join upstream
-    * if the hierarchy column is untrusted. */
+    * if the hierarchy column is untrusted. A parent CYCLE can never
+    * reach a root, so the loop would spin to its 40-round cap — the
+    * post-loop convergence assert below turns both violations into a
+    * loud failure instead of plausible-looking wrong depths. */
   def rootedDepth(parents: DataFrame): DataFrame = {
     val roots = parents.filter(col("parent") === col("node"))
       .select(col("node").as("r")).persist()
@@ -199,9 +198,19 @@ object GraphOps {
     }
     lastRounds = rounds
     roots.unpersist(blocking = false)
+    // 40 doubling rounds settle any depth ≤ 2^40; not settling means the
+    // input broke the closed-forest precondition (parent cycle, or a
+    // dangling parent that can never reach a root). Fail loudly — wrong
+    // depths that LOOK right are the worst possible output of this op.
+    require(done, s"rootedDepth did not converge in $rounds rounds: " +
+      "input has a parent cycle or is not a closed forest")
     cur.select(col("node"), col("anc").as("root"), col("d").as("depth"))
   }
 
+  /** Free the block store of a localCheckpointed DataFrame explicitly
+    * (its RDD is persisted outside the CacheManager, so `unpersist` on
+    * the Dataset is a no-op and cleanup otherwise waits for driver GC).
+    * Safe no-op if the plan is not the expected LogicalRDD shape. */
   private[graft] def freeCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed.collectFirst {
       case lr: LogicalRDD => lr.rdd

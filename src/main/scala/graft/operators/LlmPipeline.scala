@@ -107,40 +107,69 @@ object LlmPipeline {
     * scale paths (dedup_minhash LSH banding, dedup_simhash bands) —
     * at 100 TB you run those, and this, sampled, to audit their recall.
     */
-  def dedupNear(spark: SparkSession, dir: String): DataFrame = {
-    // df-cap sampling contract: shingles hotter than dfCap documents are
-    // excluded from the inverted index AND from the size denominator, so
-    // the output is Jaccard over the df≤cap shingle universe. One
-    // ultra-hot shingle makes Σdf² quadratic at crawl scale while
-    // carrying no discriminative signal, so the cap is what bounds the
-    // operator unconditionally at 100 TB; at the test SFs max df ≈ 25,
-    // the cap never binds, and the result equals exact Jaccard. The hot
-    // set is ≤ |sh|/dfCap DISTINCT shingles — usually tiny under a
-    // Zipfian df distribution but not provably driver-sized, so no
-    // broadcast hint: AQE converts the anti join to broadcast when the
-    // built side is in fact small, and falls back to shuffle otherwise.
-    val dfCap = 1000
-    val shAll = shingles(Tables.documents(spark, dir)).cache()
-    val hot = shAll.groupBy("shingle").agg(count(lit(1)).as("df"))
-      .filter(col("df") > dfCap).select("shingle")
-    val sh = shAll.join(hot, Seq("shingle"), "left_anti")
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val inter = sh.as("x").join(sh.as("y"),
-        col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
-      .agg(count(lit(1)).as("inter"))
-    // `sizes` is one row PER DOCUMENT — broadcast-sized at test SFs,
-    // driver-OOM at crawl scale — so the join carries no hint and AQE
-    // picks broadcast only when the runtime size allows it.
-    inter
-      .join(sizes.select(col("doc_id").as("da"), col("n_sh").as("na")), "da")
-      .join(sizes.select(col("doc_id").as("db"), col("n_sh").as("nb")), "db")
+  /** Shared pair statistics for the shingle-overlap dedup family:
+    * (da, db, inter, na, nb) — intersection count and per-doc shingle
+    * sizes over the df≤cap shingle universe. dedup_near (Jaccard) and
+    * dedup_containment (Broder containment) are both cheap projections
+    * of THIS relation; building it twice was the bench's single largest
+    * repeated subplan (VERDICT r4 §Performance #4).
+    *
+    * df-cap sampling contract: shingles hotter than dfCap documents are
+    * excluded from the inverted index AND from the size denominator, so
+    * the stats describe the df≤cap shingle universe. One ultra-hot
+    * shingle makes Σdf² quadratic at crawl scale while carrying no
+    * discriminative signal, so the cap is what bounds the operator
+    * unconditionally at 100 TB; at the test SFs max df ≈ 25, the cap
+    * never binds, and the result equals exact overlap. The hot set is
+    * ≤ |sh|/dfCap DISTINCT shingles — usually tiny under a Zipfian df
+    * distribution but not provably driver-sized, so no broadcast hint:
+    * AQE converts the anti join to broadcast when the built side is in
+    * fact small, and falls back to shuffle otherwise. `sizes` is one
+    * row PER DOCUMENT — broadcast-sized at test SFs, driver-OOM at
+    * crawl scale — so those joins carry no hint either.
+    *
+    * Persisted + memoized per (application, dir): the second family
+    * member reuses the cached relation instead of rebuilding the
+    * inverted index. The memo checks the LIVE storage level, so a
+    * clearCache between the two calls (Verify's per-query hygiene)
+    * just rebuilds — correctness never depends on the cache; freed by
+    * the caller's clearCache (pageRank's contract). */
+  private val pairStatsMemo =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+  private[graft] def shinglePairStats(spark: SparkSession, dir: String): DataFrame = {
+    val key = (spark.sparkContext.applicationId, dir)
+    pairStatsMemo.get(key)
+      .filter(_.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+      .getOrElse {
+        val dfCap = 1000
+        // the raw shingle relation feeds the hot-set build, the size
+        // count, and both sides of the self-join — cache it for the ONE
+        // materialization of `stats` (dropped with the family's caches)
+        val shAll = shingles(Tables.documents(spark, dir)).cache()
+        val hot = shAll.groupBy("shingle").agg(count(lit(1)).as("df"))
+          .filter(col("df") > dfCap).select("shingle")
+        val sh = shAll.join(hot, Seq("shingle"), "left_anti")
+        val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+        val inter = sh.as("x").join(sh.as("y"),
+            col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
+          .groupBy(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+          .agg(count(lit(1)).as("inter"))
+        val stats = inter
+          .join(sizes.select(col("doc_id").as("da"), col("n_sh").as("na")), "da")
+          .join(sizes.select(col("doc_id").as("db"), col("n_sh").as("nb")), "db")
+          .persist()
+        pairStatsMemo.put(key, stats)
+        stats
+      }
+  }
+
+  def dedupNear(spark: SparkSession, dir: String): DataFrame =
+    shinglePairStats(spark, dir)
       .withColumn("jaccard",
         round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 4))
       .filter(col("jaccard") >= 0.8)
       .select(col("da"), col("db"), col("jaccard"))
       .orderBy(col("da"), col("db"))
-  }
 
   // ---------------------------------------------------------- dedup_containment
   /** Asymmetric CONTAINMENT dedup — |A∩B| / min(|A|,|B|) over the same
@@ -152,27 +181,15 @@ object LlmPipeline {
     * measure CC-pipeline suffix dedup approximates). Same inverted-
     * index blocking — candidates only through shared rare shingles,
     * O(Σ df²) never all-pairs — and the score is the exact integer
-    * floor-div (1e6·inter) div min(na,nb): no IEEE step anywhere. */
-  def dedupContainment(spark: SparkSession, dir: String): DataFrame = {
-    val dfCap = 1000
-    val shAll = shingles(Tables.documents(spark, dir)).cache()
-    val hot = shAll.groupBy("shingle").agg(count(lit(1)).as("df"))
-      .filter(col("df") > dfCap).select("shingle")
-    val sh = shAll.join(hot, Seq("shingle"), "left_anti")
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val inter = sh.as("x").join(sh.as("y"),
-        col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col("doc_id").as("da"), col("n_sh").as("na")), "da")
-      .join(sizes.select(col("doc_id").as("db"), col("n_sh").as("nb")), "db")
+    * floor-div (1e6·inter) div min(na,nb): no IEEE step anywhere.
+    * Scores [[shinglePairStats]], the relation shared with dedup_near. */
+  def dedupContainment(spark: SparkSession, dir: String): DataFrame =
+    shinglePairStats(spark, dir)
       .withColumn("containment_e6",
         expr("(1000000 * inter) div least(na, nb)"))
       .filter(col("containment_e6") >= 900000L)
       .select(col("da"), col("db"), col("inter"), col("containment_e6"))
       .orderBy(col("da"), col("db"))
-  }
 
   private val dedupContainmentOracle =
     s"""WITH sh_all AS ($oShingles),
@@ -439,6 +456,8 @@ object LlmPipeline {
     * verified SFs the full corpus IS the sample. Output is one row:
     * (n_exact, n_missed, recall_ok). */
   def dedupSimhashRecall(spark: SparkSession, dir: String): DataFrame = {
+    // feeds both sides of the RETURNED lazy plan; caller-freed
+    // (clearCache / LRU eviction — pageRank's contract)
     val sim = simhashes(spark, dir).persist()
     val exact = sim.as("a").join(sim.as("b"), col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
@@ -1557,6 +1576,10 @@ object LlmPipeline {
       GraphOps.freeCheckpoint(edges)
       edges = next
     }
+    // the returned graph is already-materialized checkpoint blocks, so
+    // the embedding cache is dead weight from here — free it now rather
+    // than leaning on the caller's clearCache
+    ev.unpersist(blocking = false)
     edges
   }
 
@@ -1604,6 +1627,10 @@ object LlmPipeline {
       GraphOps.freeCheckpoint(frontier)
       frontier = next
     }
+    // frontier is materialized checkpoint blocks; neither the graph nor
+    // the embedding cache feeds the returned plan — free both here
+    GraphOps.freeCheckpoint(edges)
+    ev.unpersist(blocking = false)
     frontier.filter(col("qid") =!= col("cid"))
   }
 
@@ -1835,10 +1862,15 @@ object LlmPipeline {
       // on addition order (Det contract); integer sums do not
       .withColumn("w_e6", round(col("w") * 1e6).cast("long"))
       .groupBy(col("doc_id")).agg(sum(col("w_e6")).as("score_e6"))
-    scored.withColumn("rk", row_number().over(
+    // global top-10 as orderBy+limit — physical TakeOrderedAndProject
+    // (per-partition top-10, driver merge), never a single-task global
+    // sort; the rank window then runs over the 10 SURVIVORS only, so
+    // its unpartitioned stage is O(k) by construction (allowlisted in
+    // Round5PlanSpec with exactly this bound argument)
+    scored.orderBy(col("score_e6").desc, col("doc_id")).limit(10)
+      .withColumn("rk", row_number().over(
         org.apache.spark.sql.expressions.Window
           .orderBy(col("score_e6").desc, col("doc_id"))))
-      .filter(col("rk") <= 10)
       .select(col("rk"), col("doc_id"), col("score_e6"))
       .orderBy(col("rk"))
   }

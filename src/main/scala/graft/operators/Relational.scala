@@ -1470,9 +1470,15 @@ object Relational {
       .select(col("o_orderkey"), col("o_orderpriority"),
         cents(col("o_totalprice")).as("price_cents"))
 
-  /** The deterministic change batch: one action per key (D / U / I). */
-  private[graft] def cdcBatch(spark: SparkSession, dir: String): DataFrame =
-    Tables.orders(spark, dir)
+  /** The deterministic change batch: one action per key (D / U / I).
+    * Insert keys are shifted past the CURRENT max target key (scalar
+    * aggregate, 1-row broadcast cross join) — a constant offset would
+    * collide with real orderkeys at a large enough SF and silently turn
+    * the inserts into updates. */
+  private[graft] def cdcBatch(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    val maxKey = orders.agg(max(col("o_orderkey")).as("max_ok"))
+    orders
       .filter(col("o_orderkey") % 7 === 0 || col("o_orderkey") % 13 === 0)
       .select(col("o_orderkey"),
         when(col("o_orderkey") % 13 === 0, lit("D")).otherwise(lit("U")).as("op"),
@@ -1480,23 +1486,41 @@ object Relational {
         // integer div: `/` on longs is double division in the DSL
         expr("(cast(round(o_totalprice * 100) as bigint) * 110) div 100")
           .as("price_cents"))
-      .unionByName(Tables.orders(spark, dir)
+      .unionByName(orders
         .filter(col("o_orderkey") % 11 === 0)
-        .select((col("o_orderkey") + 30000000L).as("o_orderkey"),
+        .crossJoin(broadcast(maxKey))
+        .select((col("o_orderkey") + col("max_ok")).as("o_orderkey"),
           lit("I").as("op"), col("o_orderpriority"),
           cents(col("o_totalprice")).as("price_cents")))
+  }
 
-  /** One MERGE application: full-outer key join + action resolution.
-    * Also the per-microbatch step of the streaming CDC apply
-    * (streaming/StreamingOps.streamingCdcMerge). */
-  private[graft] def mergeStep(target: DataFrame, cdc: DataFrame): DataFrame =
-    target.as("t")
-      .join(cdc.as("s"), Seq("o_orderkey"), "full_outer")
-      .filter(coalesce(col("s.op"), lit("")) =!= "D")
+  /** One MERGE application: full-outer key join + action resolution,
+    * with MERGE INTO's match guards made explicit — an UPDATE or DELETE
+    * whose key is absent from the target is a no-op (not an insert),
+    * and an INSERT whose key already exists keeps the target row (not
+    * an update). A bare coalesce resolution would silently upsert both
+    * malformed cases; real CDC streams contain them (late deletes,
+    * replayed inserts). Also the per-microbatch step of the streaming
+    * CDC apply (streaming/StreamingOps.streamingCdcMerge). */
+  private[graft] def mergeStep(target: DataFrame, cdc: DataFrame): DataFrame = {
+    // non-null marker for "key exists in target": survives the
+    // full-outer join as null exactly on the not-matched side
+    val t = target.withColumn("t_present", lit(true))
+    val joined = t.as("t").join(cdc.as("s"), Seq("o_orderkey"), "full_outer")
+      .withColumn("matched", coalesce(col("t_present"), lit(false)))
+    val takeSource = (col("s.op") === "U" && col("matched")) ||
+      (col("s.op") === "I" && !col("matched"))
+    joined
+      .filter(
+        (col("s.op").isNull && col("matched")) || // untouched target row
+          (col("s.op") === "U" && col("matched")) || // matched update
+          (col("s.op") === "I")) // insert if new, else target passes through
       .select(col("o_orderkey"),
-        coalesce(col("s.o_orderpriority"), col("t.o_orderpriority"))
-          .as("o_orderpriority"),
-        coalesce(col("s.price_cents"), col("t.price_cents")).as("price_cents"))
+        when(takeSource, col("s.o_orderpriority"))
+          .otherwise(col("t.o_orderpriority")).as("o_orderpriority"),
+        when(takeSource, col("s.price_cents"))
+          .otherwise(col("t.price_cents")).as("price_cents"))
+  }
 
   def tableMerge(spark: SparkSession, dir: String): DataFrame =
     mergeStep(mergeTarget(spark, dir), cdcBatch(spark, dir))
@@ -1516,14 +1540,21 @@ object Relational {
        |         ${oCents("o_totalprice")} * 110 // 100 AS price_cents
        |  FROM orders WHERE o_orderkey % 7 = 0 OR o_orderkey % 13 = 0
        |  UNION ALL
-       |  SELECT o_orderkey + 30000000, 'I', o_orderpriority,
-       |         ${oCents("o_totalprice")}
+       |  SELECT o_orderkey + (SELECT max(o_orderkey) FROM orders), 'I',
+       |         o_orderpriority, ${oCents("o_totalprice")}
        |  FROM orders WHERE o_orderkey % 11 = 0),
        |merged AS (
-       |  SELECT COALESCE(s.o_orderpriority, t.o_orderpriority) AS o_orderpriority,
-       |         COALESCE(s.price_cents, t.price_cents) AS price_cents
+       |  SELECT CASE WHEN (s.op = 'U' AND t.o_orderkey IS NOT NULL)
+       |                OR (s.op = 'I' AND t.o_orderkey IS NULL)
+       |              THEN s.o_orderpriority ELSE t.o_orderpriority END
+       |           AS o_orderpriority,
+       |         CASE WHEN (s.op = 'U' AND t.o_orderkey IS NOT NULL)
+       |                OR (s.op = 'I' AND t.o_orderkey IS NULL)
+       |              THEN s.price_cents ELSE t.price_cents END AS price_cents
        |  FROM target t FULL OUTER JOIN cdc s ON t.o_orderkey = s.o_orderkey
-       |  WHERE COALESCE(s.op, '') != 'D')
+       |  WHERE (s.op IS NULL AND t.o_orderkey IS NOT NULL)
+       |     OR (s.op = 'U' AND t.o_orderkey IS NOT NULL)
+       |     OR (s.op = 'I'))
        |SELECT o_orderpriority, COUNT(*) AS n,
        |       CAST(SUM(price_cents) AS BIGINT) AS total_cents
        |FROM merged GROUP BY o_orderpriority
@@ -1650,7 +1681,10 @@ object Relational {
       .filter(col("du") < col("dv") ||
         (col("du") === col("dv") && col("u") < col("v")))
       .select(col("u"), col("v"))
-      .persist() // feeds the wedge join AND the closing-edge check
+      // feeds the wedge join AND the closing-edge check of the RETURNED
+      // lazy plan, so the operator cannot unpersist it itself; freed by
+      // the caller's clearCache or LRU eviction (pageRank's contract)
+      .persist()
     val wedges = oriented.as("e1").join(oriented.as("e2"),
         col("e1.v") === col("e2.u"))
       .select(col("e1.u").as("a"), col("e1.v").as("b"), col("e2.v").as("c"))
@@ -1697,7 +1731,9 @@ object Relational {
     // persist the SUPPORT-PRUNED canonical edges — the expensive
     // lineitem self-join runs once; und, the wedge join's two sides,
     // the degree count, and the anti join are all cheap derivations
-    // of this small cached relation
+    // of this small cached relation. It feeds the RETURNED lazy plan,
+    // so it outlives this call by design; freed by the caller's
+    // clearCache or LRU eviction (pageRank's contract)
     val canon = li.as("a").join(li.as("b"),
         col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
       .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
@@ -1812,7 +1848,10 @@ object Relational {
       .select(col("u"), col("v"))
     val und = canon.unionByName(
         canon.select(col("v").as("u"), col("u").as("v")))
-      .persist() // six relaxation rounds read it
+      // six relaxation rounds read it; also feeds the RETURNED lazy
+      // plan's final join, so freed by the caller's clearCache / LRU
+      // eviction (pageRank's contract), not by this operator
+      .persist()
     val srcDf = und.groupBy(col("u")).agg(count(lit(1)).as("d"))
       .orderBy(col("d").desc, col("u")).limit(1)
       .select(col("u").as("node"))
@@ -1934,7 +1973,12 @@ object Relational {
     * At 100 TB the history table is partitioned by valid_from month
     * and the probe prunes to partitions overlapping D. */
   def tableTimetravel(spark: SparkSession, dir: String): DataFrame = {
-    val asOf = lit("1999-06-15").cast("timestamp")
+    // probe MID-history (TPC-H order dates span 1992..1998): a
+    // post-history probe date would degenerate to the is_current
+    // (valid_to IS NULL) rows and never exercise interval selection —
+    // 1995-06-15 reconstructs a state where most matched versions are
+    // CLOSED intervals superseded by later ones
+    val asOf = lit("1995-06-15").cast("timestamp")
     tableScd2(spark, dir)
       .filter(col("valid_from") <= asOf &&
         (col("valid_to").isNull || col("valid_to") > asOf))
@@ -1961,8 +2005,8 @@ object Relational {
       |SELECT attr, COUNT(*) AS n_cust,
       |       CAST(SUM(o_custkey) AS BIGINT) AS custkey_sum
       |FROM hist
-      |WHERE valid_from <= TIMESTAMP '1999-06-15'
-      |  AND (valid_to IS NULL OR valid_to > TIMESTAMP '1999-06-15')
+      |WHERE valid_from <= TIMESTAMP '1995-06-15'
+      |  AND (valid_to IS NULL OR valid_to > TIMESTAMP '1995-06-15')
       |GROUP BY attr ORDER BY attr""".stripMargin
 
   private val tableScd2Oracle =

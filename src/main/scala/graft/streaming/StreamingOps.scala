@@ -316,7 +316,10 @@ object StreamingOps {
   def streamingCdcMerge(spark: SparkSession, dir: String): DataFrame = {
     val staged = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"),
-      "graft_cdc_" + Integer.toHexString(dir.hashCode))
+      // v2: staged content changed when cdcBatch moved to max-derived
+      // insert keys — version the path so a pre-change staging (the
+      // _DONE marker outlives the JVM) can never be replayed
+      "graft_cdc_v2_" + Integer.toHexString(dir.hashCode))
     val rel = graft.operators.Relational
     val cdc = rel.cdcBatch(spark, dir)
     if (!java.nio.file.Files.exists(staged.resolve("_DONE"))) {
