@@ -360,20 +360,33 @@ object LlmPipeline {
 
   /** Per-doc 63-bit tf-weighted simhash — shared by dedup_simhash (the
     * band-blocked near-dup join) and dedup_simhash_recall (the exact
-    * all-pairs audit of that blocking). */
+    * all-pairs audit of that blocking). Memoized + persisted per
+    * (application, dir) so the two qids pay the token explode +
+    * UDAF aggregation once per bench family (the shinglePairStats
+    * contract: live-storage-checked, clearCache just rebuilds). */
+  private val simhashMemo =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
   private def simhashes(spark: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-      // 63-bit positive hash: top word masked to 31 bits so every value
-      // (and every sum of distinct bit powers) stays in positive BIGINT
-      // range in both engines — no sign-extension/overflow divergence.
-      .withColumn("h",
-        expr(s"shiftleft(${h32("tok", 7)} & 2147483647, 32) | ${h32("tok", 8)}"))
-    val simAgg = udaf(SimHashAgg)
-    toks.groupBy("doc_id")
-      .agg(simAgg(col("h"), col("tf")).as("simhash"))
+    val key = (spark.sparkContext.applicationId, dir)
+    simhashMemo.get(key)
+      .filter(_.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+      .getOrElse {
+        val toks = Tables.documents(spark, dir)
+          .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+          // 63-bit positive hash: top word masked to 31 bits so every value
+          // (and every sum of distinct bit powers) stays in positive BIGINT
+          // range in both engines — no sign-extension/overflow divergence.
+          .withColumn("h",
+            expr(s"shiftleft(${h32("tok", 7)} & 2147483647, 32) | ${h32("tok", 8)}"))
+        val simAgg = udaf(SimHashAgg)
+        val sim = toks.groupBy("doc_id")
+          .agg(simAgg(col("h"), col("tf")).as("simhash"))
+          .persist()
+        simhashMemo.put(key, sim)
+        sim
+      }
   }
 
   /** Band-blocked candidate pairs with their hamming distance (the
@@ -456,9 +469,8 @@ object LlmPipeline {
     * verified SFs the full corpus IS the sample. Output is one row:
     * (n_exact, n_missed, recall_ok). */
   def dedupSimhashRecall(spark: SparkSession, dir: String): DataFrame = {
-    // feeds both sides of the RETURNED lazy plan; caller-freed
-    // (clearCache / LRU eviction — pageRank's contract)
-    val sim = simhashes(spark, dir).persist()
+    // the memoized persisted relation; caller-freed (pageRank's contract)
+    val sim = simhashes(spark, dir)
     val exact = sim.as("a").join(sim.as("b"), col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
         expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
@@ -1517,7 +1529,7 @@ object LlmPipeline {
     * random — NO metric clustering — which is NN-Descent's worst case
     * (neighbor-of-neighbor carries no signal beyond sampling); on real
     * clustered embeddings the same loop converges far faster, so the
-    * 0.72 floor is conservative. At 100 TB the same loop partitions by
+    * 0.6 floor is conservative. At 100 TB the same loop partitions by
     * node id; candidate generation co-partitions with the graph because
     * both joins key on a node column.
     */
@@ -1590,9 +1602,11 @@ object LlmPipeline {
     * from a fixed entry node, expand the beam's out-neighbors each hop,
     * keep the top-b by exact cosine to each query. Returns (qid, cid,
     * cos) — the beam's final top-b per query. LlmPipelineSpec asserts
-    * recall ≥ 0.6 of the exact top-5 on the fixtures; a capability
-    * method rather than a qid so the bench doesn't pay a second graph
-    * build (the build itself is the sim_knn_graph qid). */
+    * recall ≥ 0.85 of the exact top-5 (k=12/rounds=4/beam=48/hops=8
+    * measured 0.98/0.98/0.91 at sf0.001/0.01/0.1 via graft.RecallProbe
+    * — uniform-random fixtures, the descent-graph worst case); a
+    * capability method rather than a qid so the bench doesn't pay a
+    * second graph build (the build itself is the sim_knn_graph qid). */
   private[graft] def knnGraphSearch(spark: SparkSession, dir: String,
       k: Int, rounds: Int, beam: Int, hops: Int, nQ: Int): DataFrame = {
     val edges = knnGraphEdges(spark, dir, k, rounds)

@@ -9,12 +9,24 @@ import org.apache.spark.sql.functions._
 class LlmPipelineSpec extends SparkSpec {
   import spark.implicits._
 
+  // Beam parameters chosen by measurement (graft.RecallProbe, round 5):
+  // k=12/rounds=4/beam=48/hops=8 recovers 0.98 / 0.98 / 0.91 of the
+  // exact top-5 at sf0.001 / 0.01 / 0.1 — ≥ 0.85 with margin at every
+  // fixture. The r4 contract (k=8/rounds=3/beam=24/hops=6, floor 0.6)
+  // measured 0.59 at sf0.1: below its own floor at the one scale the
+  // suite never ran. The fixtures are UNIFORM-RANDOM embeddings — the
+  // worst case for a neighborhood-descent graph (neighbor-of-neighbor
+  // carries no metric signal beyond sampling, so the graph is closest
+  // to an expander and beam search closest to blind walk); clustered
+  // real-corpus embeddings only raise these numbers. Serve cost is
+  // O(beam · k · hops) candidate rows per query batch — parameter
+  // changes scale the batched joins, never the corpus term.
   test("kNN-graph beam search recovers the exact neighbors (serve path)") {
     import graft.functions.VectorExprs
     val dir = sfDir
     val nQ = 20
     val got = operators.LlmPipeline
-      .knnGraphSearch(spark, dir, k = 8, rounds = 3, beam = 24, hops = 6, nQ = nQ)
+      .knnGraphSearch(spark, dir, k = 12, rounds = 4, beam = 48, hops = 8, nQ = nQ)
     val ev = graft.sources.Tables.embeddings(spark, dir)
       .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
       .withColumn("n", VectorExprs.l2(col("v")))
@@ -28,7 +40,9 @@ class LlmPipelineSpec extends SparkSpec {
       .filter(col("rk") <= 5)
     val hits = exact.join(got.select(col("qid"), col("cid")),
       Seq("qid", "cid"), "leftsemi").count()
-    assert(hits >= (nQ * 5 * 6) / 10, s"beam-search recall too low: $hits/${nQ * 5}")
+    assert(hits >= (nQ * 5 * 85) / 100,
+      s"beam-search recall too low: $hits/${nQ * 5} (floor 0.85; " +
+        "measured 0.98/0.98/0.91 at sf0.001/0.01/0.1 — see RecallProbe)")
   }
 
   private def docs(rows: (Long, String)*) =
