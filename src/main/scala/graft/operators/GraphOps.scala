@@ -172,18 +172,35 @@ object GraphOps {
     * join finds no ancestor row and the subtree drops from the output
     * silently. Validate with a parents-minus-nodes anti-join upstream
     * if the hierarchy column is untrusted. A parent CYCLE can never
-    * reach a root, so the loop would spin to its 40-round cap — the
+    * reach a root, so the loop would spin to its round cap — the
     * post-loop convergence assert below turns both violations into a
-    * loud failure instead of plausible-looking wrong depths. */
+    * loud failure instead of plausible-looking wrong depths.
+    *
+    * The cap is DERIVED, not a magic constant: a forest on n nodes has
+    * depth ≤ n, and doubling settles any depth ≤ 2^k in k rounds, so
+    * ⌈log₂ n⌉ + 2 rounds provably suffice — failing to settle within
+    * the cap IS a precondition violation. The cap must also stay small
+    * for a second reason: each round's self-join SQUARES the
+    * checkpoint-inherited sizeInBytes statistic (join size estimate =
+    * left × right, and LogicalRDD carries the checkpointed plan's
+    * stats), so an unbounded spin makes Catalyst's BigInt stats
+    * arithmetic itself the hang — at a fixed 40-round cap the
+    * estimator was multiplying gigabit-sized integers on a cyclic
+    * input before any guard could fire (found by the round-5 cycle
+    * test). The n count() is the same driver scalar the iterative
+    * trainers use for loop control. */
   def rootedDepth(parents: DataFrame): DataFrame = {
     val roots = parents.filter(col("parent") === col("node"))
       .select(col("node").as("r")).persist()
     var cur = parents.select(col("node"), col("parent").as("anc"),
         when(col("parent") === col("node"), lit(0L)).otherwise(lit(1L)).as("d"))
       .localCheckpoint()
+    val n = math.max(1L, cur.count())
+    val maxRounds = // ceil(log2(n)) + 2, floor 4
+      math.max(4, 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n - 1)) + 2)
     var rounds = 0
     var done = false
-    while (!done && rounds < 40) {
+    while (!done && rounds < maxRounds) {
       val hop = cur.select(col("node").as("j_node"), col("anc").as("j_anc"),
         col("d").as("j_d"))
       val next = cur.join(hop, col("anc") === col("j_node"))
@@ -198,12 +215,13 @@ object GraphOps {
     }
     lastRounds = rounds
     roots.unpersist(blocking = false)
-    // 40 doubling rounds settle any depth ≤ 2^40; not settling means the
-    // input broke the closed-forest precondition (parent cycle, or a
-    // dangling parent that can never reach a root). Fail loudly — wrong
-    // depths that LOOK right are the worst possible output of this op.
-    require(done, s"rootedDepth did not converge in $rounds rounds: " +
-      "input has a parent cycle or is not a closed forest")
+    // ⌈log₂ n⌉ + 2 doubling rounds settle any depth a forest on n nodes
+    // can have; not settling means the input broke the closed-forest
+    // precondition (parent cycle, or a dangling parent that can never
+    // reach a root). Fail loudly — wrong depths that LOOK right are the
+    // worst possible output of this op.
+    require(done, s"rootedDepth did not converge in $rounds rounds " +
+      s"(n=$n): input has a parent cycle or is not a closed forest")
     cur.select(col("node"), col("anc").as("root"), col("d").as("depth"))
   }
 

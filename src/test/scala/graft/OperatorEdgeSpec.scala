@@ -77,6 +77,45 @@ class OperatorEdgeSpec extends SparkSpec {
     assert(out.map(r => (r.getLong(0), r.getLong(2))).toSeq === Seq((1L, 100L)))
   }
 
+  test("merge step match guards: malformed CDC actions are no-ops, not upserts") {
+    val target = Seq((1L, "P1", 100L), (2L, "P2", 200L))
+      .toDF("o_orderkey", "o_orderpriority", "price_cents")
+    val cdc = Seq(
+      (9L, "U", "P9", 900L), // update for a key the target lacks -> no-op
+      (8L, "D", "P8", 0L),   // delete for a key the target lacks -> no-op
+      (2L, "I", "PX", 999L)) // replayed insert for an existing key -> target wins
+      .toDF("o_orderkey", "op", "o_orderpriority", "price_cents")
+    val out = operators.Relational.mergeStep(target, cdc)
+      .orderBy("o_orderkey").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // the coalesce-style resolution would emit (9, P9, 900) and
+    // overwrite row 2 with PX/999 — the guards must not
+    assert(out.toSeq === Seq((1L, "P1", 100L), (2L, "P2", 200L)))
+  }
+
+  test("rootedDepth fails loudly on a parent cycle (closed-forest guard)") {
+    // 1 is a root; 2 and 3 point at each other — no path to any root,
+    // so pointer doubling can never settle them
+    val cyc = Seq((1L, 1L), (2L, 3L), (3L, 2L)).toDF("node", "parent")
+    val e = intercept[IllegalArgumentException] {
+      operators.GraphOps.rootedDepth(cyc).collect()
+    }
+    assert(e.getMessage.contains("closed forest"))
+  }
+
+  test("time-travel probe selects CLOSED intervals, not just current rows") {
+    // the AS-OF filter must pick superseded versions when the probe
+    // date is mid-history (ADVICE r4: a post-history probe degenerates
+    // to valid_to IS NULL and never exercises interval selection)
+    val hist = operators.Relational.tableScd2(spark, sfDir)
+      .filter(col("valid_from") <= lit("1995-06-15").cast("timestamp") &&
+        (col("valid_to").isNull ||
+          col("valid_to") > lit("1995-06-15").cast("timestamp")))
+    assert(hist.filter(col("valid_to").isNotNull).count() > 0,
+      "mid-history probe matched no closed interval — the date has " +
+        "degenerated to a current-rows-only snapshot")
+  }
+
   test("MgAgg: empty stream yields empty sketch; single token survives") {
     val agg = sketch.SketchQueries.MgAgg
     assert(agg.finish(agg.zero).isEmpty)
