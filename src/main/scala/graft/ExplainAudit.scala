@@ -27,7 +27,12 @@ object ExplainAudit {
       "sketch_bloom_portable", "topk_per_group", "ps_transform",
       "sketch_cms", "sample_split", "agg_percentile", "unpivot_long",
       "table_merge", "sketch_heavy_hitters", "agg_incremental",
-      "agg_corr_matrix", "ts_acf", "graph_jaccard", "source_binaryfile")
+      "agg_corr_matrix", "ts_acf", "graph_jaccard", "source_binaryfile",
+      "dedup_clusters", "join_lateral", "sample_stratified",
+      "sim_ann_ivf", "sim_knn_graph", "sketch_quantile", "text_entropy",
+      "text_ngram_profile", "dedup_containment", "graph_pagerank",
+      "text_bm25", "table_scd2", "table_timetravel",
+      "skew_demo", "cbo_demo")
     for (qid <- qids) {
       if (qid == "skew_demo") {
         println(s"\n========== skew_demo (executed adaptive plan) ==========")
