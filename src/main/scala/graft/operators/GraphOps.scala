@@ -56,9 +56,13 @@ object GraphOps {
     * once the next round is materialized (localCheckpointed RDDs are
     * not in the CacheManager, so without this, block cleanup would wait
     * on driver GC + ContextCleaner — O(edges) blocks per round can
-    * accumulate during long runs). On a real cluster the same loop uses
-    * reliable checkpoint() to DFS every few rounds (the
-    * GraphFrames/GraphX iteration contract).
+    * accumulate during long runs). Every 8th round the checkpoint is
+    * consumed through a stats-reset view ([[statsReset]]) so plan
+    * STATISTICS can't compound without bound either — with inherited
+    * stats an open-ended fixpoint squares sizeInBytes per round until
+    * BigInt stats arithmetic, not data, is the bottleneck. On a real
+    * cluster the same loop uses reliable checkpoint() to DFS every few
+    * rounds (the GraphFrames/GraphX iteration contract).
     */
   def connectedComponents(edges: DataFrame): DataFrame = {
     val canonical = edges
@@ -67,8 +71,12 @@ object GraphOps {
       .select(least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("v"))
       .distinct()
-    var cur = canonical.localCheckpoint()
-    var curSize = cur.count()
+    // ck is the checkpointed handle (owns the blocks, freed per round);
+    // cur is its periodically stats-reset view (see statsReset: without
+    // it an open-ended fixpoint's plan statistics square every round)
+    var ck = canonical.localCheckpoint()
+    var cur: DataFrame = ck
+    var curSize = ck.count()
     var rounds = 0
     var converged = curSize == 0L
     while (!converged) {
@@ -92,10 +100,12 @@ object GraphOps {
       val attachPeers = afterLarge.join(smallMin, "v")
         .filter(col("u") =!= col("m"))
         .select(col("m").as("u"), col("u").as("v"))
-      val next = attachSelf.unionByName(attachPeers).distinct().localCheckpoint()
-      val nextSize = next.count()
+      val nextCk = attachSelf.unionByName(attachPeers).distinct().localCheckpoint()
+      val next = statsResetEvery(rounds, nextCk)
+      val nextSize = nextCk.count()
       val unchanged = nextSize == curSize && next.exceptAll(cur).isEmpty
-      freeCheckpoint(cur)
+      freeCheckpoint(ck)
+      ck = nextCk
       cur = next
       curSize = nextSize
       rounds += 1
@@ -192,10 +202,11 @@ object GraphOps {
   def rootedDepth(parents: DataFrame): DataFrame = {
     val roots = parents.filter(col("parent") === col("node"))
       .select(col("node").as("r")).persist()
-    var cur = parents.select(col("node"), col("parent").as("anc"),
+    var ck = parents.select(col("node"), col("parent").as("anc"),
         when(col("parent") === col("node"), lit(0L)).otherwise(lit(1L)).as("d"))
       .localCheckpoint()
-    val n = math.max(1L, cur.count())
+    var cur: DataFrame = ck
+    val n = math.max(1L, ck.count())
     val maxRounds = // ceil(log2(n)) + 2, floor 4
       math.max(4, 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n - 1)) + 2)
     var rounds = 0
@@ -203,11 +214,13 @@ object GraphOps {
     while (!done && rounds < maxRounds) {
       val hop = cur.select(col("node").as("j_node"), col("anc").as("j_anc"),
         col("d").as("j_d"))
-      val next = cur.join(hop, col("anc") === col("j_node"))
+      val nextCk = cur.join(hop, col("anc") === col("j_node"))
         .select(col("node"), col("j_anc").as("anc"),
           (col("d") + col("j_d")).as("d"))
         .localCheckpoint()
-      freeCheckpoint(cur)
+      val next = statsResetEvery(rounds, nextCk)
+      freeCheckpoint(ck)
+      ck = nextCk
       cur = next
       rounds += 1
       done = cur.join(roots, col("anc") === col("r"), "leftanti")
@@ -224,6 +237,32 @@ object GraphOps {
       s"(n=$n): input has a parent cycle or is not a closed forest")
     cur.select(col("node"), col("anc").as("root"), col("d").as("depth"))
   }
+
+  /** Rebuild a checkpointed DataFrame from its RDD, RESETTING inherited
+    * statistics. LogicalRDD carries the checkpointed plan's stats, and
+    * an iterative loop whose round plan self-joins the previous round
+    * SQUARES sizeInBytes every round — past ~25 rounds Catalyst's
+    * BigInt stats arithmetic dominates wall time outright (found as a
+    * hang in SizeInBytesOnlyStatsPlanVisitor on a cyclic rootedDepth
+    * input, round 5). The rebuilt Dataset's stats fall back to the
+    * session default CONSTANT. Cost: one row-encoder pass over the
+    * relation at next materialization — measured +20–50% per ROUND on
+    * the converging fixpoints (dedup_clusters 10.5 → 12.6 s at sf0.1
+    * when applied every round), which is why callers apply it
+    * PERIODICALLY ([[statsResetPeriod]]): rounds between resets
+    * compound the ~60-bit base by at most 2^8 — a ≤ 15 Kbit integer,
+    * microseconds of BigInt math — so converging loops (≤ 7 rounds)
+    * pay nothing and open-ended 100 TB fixpoints still get flat
+    * planning cost. The returned plan still reads the checkpoint
+    * blocks; free them via [[freeCheckpoint]] on the ORIGINAL
+    * checkpointed handle. */
+  private def statsReset(ck: DataFrame): DataFrame =
+    ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
+
+  /** Apply [[statsReset]] on every `statsResetPeriod`-th round. */
+  private val statsResetPeriod = 8
+  private def statsResetEvery(round: Int, ck: DataFrame): DataFrame =
+    if (round % statsResetPeriod == statsResetPeriod - 1) statsReset(ck) else ck
 
   /** Free the block store of a localCheckpointed DataFrame explicitly
     * (its RDD is persisted outside the CacheManager, so `unpersist` on
