@@ -148,9 +148,14 @@ object GraphOps {
     // partitioning satisfies each iteration's join distribution, so
     // only the small ranks side shuffles per round — the big relation
     // crosses the wire once, not once per iteration (measured ~50 ->
-    // ~31 s on the 20x-rehearsal graph, 48M edges). Freed by the
-    // caller's clearCache or executor eviction, same contract as the
-    // other iterative loops' persisted inputs.
+    // ~31 s on the 20x-rehearsal graph, 48M edges). A window-based
+    // single-pass degree (count over partitionBy(src)) was tried and
+    // REJECTED by measurement: WindowExec's per-partition sort over
+    // the full edge relation (76 s at the 20× rehearsal point vs 33 s
+    // for this form) costs far more than the duplicate hash-aggregate
+    // build it avoids. Freed by the caller's clearCache or executor
+    // eviction, same contract as the other iterative loops' persisted
+    // inputs.
     val withDeg = edges.join(deg, "src").repartition(col("src")).persist()
     var ranks = deg.select(col("src").as("node"),
       lit(1000000L).as("rank_e6"))

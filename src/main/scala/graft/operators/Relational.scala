@@ -1639,55 +1639,67 @@ object Relational {
        |ORDER BY price_c""".stripMargin
 
   // --------------------------------------------------- shared co-purchase graph
-  /** Shared base relation for the graph_* family: canonical co-purchase
-    * pairs (u, v, support) with u < v — parts appearing together in
-    * `support` orders. EVERY graph qid derives its edge relation from
-    * this one build: the directed distinct pair set (graph_pagerank,
-    * graph_degree_dist) is canon ∪ swap over all supports, and the
-    * support-pruned mined graph (graph_triangles, graph_jaccard,
-    * graph_shortest_path) filters support ≥ 2 first. The per-order
-    * self-join is O(lines²) within an order — bounded by TPC-H's ≤7
-    * lines/order, linear in orders — but it is the family's dominant
-    * cost and was built five times per bench sweep. Memoized and
-    * persisted per (application, dir), same contract as
-    * LlmPipeline.shinglePairStats: the memo checks the LIVE storage
-    * level, so a clearCache between calls (Verify's per-query hygiene)
-    * just rebuilds — correctness never depends on the cache; freed at
-    * the bench's family boundary (or any caller clearCache). */
-  private val coPairMemo =
-    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+  /** Canonical co-purchase pairs (u, v, support) with u < v — parts
+    * appearing together in `support` orders. A plain PLAN (not
+    * persisted): the unpruned relation is the same order of magnitude
+    * as the per-order pair expansion itself (sf0.1: 1.196M pairs, ~300×
+    * the mined graph), and caching it is a scale mistake — the round-5
+    * rehearsal measured graph_jaccard 4.6 → 16.5 s at 20× when this
+    * relation was persisted, because the cache spilled and every
+    * downstream filter read through the fat spill instead of the
+    * codegen'd self-join. Callers that need the full set
+    * (graph_pagerank, graph_degree_dist) each materialize it once per
+    * query, exactly the pre-sharing cost. */
   private[graft] def coPurchasePairs(spark: SparkSession, dir: String): DataFrame = {
-    val key = (spark.sparkContext.applicationId, dir)
-    coPairMemo.get(key)
-      .filter(_.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
-      .getOrElse {
-        val li = Tables.lineitem(spark, dir)
-          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        val pairs = li.as("a").join(li.as("b"),
-            col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-          .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
-          .agg(count(lit(1)).as("support"))
-          .persist()
-        coPairMemo.put(key, pairs)
-        pairs
-      }
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
+      .agg(count(lit(1)).as("support"))
   }
 
   /** Directed distinct co-purchase pairs (src, dst) — both directions,
-    * all supports; [[coPurchasePairs]] ∪ its swap. */
+    * all supports. Deliberately ONE self-join subplan (`!=` join +
+    * distinct), NOT canon ∪ swap: a union of two projections of the
+    * canonical relation executes the underlying self-join twice per
+    * materialization (the swapped projections defeat exchange reuse),
+    * and graph_pagerank materializes this relation twice more (degree
+    * count + degree join) — the union form measured ~50 s vs ~30 s at
+    * the 20× rehearsal point. Unpruned and therefore uncached, like
+    * [[coPurchasePairs]]. */
   private def coPurchaseDirected(spark: SparkSession, dir: String): DataFrame = {
-    val cp = coPurchasePairs(spark, dir)
-    cp.select(col("u").as("src"), col("v").as("dst"))
-      .unionByName(cp.select(col("v").as("src"), col("u").as("dst")))
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
+      .select(col("a.pk").as("src"), col("b.pk").as("dst")).distinct()
   }
 
-  /** Canonical support-pruned edges (u, v): pairs co-occurring in ≥ 2
+  /** Canonical SUPPORT-PRUNED edges (u, v): pairs co-occurring in ≥ 2
     * orders — the association-rule support prune every production
-    * co-occurrence graph applies before structure mining. */
-  private def coPurchaseCanon(spark: SparkSession, dir: String): DataFrame =
-    coPurchasePairs(spark, dir)
-      .filter(col("support") >= 2)
-      .select(col("u"), col("v"))
+    * co-occurrence graph applies before structure mining. THIS is the
+    * family's shared cached relation (memoized per (application, dir),
+    * the shinglePairStats live-storage contract): it is the mined
+    * graph graph_triangles / graph_jaccard / graph_shortest_path all
+    * consume, and it is ~300× smaller than the unpruned pair set
+    * (sf0.1: 3,853 vs 1.196M rows) — small enough that caching it is
+    * free at any scale the prune holds. */
+  private val coCanonMemo =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+  private[graft] def coPurchaseCanon(spark: SparkSession, dir: String): DataFrame = {
+    val key = (spark.sparkContext.applicationId, dir)
+    coCanonMemo.get(key)
+      .filter(_.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+      .getOrElse {
+        val canon = coPurchasePairs(spark, dir)
+          .filter(col("support") >= 2)
+          .select(col("u"), col("v"))
+          .persist()
+        coCanonMemo.put(key, canon)
+        canon
+      }
+  }
 
   // ----------------------------------------------------------- graph_triangles
   /** Triangle counting over the co-purchase graph: per-node triangle
@@ -2060,10 +2072,11 @@ object Relational {
     * co-keyed join + groupBy-sum per round (the Pregel round as
     * relational algebra), bitwise-deterministic so the DuckDB oracle
     * can unroll the SAME three rounds as CTEs and hash-compare. Edges
-    * come from the family-shared persisted [[coPurchasePairs]] (one
-    * lineitem self-join for all five graph qids); pageRank itself
-    * re-persists the degree-joined relation hash-partitioned on the
-    * join key so each iteration shuffles only the small ranks side. */
+    * come from the shared [[coPurchasePairs]] plan (unpruned, so NOT
+    * cached — see its scaladoc; the query materializes it once);
+    * pageRank itself persists the degree-joined relation
+    * hash-partitioned on the join key so each iteration shuffles only
+    * the small ranks side. */
   def graphPagerank(spark: SparkSession, dir: String): DataFrame = {
     val edges = coPurchaseDirected(spark, dir)
     GraphOps.pageRank(edges, 3)

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.storage.StorageLevel
 
 /** Contract tests for the family-shared memoized relations
-  * (LlmPipeline.shinglePairStats, Relational.coPurchasePairs,
+  * (LlmPipeline.shinglePairStats, Relational.coPurchaseCanon,
   * the simhash memo behind dedup_simhash*): within a session the same
   * persisted instance is reused; after a clearCache the memo must
   * REBUILD (detect the dead storage level), not hand back a handle to
@@ -27,12 +27,12 @@ class SharedRelationsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
-  test("coPurchasePairs: reused while cached, rebuilt after clearCache, same rows") {
-    val a = operators.Relational.coPurchasePairs(spark, sfDir)
+  test("coPurchaseCanon: reused while cached, rebuilt after clearCache, same rows") {
+    val a = operators.Relational.coPurchaseCanon(spark, sfDir)
     val rowsA = a.orderBy("u", "v").collect()
-    assert(operators.Relational.coPurchasePairs(spark, sfDir) eq a)
+    assert(operators.Relational.coPurchaseCanon(spark, sfDir) eq a)
     spark.catalog.clearCache()
-    val b = operators.Relational.coPurchasePairs(spark, sfDir)
+    val b = operators.Relational.coPurchaseCanon(spark, sfDir)
     assert(!(b eq a))
     assert(b.orderBy("u", "v").collect().sameElements(rowsA))
     spark.catalog.clearCache()
