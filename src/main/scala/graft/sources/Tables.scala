@@ -29,11 +29,16 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame      = table(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS,false). With
-    * `spark.sql.legacy.parquet.nanosAsLong=true` Spark reads it as LongType
-    * nanos-since-epoch; normalize to TimestampType (µs, truncating — same
-    * floor DuckDB applies when it down-converts ns). Falls back to the raw
-    * column if a future Spark reads nanos natively.
+  /** events.ts arrives in whatever physical shape the fixture generator
+    * chose; normalize every shape to TimestampType (µs, UTC session) so the
+    * rest of the engine sees ONE type:
+    *  - TIMESTAMP(NANOS,false) + `spark.sql.legacy.parquet.nanosAsLong=true`
+    *    → LongType nanos-since-epoch → truncate to µs (same floor DuckDB
+    *    applies when it down-converts ns),
+    *  - TIMESTAMP(MICROS,false) → TimestampNTZType under Spark 4's default
+    *    NTZ inference → reinterpret as UTC instant (sessions here pin
+    *    session.timeZone=UTC, so the wall values are unchanged),
+    *  - already TimestampType → pass through.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val df = table(spark, dir, "events")
@@ -41,6 +46,9 @@ object Tables {
       case org.apache.spark.sql.types.LongType =>
         df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.col("ts")
+          .cast(org.apache.spark.sql.types.TimestampType))
       case _ => df
     }
   }

@@ -34,14 +34,20 @@ object StreamingOps {
     * production this is simply the landing directory new files arrive in.
     */
   def eventStream(spark: SparkSession, dir: String): DataFrame = {
+    val src = java.nio.file.Paths.get(dir, "events.parquet")
+    // key the staging dir by source size+mtime so a regenerated fixture
+    // restages instead of replaying a stale copy under a pinned schema
+    val srcAttrs = java.nio.file.Files.readAttributes(
+      src, classOf[java.nio.file.attribute.BasicFileAttributes])
+    val stageKey = (dir, srcAttrs.size(),
+      srcAttrs.lastModifiedTime().toMillis).hashCode()
     val staged = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"),
-      "graft_stream_" + Integer.toHexString(dir.hashCode))
+      "graft_stream_" + Integer.toHexString(stageKey))
     java.nio.file.Files.createDirectories(staged)
     val target = staged.resolve("events.parquet")
     if (!java.nio.file.Files.exists(target)) {
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(dir, "events.parquet"), target)
+      java.nio.file.Files.copy(src, target)
     }
     val raw = spark.readStream
       .schema(spark.read.parquet(s"$dir/events.parquet").schema)
@@ -49,6 +55,9 @@ object StreamingOps {
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => raw
     }
   }
