@@ -62,27 +62,41 @@ object Bench {
     def family(name: String): String = name.takeWhile(_ != '_')
     val results = ordered.zipWithIndex.map { case ((name, fn), i) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // a failing qid must be VISIBLE, not silently timed: record the
+      // exception class per query instead of swallowing it — a broken
+      // query otherwise shows up only as a suspiciously fast timing
+      val err: Option[String] =
+        try { fn(spark, sfDir).count(); None }
+        catch { case t: Throwable => Some(t.getClass.getSimpleName) }
       val sec = (System.nanoTime() - t0) / 1e9
-      println(f"""{"query":"$name","sec":$sec%.3f}""")
+      val errTag = err.map(e => s""","err":"$e"""").getOrElse("")
+      println(f"""{"query":"$name","sec":$sec%.3f$errTag}""")
       val lastOfFamily = i + 1 >= ordered.size ||
         family(ordered(i + 1)._1) != family(name)
       if (lastOfFamily)
         try spark.catalog.clearCache() catch { case _: Throwable => () }
-      name -> sec
+      (name, sec, err)
     }
     val total = results.map(_._2).sum
+    val nErr = results.count(_._3.isDefined)
     val perQuery = results
-      .map { case (n, s) => f""""$n":$s%.3f""" }.mkString("{", ",", "}")
+      .map { case (n, s, e) =>
+        f""""$n":$s%.3f""" + e.map(x => f""","${n}_err":"$x"""").getOrElse("")
+      }.mkString("{", ",", "}")
     // sibling artifact with the same per-query map, for offline
     // regression attribution (the stdout tail can truncate)
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("target/bench_queries.json"),
       perQuery.getBytes("UTF-8"))
     catch { case _: Throwable => () }
-    // ONE parseable line LAST (driver contract), with the per-query
-    // breakdown inline so regressions are attributable from BENCH_r{N}
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"sf":"$sfDir","queries":$perQuery}""")
+    // per-query map on its OWN line (full stdout + sibling file carry
+    // it; it is too long for the driver's 2000-char tail capture)...
+    println(s"""{"metric":"queries","queries":$perQuery}""")
+    // ...and ONE SHORT parseable line LAST (driver contract): round 5
+    // inlined the 180-entry map here, the line outgrew the tail
+    // capture, and BENCH_r05 came back parsed:null. Keep this line
+    // well under 2000 chars forever.
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"n_err":$nErr,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
