@@ -27,6 +27,24 @@ class SharedRelationsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("shingleBase/shingleDf: reused while cached, rebuilt after clearCache, consistent") {
+    val base = operators.LlmPipeline.shingleBase(spark, sfDir)
+    val df = operators.LlmPipeline.shingleDf(spark, sfDir)
+    assert(operators.LlmPipeline.shingleBase(spark, sfDir) eq base)
+    assert(operators.LlmPipeline.shingleDf(spark, sfDir) eq df)
+    // df must be exactly the aggregation of the base relation
+    val nPostings = base.count()
+    assert(df.agg(org.apache.spark.sql.functions.sum("df")).head.getLong(0) == nPostings,
+      "sum of per-shingle df must equal the posting count")
+    spark.catalog.clearCache()
+    assert(base.storageLevel == StorageLevel.NONE)
+    val base2 = operators.LlmPipeline.shingleBase(spark, sfDir)
+    val df2 = operators.LlmPipeline.shingleDf(spark, sfDir)
+    assert(!(base2 eq base) && !(df2 eq df), "memo must rebuild after clearCache")
+    assert(base2.count() == nPostings)
+    spark.catalog.clearCache()
+  }
+
   test("coPurchaseCanon: reused while cached, rebuilt after clearCache, same rows") {
     val a = operators.Relational.coPurchaseCanon(spark, sfDir)
     val rowsA = a.orderBy("u", "v").collect()
