@@ -1,5 +1,7 @@
 package graft.streaming
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
@@ -41,13 +43,40 @@ object StreamingOps {
       src, classOf[java.nio.file.attribute.BasicFileAttributes])
     val stageKey = (dir, srcAttrs.size(),
       srcAttrs.lastModifiedTime().toMillis).hashCode()
-    val staged = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"),
-      "graft_stream_" + Integer.toHexString(stageKey))
+    val tmpRoot = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    // a regenerated fixture gets a NEW key: drop superseded stage dirs
+    // for this source so regenerations don't leak temp disk forever
+    val prefix = "graft_stream_" + Integer.toHexString(dir.hashCode) + "_"
+    val stageName = prefix + Integer.toHexString(stageKey)
+    try {
+      val listing = java.nio.file.Files.list(tmpRoot)
+      try listing.iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith(prefix) &&
+          p.getFileName.toString != stageName)
+        .foreach { stale =>
+          val files = java.nio.file.Files.walk(stale)
+          try files.iterator().asScala.toSeq.reverseIterator
+            .foreach(f => java.nio.file.Files.deleteIfExists(f))
+          finally files.close()
+        }
+      finally listing.close()
+    } catch { case _: java.io.IOException => () }
+    val staged = tmpRoot.resolve(stageName)
     java.nio.file.Files.createDirectories(staged)
     val target = staged.resolve("events.parquet")
     if (!java.nio.file.Files.exists(target)) {
-      java.nio.file.Files.copy(src, target)
+      // copy to a unique temp name, then ATOMIC_MOVE into place: the
+      // target either doesn't exist or is a complete copy, even if a
+      // JVM dies mid-copy or two JVMs stage concurrently (the loser's
+      // move just finds the target already present)
+      val tmp = java.nio.file.Files.createTempFile(staged, ".stage_", ".tmp")
+      try {
+        java.nio.file.Files.copy(src, tmp,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        try java.nio.file.Files.move(tmp, target,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch { case _: java.nio.file.FileAlreadyExistsException => () }
+      } finally java.nio.file.Files.deleteIfExists(tmp)
     }
     val raw = spark.readStream
       .schema(spark.read.parquet(s"$dir/events.parquet").schema)
