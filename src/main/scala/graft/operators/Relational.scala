@@ -1639,52 +1639,72 @@ object Relational {
        |ORDER BY price_c""".stripMargin
 
   // --------------------------------------------------- shared co-purchase graph
-  /** Canonical co-purchase pairs (u, v, support) with u < v — parts
-    * appearing together in `support` orders. A plain PLAN (not
-    * persisted): the unpruned relation is the same order of magnitude
-    * as the per-order pair expansion itself (sf0.1: 1.196M pairs, ~300×
-    * the mined graph), and caching it is a scale mistake — the round-5
-    * rehearsal measured graph_jaccard 4.6 → 16.5 s at 20× when this
-    * relation was persisted, because the cache spilled and every
-    * downstream filter read through the fat spill instead of the
-    * codegen'd self-join. Callers that need the full set
-    * (graph_pagerank, graph_degree_dist) each materialize it once per
-    * query, exactly the pre-sharing cost. */
-  private[graft] def coPurchasePairs(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-    li.as("a").join(li.as("b"),
-        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-      .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
-      .agg(count(lit(1)).as("support"))
+  /** FAMILY-SHARED directed co-purchase pairs with support —
+    * (src, dst, support) for src ≠ dst, support = co-occurrence count
+    * over per-order row pairs (symmetric, so the src<dst half equals
+    * the canonical counts). Memoized per (application, dir), persisted
+    * MEMORY_AND_DISK_SER: this ONE self-join + groupBy is the
+    * expensive subplan behind the whole graph family, and round 5
+    * charged it three times per sweep (graph_degree_dist's directed
+    * build, graph_jaccard's canon build, graph_pagerank's directed
+    * build — the driver billed those three 49 s together). Every graph
+    * qid now derives from this cached relation: the directed edge set
+    * is a projection (groupBy output is already distinct), the mined
+    * canonical graph is the src<dst ∧ support≥2 filter, degrees are a
+    * re-aggregation.
+    *
+    * Scale contract: the unpruned co-occurrence relation grows with
+    * the corpus, so it is cached SERIALIZED and disk-backed — the
+    * round-5 rehearsal showed a DESERIALIZED cache of this relation
+    * spilling at 20× and costing a lone consumer more than recompute
+    * (graph_jaccard 4.6 → 16.5 s); the calculus changes when three
+    * queries amortize one build and the cache bytes are compact
+    * SER blocks (re-measured at 10×/20× — see docs/DESIGN.md). At
+    * real corpus scale this relation is exactly what a production
+    * pipeline materializes ONCE per corpus as an ETL table; the
+    * family-scope disk-backed cache is the single-node analog. */
+  private val coAllMemo =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+  private[graft] def coPurchaseAll(spark: SparkSession, dir: String): DataFrame = {
+    val key = (spark.sparkContext.applicationId, dir)
+    coAllMemo.get(key)
+      .filter(_.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+      .getOrElse {
+        val li = Tables.lineitem(spark, dir)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        val all = li.as("a").join(li.as("b"),
+            col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
+          .groupBy(col("a.pk").as("src"), col("b.pk").as("dst"))
+          .agg(count(lit(1)).as("support"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+        coAllMemo.put(key, all)
+        all
+      }
   }
 
+  /** Canonical co-purchase pairs (u, v, support) with u < v — a cheap
+    * filter-projection of the family-shared [[coPurchaseAll]] cache. */
+  private[graft] def coPurchasePairs(spark: SparkSession, dir: String): DataFrame =
+    coPurchaseAll(spark, dir)
+      .filter(col("src") < col("dst"))
+      .select(col("src").as("u"), col("dst").as("v"), col("support"))
+
   /** Directed distinct co-purchase pairs (src, dst) — both directions,
-    * all supports. Deliberately ONE self-join subplan (`!=` join +
-    * distinct), NOT canon ∪ swap: a union of two projections of the
-    * canonical relation executes the underlying self-join twice per
-    * materialization (the swapped projections defeat exchange reuse),
-    * and graph_pagerank materializes this relation twice more (degree
-    * count + degree join) — the union form measured ~50 s vs ~30 s at
-    * the 20× rehearsal point. Unpruned and therefore uncached, like
-    * [[coPurchasePairs]]. */
-  private def coPurchaseDirected(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-    li.as("a").join(li.as("b"),
-        col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
-      .select(col("a.pk").as("src"), col("b.pk").as("dst")).distinct()
-  }
+    * all supports: a projection of [[coPurchaseAll]] (its groupBy
+    * output is already distinct per direction). */
+  private def coPurchaseDirected(spark: SparkSession, dir: String): DataFrame =
+    coPurchaseAll(spark, dir).select(col("src"), col("dst"))
 
   /** Canonical SUPPORT-PRUNED edges (u, v): pairs co-occurring in ≥ 2
     * orders — the association-rule support prune every production
-    * co-occurrence graph applies before structure mining. THIS is the
-    * family's shared cached relation (memoized per (application, dir),
-    * the shinglePairStats live-storage contract): it is the mined
+    * co-occurrence graph applies before structure mining. The mined
     * graph graph_triangles / graph_jaccard / graph_shortest_path all
-    * consume, and it is ~300× smaller than the unpruned pair set
-    * (sf0.1: 3,853 vs 1.196M rows) — small enough that caching it is
-    * free at any scale the prune holds. */
+    * consume; ~300× smaller than the unpruned pair set (sf0.1: 3,853
+    * vs 1.196M rows), so its own deserialized cache is free at any
+    * scale the prune holds — and since the build is now a filter of
+    * the cached [[coPurchaseAll]], the first canon consumer no longer
+    * pays a full self-join. Memoized per (application, dir), the
+    * shinglePairStats live-storage contract. */
   private val coCanonMemo =
     scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
   private[graft] def coPurchaseCanon(spark: SparkSession, dir: String): DataFrame = {
@@ -2072,8 +2092,7 @@ object Relational {
     * co-keyed join + groupBy-sum per round (the Pregel round as
     * relational algebra), bitwise-deterministic so the DuckDB oracle
     * can unroll the SAME three rounds as CTEs and hash-compare. Edges
-    * come from the shared [[coPurchasePairs]] plan (unpruned, so NOT
-    * cached — see its scaladoc; the query materializes it once);
+    * are a projection of the family-shared [[coPurchaseAll]] cache;
     * pageRank itself persists the degree-joined relation
     * hash-partitioned on the join key so each iteration shuffles only
     * the small ranks side. */
