@@ -156,6 +156,11 @@ object GraphOps {
     // build it avoids. Freed by the caller's clearCache or executor
     // eviction, same contract as the other iterative loops' persisted
     // inputs.
+    // Deliberately DESERIALIZED (unlike the round-6 SER policy for
+    // build-once-read-once family caches): every iteration re-scans
+    // this relation, and a SER cache re-deserializes 48M edge rows per
+    // round — measured 88.7 s vs ~22 s at the 20× rehearsal point.
+    // Read-many caches keep row format; build-once caches go SER.
     val withDeg = edges.join(deg, "src").repartition(col("src")).persist()
     var ranks = deg.select(col("src").as("node"),
       lit(1000000L).as("rank_e6"))
