@@ -45,6 +45,32 @@ class SharedRelationsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("coPurchaseAll: directed set is symmetric-distinct and the src<dst half carries canonical support") {
+    import org.apache.spark.sql.functions._
+    val all = operators.Relational.coPurchaseAll(spark, sfDir)
+    // (src, dst) pairs are distinct by construction (groupBy output)
+    assert(all.count() == all.select("src", "dst").distinct().count())
+    // symmetric: support(a, b) == support(b, a) for every pair
+    val asym = all.as("f").join(all.as("r"),
+        col("f.src") === col("r.dst") && col("f.dst") === col("r.src"),
+        "full_outer")
+      .filter(col("f.support").isNull || col("r.support").isNull ||
+        col("f.support") =!= col("r.support"))
+    assert(asym.isEmpty, "directed supports must mirror exactly")
+    // the src<dst half must equal an independently-built canonical
+    // aggregation over the raw lineitem self-join
+    val li = sources.Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val indep = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("src"), col("b.pk").as("dst"))
+      .agg(count(lit(1)).as("support"))
+    val half = all.filter(col("src") < col("dst"))
+    assert(half.exceptAll(indep).isEmpty && indep.exceptAll(half).isEmpty,
+      "src<dst half of the shared relation must equal the direct canonical build")
+    spark.catalog.clearCache()
+  }
+
   test("coPurchaseCanon: reused while cached, rebuilt after clearCache, same rows") {
     val a = operators.Relational.coPurchaseCanon(spark, sfDir)
     val rowsA = a.orderBy("u", "v").collect()
