@@ -889,41 +889,81 @@ object Relational {
   /** Fuzzy entity-resolution join: match suppliers against a
     * deterministically corrupted twin registry (one character
     * substituted) under edit distance ≤ 1 — the record-linkage shape
-    * behind dedup of entity tables. Never all-pairs: candidates are
-    * blocked on (2-char prefix, exact length), which the corruption
-    * preserves, so the expensive levenshtein runs only inside tiny
-    * blocks — the same block-then-verify posture as the LSH dedup
-    * family, and the part that survives 100 TB.
-    */
+    * behind dedup of entity tables. Never all-pairs, and never
+    * DEGENERATE blocks either: an earlier (prefix, length) blocking
+    * key put every TPC-H supplier name in ONE block ("Su…", fixed
+    * length) — a hidden all-pairs levenshtein that would go quadratic
+    * on a real registry. Candidates instead come from pigeonhole
+    * banding (the PartEnum partitioning scheme, Arasu et al., VLDB
+    * 2006): equal length + edit distance ≤ 1 forces Hamming ≤ 1, a
+    * single substitution touches at most one of 4 length-relative
+    * bands, so every true match agrees on at least 3 of the 4 — four
+    * equi-joins on (length, 3-band key), unioned and then verified
+    * with the exact levenshtein. Any 3-band key includes part of the
+    * name's discriminative tail, so blocks stay tiny even when every
+    * record shares a long common prefix; per-join cost is O(Σ block²)
+    * over near-unique keys at any registry size. */
   def joinFuzzy(spark: SparkSession, dir: String): DataFrame = {
     val clean = Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_name"))
     val dirty = clean.select(
       (col("s_suppkey") + 1000000L).as("d_key"),
       concat(substring(col("s_name"), 1, 2), lit("x"),
         substring(col("s_name"), 4, 100)).as("d_name"))
-    clean.join(dirty,
-        substring(col("s_name"), 1, 2) === substring(col("d_name"), 1, 2) &&
-          length(col("s_name")) === length(col("d_name")) &&
-          levenshtein(col("s_name"), col("d_name")) <= 1)
+    // 4 length-relative bands: band i of s = s[(i-1)·L div 4 + 1 .. i·L div 4]
+    def banded(df: DataFrame, nameCol: String, p: String): DataFrame =
+      (1 to 4).foldLeft(df.withColumn(s"${p}0", length(col(nameCol)))) {
+        (d, i) =>
+          d.withColumn(s"$p$i", expr(
+            s"substring($nameCol, (${i - 1} * length($nameCol)) div 4 + 1, " +
+              s"($i * length($nameCol)) div 4 - (${i - 1} * length($nameCol)) div 4)"))
+      }
+    val c = banded(clean, "s_name", "cb")
+    val d = banded(dirty, "d_name", "db")
+    val cands = (1 to 4).map { skip =>
+      val cond = (0 to 4).filter(_ != skip)
+        .map(i => col(s"cb$i") === col(s"db$i")).reduce(_ && _)
+      c.join(d, cond)
+        .select(col("s_suppkey"), col("s_name"), col("d_key"), col("d_name"))
+    }.reduce(_ unionByName _).distinct()
+    cands
+      .filter(levenshtein(col("s_name"), col("d_name")) <= 1)
       .select(col("s_suppkey"), col("d_key"),
         levenshtein(col("s_name"), col("d_name")).cast("long").as("dist"))
       .orderBy(col("s_suppkey"), col("d_key"))
   }
 
-  private val joinFuzzyOracle =
-    """WITH clean AS (SELECT s_suppkey, s_name FROM supplier),
-      |dirty AS (
-      |  SELECT s_suppkey + 1000000 AS d_key,
-      |    concat(substring(s_name, 1, 2), 'x', substring(s_name, 4, 100))
-      |      AS d_name
-      |  FROM supplier)
-      |SELECT s_suppkey, d_key,
-      |  CAST(levenshtein(s_name, d_name) AS BIGINT) AS dist
-      |FROM clean JOIN dirty
-      |  ON substring(s_name, 1, 2) = substring(d_name, 1, 2)
-      | AND length(s_name) = length(d_name)
-      | AND levenshtein(s_name, d_name) <= 1
-      |ORDER BY s_suppkey, d_key""".stripMargin
+  private val joinFuzzyOracle = {
+    def bands(nameCol: String, alias: String) = (1 to 4).map { i =>
+      s"substring($nameCol, ((${i - 1} * length($nameCol)) // 4) + 1, " +
+        s"(($i * length($nameCol)) // 4) - ((${i - 1} * length($nameCol)) // 4)) AS $alias$i"
+    }.mkString(", ")
+    def joinOn(skip: Int) =
+      (Seq("cb0 = db0") ++ (1 to 4).filter(_ != skip).map(i => s"cb$i = db$i"))
+        .mkString(" AND ")
+    s"""WITH clean AS (SELECT s_suppkey, s_name FROM supplier),
+       |dirty AS (
+       |  SELECT s_suppkey + 1000000 AS d_key,
+       |    concat(substring(s_name, 1, 2), 'x', substring(s_name, 4, 100))
+       |      AS d_name
+       |  FROM supplier),
+       |cb AS (SELECT s_suppkey, s_name, length(s_name) AS cb0,
+       |  ${bands("s_name", "cb")} FROM clean),
+       |db AS (SELECT d_key, d_name, length(d_name) AS db0,
+       |  ${bands("d_name", "db")} FROM dirty),
+       |cand AS (
+       |  SELECT s_suppkey, s_name, d_key, d_name FROM cb JOIN db ON ${joinOn(1)}
+       |  UNION
+       |  SELECT s_suppkey, s_name, d_key, d_name FROM cb JOIN db ON ${joinOn(2)}
+       |  UNION
+       |  SELECT s_suppkey, s_name, d_key, d_name FROM cb JOIN db ON ${joinOn(3)}
+       |  UNION
+       |  SELECT s_suppkey, s_name, d_key, d_name FROM cb JOIN db ON ${joinOn(4)})
+       |SELECT s_suppkey, d_key,
+       |  CAST(levenshtein(s_name, d_name) AS BIGINT) AS dist
+       |FROM cand
+       |WHERE levenshtein(s_name, d_name) <= 1
+       |ORDER BY s_suppkey, d_key""".stripMargin
+  }
 
   // ------------------------------------------------------------ join_null_safe
   /** Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): NULL keys
