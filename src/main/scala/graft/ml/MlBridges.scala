@@ -99,8 +99,8 @@ object MlBridges {
     // persist: KMeans makes one pass per iteration, and without this each
     // pass re-reads the parquet and re-runs the UDF vectorization; the
     // cache also feeds the two cells subtrees (query + corpus side) of
-    // the candidate join below. Released by the harness's per-query
-    // clearCache.
+    // the candidate join below. Released by the harness's family-
+    // boundary clearCache.
     val base = graft.sources.Tables.embeddings(spark, dir)
       .select(col("vec_id"), toVec(col("embedding")).as("features"),
         expr("transform(embedding, x -> cast(x as double))").as("v"))
@@ -129,6 +129,32 @@ object MlBridges {
       .select(col("qid"), col("pr"), col("c.vec_id").as("cid"),
         round(graft.functions.VectorExprs.dot(col("qv"), col("c.v")) /
           (col("qn") * col("c.n")), 6).as("cos"))
+  }
+
+  /** FAMILY-SHARED full IVF candidate relation: [[ivfCandidates]] at
+    * nprobeMax = nCells — every (query, candidate≠query) pair tagged
+    * with its probe rank `pr` and exact rounded cosine. One KMeans fit
+    * + one candidate join serves BOTH ANN qids: sim_ann_ivf filters
+    * pr ≤ 3 for its answer and ranks the unfiltered relation for its
+    * exact brute-force twin (at nprobe = nCells the candidate set IS
+    * the exhaustive scored set, identical expression shape), and
+    * sim_ann_ivf_sweep filters pr ≤ nprobe per sweep point. Memoized
+    * per (application, dir, nCells, qidBound) with the live-storage
+    * contract of the other family memos; persisted SER (build-once,
+    * read-per-qid). */
+  private val ivfMemo = scala.collection.concurrent.TrieMap
+    .empty[(String, String, Int, Option[Int]), DataFrame]
+  def ivfCandidatesShared(spark: SparkSession, dir: String, nCells: Int,
+      qidBound: Option[Int]): DataFrame = {
+    val key = (spark.sparkContext.applicationId, dir, nCells, qidBound)
+    ivfMemo.get(key)
+      .filter(_.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+      .getOrElse {
+        val full = ivfCandidates(spark, dir, nCells, nCells, qidBound)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+        ivfMemo.put(key, full)
+        full
+      }
   }
 
   /** MinHashLSH approximate-similarity join over token sets — the

@@ -1450,21 +1450,18 @@ object LlmPipeline {
   def simAnnIvf(spark: SparkSession, dir: String): DataFrame = {
     val nQ = 30
     val k = 5
-    val e = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
-      .withColumn("n", VectorExprs.l2(col("v")))
-    val q = e.filter(col("vec_id") < nQ)
-      .select(col("vec_id").as("qid"), col("v").as("qv"), col("n").as("qn"))
-    val exact = broadcast(q).join(e.as("c"), col("qid") =!= col("vec_id"))
-      .select(col("qid"), col("vec_id").as("cid"),
-        round(VectorExprs.dot(col("qv"), col("v")) /
-          (col("qn") * col("n")), 6).as("cos"))
+    // ONE shared KMeans fit + candidate join for the whole ANN family
+    // (sim_ann_ivf_sweep reuses it): the unfiltered relation is the
+    // exhaustive scored set (nprobe = nCells), so the exact brute-force
+    // twin is a rank over it and the IVF answer is the pr ≤ 3 filter.
+    val full = graft.ml.MlBridges
+      .ivfCandidatesShared(spark, dir, nCells = 8, qidBound = Some(nQ))
+    val exact = full
       .withColumn("rk", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("qid")
           .orderBy(col("cos").desc, col("cid"))))
       .filter(col("rk") <= k)
-    val ivf = graft.ml.MlBridges
-      .ivfCandidates(spark, dir, nCells = 8, nprobeMax = 3, qidBound = Some(nQ))
+    val ivf = full.filter(col("pr") <= 3)
       .withColumn("ark", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("qid")
           .orderBy(col("cos").desc, col("cid"))))
@@ -1514,22 +1511,17 @@ object LlmPipeline {
     val nQ = 30
     val k = 5
     val nCells = 8
-    val e = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
-      .withColumn("n", VectorExprs.l2(col("v")))
-    val q = e.filter(col("vec_id") < nQ)
-      .select(col("vec_id").as("qid"), col("v").as("qv"), col("n").as("qn"))
-    val exactSet = broadcast(q).join(e.as("c"), col("qid") =!= col("vec_id"))
-      .select(col("qid"), col("vec_id").as("cid"),
-        round(VectorExprs.dot(col("qv"), col("v")) /
-          (col("qn") * col("n")), 6).as("cos"))
+    // the family-shared full candidate relation (built by sim_ann_ivf
+    // in a bench sweep): exhaustive scored set + probe ranks in one
+    val full = graft.ml.MlBridges
+      .ivfCandidatesShared(spark, dir, nCells, qidBound = Some(nQ))
+    val exactSet = full
       .withColumn("rk", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("qid")
           .orderBy(col("cos").desc, col("cid"))))
       .filter(col("rk") <= k)
       .select(col("qid"), col("cid"))
-    val topk = graft.ml.MlBridges
-      .ivfCandidates(spark, dir, nCells, nprobeMax = nCells, qidBound = Some(nQ))
+    val topk = full
       .select(col("qid"), col("pr"), col("cid"), col("cos"),
         explode(expr("array(1, 2, 4, 8)")).as("nprobe"))
       .filter(col("pr") <= col("nprobe"))
