@@ -13,9 +13,9 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
-      // keep managed-table writes (join_bucketed) off the launch CWD
-      .config("spark.sql.warehouse.dir",
-        System.getProperty("java.io.tmpdir") + "/graft_warehouse")
+      // keep managed-table writes (join_bucketed) off the launch CWD,
+      // and per-process so concurrent JVMs can't race the table builds
+      .config("spark.sql.warehouse.dir", Warehouse.dir)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the session once (codegen compiler, broadcast/shuffle thread

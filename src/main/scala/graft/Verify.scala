@@ -21,9 +21,9 @@ object Verify {
       // default; read as long and convert in graft.sources.Tables.events.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
-      // keep managed-table writes (join_bucketed) off the launch CWD
-      .config("spark.sql.warehouse.dir",
-        System.getProperty("java.io.tmpdir") + "/graft_warehouse")
+      // keep managed-table writes (join_bucketed) off the launch CWD,
+      // and per-process so concurrent JVMs can't race the table builds
+      .config("spark.sql.warehouse.dir", Warehouse.dir)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
