@@ -1617,16 +1617,32 @@ object LlmPipeline {
         .filter(col("src") =!= col("dst"))
         .select(col("src"), col("dst"))
     }.reduce(_ unionByName _).distinct()
-    var edges = topK(score(initCand)).localCheckpoint()
+    // Incremental refinement (the paper's new/old rule): a neighbor pair
+    // only needs scoring in the round after one of its endpoints ENTERED
+    // a neighbor list — pairs of co-resident neighbors were generated in
+    // the round the later one arrived (at init every edge is new), and
+    // an edge that leaves and re-enters re-enters as new. Restricting
+    // candidate generation to ≥1-new pairs drops the dominant old-old
+    // share of the O(n·k²) per-round volume once lists stabilize,
+    // without changing which pairs are ever examined.
+    var edges = topK(score(initCand))
+      .withColumn("isnew", lit(true)).localCheckpoint()
     for (_ <- 1 to rounds) {
-      val adj = edges.select(col("src"), col("dst")).unionByName(
-        edges.select(col("dst").as("src"), col("src").as("dst")))
+      val adj = edges.select(col("src"), col("dst"), col("isnew")).unionByName(
+        edges.select(col("dst").as("src"), col("src").as("dst"), col("isnew")))
       val cand = adj.as("a").join(adj.as("b"), col("a.dst") === col("b.src"))
+        .filter(col("a.isnew") || col("b.isnew"))
         .select(col("a.src").as("src"), col("b.dst").as("dst"))
         .filter(col("src") =!= col("dst"))
         .distinct()
-      val next = topK(edges.unionByName(score(cand))
-          .distinct()) // a re-scored pair reproduces the identical cos
+      val merged = topK(edges.select(col("src"), col("dst"), col("cos"))
+        .unionByName(score(cand))
+        .distinct()) // a re-scored pair reproduces the identical cos
+      val next = merged.join(
+          edges.select(col("src"), col("dst"), lit(true).as("old")),
+          Seq("src", "dst"), "left")
+        .select(col("src"), col("dst"), col("cos"),
+          col("old").isNull.as("isnew"))
         .localCheckpoint()
       GraphOps.freeCheckpoint(edges)
       edges = next
@@ -1635,7 +1651,7 @@ object LlmPipeline {
     // the embedding cache is dead weight from here — free it now rather
     // than leaning on the caller's clearCache
     ev.unpersist(blocking = false)
-    edges
+    edges.select(col("src"), col("dst"), col("cos"))
   }
 
   /** Beam search over the built k-NN graph — the HNSW-style QUERY phase
