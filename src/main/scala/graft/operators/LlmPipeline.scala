@@ -2113,6 +2113,53 @@ object LlmPipeline {
       |       * 1000000) AS BIGINT) AS entropy_e6
       |FROM agg ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------- text_repetition
+  /** Per-doc duplicated word-3-gram fraction — the Gopher/MassiveText
+    * INTRA-document repetition gate (templated boilerplate, scraper
+    * loops, keyword stuffing repeat their own n-grams; natural prose
+    * almost never does). Complements the family's other signals:
+    * dedup_lines finds text repeated ACROSS docs, text_entropy scores
+    * the token distribution — this one scores n-gram self-repetition,
+    * the specific quality rule the public Gopher pipeline gates on.
+    * Fraction = (grams occurring ≥2 times, counted with multiplicity)
+    * / total grams, in e6 integer floor-div units, with the 10% gate
+    * emitted as a flag. One explode + two hash aggregations, both
+    * map-side combinable; at 100 TB the only shuffle is on
+    * (doc_id-keyed) partial aggregates, same profile as text_entropy.
+    */
+  def textRepetition(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      // split once, slice per i (the shingles() lesson: re-splitting
+      // inside the lambda is O(tokens²) character work per doc)
+      .select(col("doc_id"),
+        expr("explode(transform(sequence(1, greatest(size(w) - 2, 1)), " +
+          "i -> concat_ws(' ', slice(w, i, 3))))").as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_grams"),
+        sum(when(col("c") > 1, col("c")).otherwise(lit(0L))).as("n_dup"))
+      .select(col("doc_id"), col("n_grams"),
+        expr("(n_dup * 1000000L) div n_grams").as("dup_e6"))
+      .withColumn("repetitive", col("dup_e6") >= 100000L)
+      .orderBy(col("doc_id"))
+
+  private val textRepetitionOracle =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |g AS (SELECT doc_id, unnest(list_transform(
+      |         generate_series(1, greatest(length(w) - 2, 1)),
+      |         i -> array_to_string(w[i:i+2], ' '))) AS g
+      |      FROM w),
+      |c AS (SELECT doc_id, g, COUNT(*) AS c FROM g GROUP BY doc_id, g),
+      |d AS (SELECT doc_id, SUM(c) AS n_grams,
+      |             SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS n_dup
+      |      FROM c GROUP BY doc_id)
+      |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+      |       CAST(n_dup * 1000000 // n_grams AS BIGINT) AS dup_e6,
+      |       (n_dup * 1000000 // n_grams) >= 100000 AS repetitive
+      |FROM d ORDER BY doc_id""".stripMargin
+
   def queries: Seq[GQuery] = Seq(
     GQuery("dedup_exact", dedupExact, Some(dedupExactOracle),
       "exact dedup by normalized-text hash over a re-crawled corpus"),
@@ -2140,6 +2187,8 @@ object LlmPipeline {
       "NN-Descent k-NN graph (graph-index ANN), recall>=0.6 audit"),
     GQuery("text_entropy", textEntropy, Some(textEntropyOracle),
       "per-doc token Shannon entropy in e6 units (ln-parity pre-checked)"),
+    GQuery("text_repetition", textRepetition, Some(textRepetitionOracle),
+      "Gopher-style intra-doc duplicated-3-gram fraction, e6 + 10% gate"),
     GQuery("sim_knn_class", simKnnClass, Some(simKnnClassOracle),
       "k-NN(10) cosine label vote classifier"),
     GQuery("text_stats", textStats, Some(textStatsOracle),
