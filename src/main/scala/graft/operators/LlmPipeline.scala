@@ -565,21 +565,39 @@ object LlmPipeline {
     * a re-ingested corpus: every 50th vector re-enters under a shifted
     * id with its first component scaled ×1.5 (a "re-encoded media"
     * near-dup, cosine ≈ 0.99). Candidates come from the sign-bit LSH
-    * bucket join (12-bit key → ~4096 buckets; the perturbation
-    * preserves signs, so planted pairs always share a bucket), exact
-    * cosine verifies. The corpus shuffles once on the bucket id — never
-    * a cross join. */
+    * bucket join; the key WIDTH is derived from the corpus count
+    * (target bucket ≈ 16 vectors, floor 12 bits) — a FIXED width is
+    * the O(n²/B) quadratic class the simhash 8-bit bands and the
+    * knn-graph init already eliminated, while a derived width keeps
+    * the in-bucket join linear at any corpus size. The width is
+    * computed by the same scalar-subquery formula in both engines
+    * (ceil(log2) only straddles an integer at exact powers of two,
+    * where log2 is exact — no cross-engine flip). The perturbation
+    * preserves every sign, so planted pairs share a bucket at ANY
+    * width; at every fixture/rehearsal size the formula yields the
+    * original 12 bits. The corpus shuffles once on the bucket id —
+    * never a cross join. */
+  private val signLshBits =
+    "greatest(12L, least(48L, cast(ceil(log2(cnt / 16.0d)) as long)))"
+  /** (vec_id, v) → (vec_id, v, bucket, n) with the derived-width sign
+    * key — the one bucketing definition behind dedup_embed and
+    * sim_ann_lsh (and the width-growth spec). */
+  private[graft] def signLshBucketed(corpus: DataFrame): DataFrame = {
+    val bits = corpus.agg(count(lit(1)).as("cnt"))
+      .select(expr(signLshBits).as("bits"))
+    corpus.crossJoin(broadcast(bits)) // 1-row derived key width
+      .withColumn("bucket",
+        expr("aggregate(transform(sequence(0, cast(bits as int) - 1), " +
+          "i -> if(element_at(v, i + 1) > 0, shiftleft(1L, i), 0L)), 0L, (a, x) -> a + x)"))
+      .withColumn("n", VectorExprs.l2(col("v")))
+  }
   def dedupEmbed(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables.embeddings(spark, dir)
       .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
     val reingested = base.filter(col("vec_id") % 50 === 0)
       .select((col("vec_id") + 1000000).as("vec_id"),
         expr("transform(v, (x, i) -> if(i = 0, x * cast(1.5 as double), x))").as("v"))
-    val e = base.unionByName(reingested)
-      .withColumn("bucket",
-        expr("aggregate(transform(sequence(0, 11), " +
-          "i -> if(element_at(v, i + 1) > 0, shiftleft(1L, i), 0L)), 0L, (a, x) -> a + x)"))
-      .withColumn("n", VectorExprs.l2(col("v")))
+    val e = signLshBucketed(base.unionByName(reingested))
     e.as("a").join(e.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("da"), col("b.vec_id").as("db"),
@@ -599,13 +617,17 @@ object LlmPipeline {
       |         list_transform(v, (x, i) -> CASE WHEN i = 1
       |           THEN x * CAST(1.5 AS DOUBLE) ELSE x END)
       |  FROM base WHERE vec_id % 50 = 0),
+      |bits AS (SELECT GREATEST(12, LEAST(48,
+      |           CAST(CEIL(LOG2(COUNT(*) / 16.0)) AS BIGINT))) AS bits
+      |         FROM corpus),
       |e AS (SELECT vec_id, v,
-      |        list_reduce(list_prepend(0::BIGINT, list_transform(generate_series(0, 11),
+      |        list_reduce(list_prepend(0::BIGINT,
+      |          list_transform(generate_series(0, CAST(bits AS INT) - 1),
       |          i -> CASE WHEN v[i + 1] > 0 THEN (1::BIGINT << i) ELSE 0 END)),
       |          (a, x) -> a + x) AS bucket,
       |        sqrt(list_reduce(list_prepend(0.0, list_transform(v, x -> x * x)),
       |                         (a, x) -> a + x)) AS n
-      |      FROM corpus)
+      |      FROM corpus, bits)
       |SELECT a.vec_id da, b.vec_id db,
       |       ROUND(list_reduce(list_prepend(0.0,
       |               list_transform(generate_series(1, 64), i -> a.v[i] * b.v[i])),
@@ -662,19 +684,19 @@ object LlmPipeline {
 
   // ---------------------------------------------------------------- sim_ann_lsh
   /** LSH-bucketed approximate NN — the scale path. Bucket key = sign
-    * bits of the first 12 dimensions (axis-aligned random-hyperplane
-    * LSH; deterministic and engine-portable). Neighbors are only sought
-    * inside the same bucket: the join is an equi-join on bucket id, so
-    * 100 TB of vectors shuffle once on a ~4096-ary key instead of
-    * cross-joining. Returns per-query top-3 in-bucket by exact cosine.
+    * bits of the leading dimensions (axis-aligned random-hyperplane
+    * LSH; deterministic and engine-portable), with the key WIDTH
+    * derived from the corpus count exactly as in [[dedupEmbed]]
+    * (target bucket ≈ 16, floor 12 bits — a fixed width is the
+    * O(n²/B) quadratic class). Neighbors are only sought inside the
+    * same bucket: the join is an equi-join on bucket id, so 100 TB of
+    * vectors shuffle once on a key whose cardinality GROWS with the
+    * corpus instead of cross-joining. Returns per-query top-3
+    * in-bucket by exact cosine.
     */
   def simAnnLsh(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
-      .withColumn("bucket",
-        expr("aggregate(transform(sequence(0, 11), " +
-          "i -> if(element_at(v, i + 1) > 0, shiftleft(1L, i), 0L)), 0L, (a, x) -> a + x)"))
-      .withColumn("n", VectorExprs.l2(col("v")))
+    val e = signLshBucketed(Tables.embeddings(spark, dir)
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v")))
     e.as("a").join(e.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("qid"), col("b.vec_id").as("cid"),
@@ -691,13 +713,17 @@ object LlmPipeline {
   private val simAnnLshOracle =
     """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       |           FROM embeddings),
+      |bits AS (SELECT GREATEST(12, LEAST(48,
+      |           CAST(CEIL(LOG2(COUNT(*) / 16.0)) AS BIGINT))) AS bits
+      |         FROM v),
       |e AS (SELECT vec_id, v,
-      |        list_reduce(list_prepend(0::BIGINT, list_transform(generate_series(0, 11),
+      |        list_reduce(list_prepend(0::BIGINT,
+      |          list_transform(generate_series(0, CAST(bits AS INT) - 1),
       |          i -> CASE WHEN v[i + 1] > 0 THEN (1::BIGINT << i) ELSE 0 END)),
       |          (a, x) -> a + x) AS bucket,
       |        sqrt(list_reduce(list_prepend(0.0, list_transform(v, x -> x * x)),
       |                         (a, x) -> a + x)) AS n
-      |      FROM v),
+      |      FROM v, bits),
       |scored AS (
       |  SELECT a.vec_id qid, b.vec_id cid,
       |         ROUND(list_reduce(list_prepend(0.0,
