@@ -1245,6 +1245,118 @@ object LlmPipeline {
       |    (a, d) -> a + d * d) AS err_e12
       |FROM embeddings ORDER BY vec_id""".stripMargin
 
+  // -------------------------------------------------------------------- sim_pq
+  /** Product quantization — the codebook compression path of
+    * billion-scale ANN (FAISS-style IVFPQ's PQ half; sim_quantize is
+    * the scalar-int8 half). 64 dims → 8 subspaces × 8 dims, 16 codes
+    * per subspace: a vector stores 8 nibbles instead of 64 floats
+    * (64× smaller), and query scoring is table lookups (ADC) instead
+    * of float dot products. Codebooks here are deterministic SAMPLED
+    * entries — per subspace, the 16 vectors with the smallest seeded
+    * md5 (per-group top-16 = WindowGroupLimit, O(k) state per
+    * subspace) — the PQ baseline; k-means training only tightens
+    * distortion, the encode/score plumbing is identical. Everything
+    * runs in e6 integer units (components rounded once), so code
+    * assignment, the ADC table, and the final distances are
+    * bit-identical across engines, partitionings, and aggregation
+    * orders — the whole PQ path is oracle-checked, not just an audit
+    * flag. Scale: encoding is a broadcast join of the 128-row codebook
+    * against the corpus (map-side, one shuffle for the per-(vec, sub)
+    * argmin); query ADC joins the 2,560-row LUT broadcast against the
+    * n×8 code table and sums per (query, vec) — never a pairwise
+    * float scan of the corpus.
+    */
+  def simPq(spark: SparkSession, dir: String): DataFrame = {
+    val nQ = 20
+    val ve = Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(round(cast(x as double) * 1000000) as bigint))")
+          .as("ve6"))
+    // (vec_id, subspace, 8-dim integer subvector) — n×8 rows
+    val subs = ve.select(col("vec_id"), explode(expr(
+        "transform(sequence(0, 7), s -> struct(s AS s, slice(ve6, s * 8 + 1, 8) AS sub))"))
+        .as("x"))
+      .select(col("vec_id"), col("x.s").as("s"), col("x.sub").as("sub"))
+    // codebook: per subspace the 16 smallest-md5 vectors (seeded, engine-
+    // portable); row_number ≤ 16 is pushed into the sort as a group limit
+    val cbW = org.apache.spark.sql.expressions.Window
+      .partitionBy("s").orderBy(col("h"), col("vec_id"))
+    val codebook = subs
+      .withColumn("h", expr(h32("concat(cast(s as string), ':', cast(vec_id as string))", 7001)))
+      .withColumn("c", row_number().over(cbW) - 1)
+      .filter(col("c") < 16)
+      .select(col("s"), col("c"), col("sub").as("csub"))
+    def sq(a: String, b: String): String =
+      s"aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), 0L, (acc, d) -> acc + d)"
+    // encode: per (vec, subspace) the nearest codebook entry.
+    // min(struct(d, c)) is the lexicographic minimum — the same winner
+    // as the oracle's ORDER BY d, c window with rk = 1, but computed as
+    // a map-side-combinable hash aggregate instead of a window sort.
+    val codes = subs.join(broadcast(codebook), "s")
+      .withColumn("d", expr(sq("sub", "csub")))
+      .groupBy(col("vec_id"), col("s"))
+      .agg(min(struct(col("d"), col("c"))).as("m"))
+      .select(col("vec_id"), col("s"), col("m.c").as("c"))
+    // ADC lookup table: query subvector × every codebook entry
+    val lut = subs.filter(col("vec_id") < nQ)
+      .select(col("vec_id").as("qid"), col("s"), col("sub"))
+      .join(broadcast(codebook), "s")
+      .select(col("qid"), col("s"), col("c"), expr(sq("sub", "csub")).as("d"))
+    // asymmetric distance = Σ_s lut[qid][s][code_s(vec)] — integer sum
+    val adcW = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("adc"), col("cid"))
+    codes.join(broadcast(lut), Seq("s", "c"))
+      .filter(col("qid") =!= col("vec_id"))
+      .groupBy(col("qid"), col("vec_id").as("cid"))
+      .agg(sum(col("d")).as("adc"))
+      .withColumn("rk", row_number().over(adcW))
+      .filter(col("rk") <= 5)
+      .select(col("qid"), col("rk"), col("cid"), col("adc"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
+  private val simPqOracle =
+    """WITH ve AS (
+      |  SELECT vec_id, list_transform(embedding,
+      |           x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS ve6
+      |  FROM embeddings),
+      |subs AS (
+      |  SELECT vec_id, s, ve6[s * 8 + 1 : s * 8 + 8] AS sub
+      |  FROM ve, unnest(generate_series(0, 7)) AS t(s)),
+      |cb AS (
+      |  SELECT s, c, csub FROM (
+      |    SELECT s, sub AS csub,
+      |      ROW_NUMBER() OVER (PARTITION BY s ORDER BY
+      |        CAST(('0x' || substr(md5(concat('7001:', CAST(s AS VARCHAR), ':',
+      |          CAST(vec_id AS VARCHAR))), 1, 8)) AS BIGINT), vec_id) - 1 AS c
+      |    FROM subs)
+      |  WHERE c < 16),
+      |codes AS (
+      |  SELECT vec_id, s, c FROM (
+      |    SELECT subs.vec_id, subs.s, cb.c,
+      |      ROW_NUMBER() OVER (PARTITION BY subs.vec_id, subs.s ORDER BY
+      |        list_reduce(list_prepend(0::BIGINT, list_transform(generate_series(1, 8),
+      |          j -> (sub[j] - csub[j]) * (sub[j] - csub[j]))), (a, x) -> a + x),
+      |        cb.c) AS rk
+      |    FROM subs JOIN cb ON subs.s = cb.s)
+      |  WHERE rk = 1),
+      |lut AS (
+      |  SELECT subs.vec_id AS qid, subs.s, cb.c,
+      |    list_reduce(list_prepend(0::BIGINT, list_transform(generate_series(1, 8),
+      |      j -> (sub[j] - csub[j]) * (sub[j] - csub[j]))), (a, x) -> a + x) AS d
+      |  FROM subs JOIN cb ON subs.s = cb.s
+      |  WHERE subs.vec_id < 20),
+      |adc AS (
+      |  SELECT lut.qid, codes.vec_id AS cid, SUM(lut.d) AS adc
+      |  FROM codes JOIN lut ON codes.s = lut.s AND codes.c = lut.c
+      |  WHERE lut.qid != codes.vec_id
+      |  GROUP BY 1, 2)
+      |SELECT qid, rk, cid, CAST(adc AS BIGINT) AS adc FROM (
+      |  SELECT qid, cid, adc,
+      |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc, cid) AS rk
+      |  FROM adc)
+      |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin
+
   // --------------------------------------------------------- text_ngram_profile
   /** Character-bigram frequency profile per language — the statistical
     * object n-gram language ID is trained from (text_langid consumes a
@@ -2211,6 +2323,8 @@ object LlmPipeline {
       "IVF nprobe sweep 1/2/4/8: recall monotone, exhaustive at nCells"),
     GQuery("sim_knn_graph", simKnnGraph, Some(simKnnGraphOracle),
       "NN-Descent k-NN graph (graph-index ANN), recall>=0.6 audit"),
+    GQuery("sim_pq", simPq, Some(simPqOracle),
+      "product quantization ANN: 8x16 sampled codebooks, integer ADC top-5"),
     GQuery("text_entropy", textEntropy, Some(textEntropyOracle),
       "per-doc token Shannon entropy in e6 units (ln-parity pre-checked)"),
     GQuery("text_repetition", textRepetition, Some(textRepetitionOracle),
