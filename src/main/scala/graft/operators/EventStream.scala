@@ -222,6 +222,52 @@ object EventStream {
       |GROUP BY 1
       |ORDER BY user_id""".stripMargin
 
+  // ------------------------------------------------------------ join_range_band
+  /** Banded range join — the scale pattern for a PURE range predicate
+    * with no equi key (temporal alignment across all keys, IP-range
+    * lookup, geo tiles). join_theta/join_interval ride an equi key, so
+    * their range predicate comes free on the equi shuffle; with no key
+    * a naive range join is a cartesian BNLJ. The band trick restores
+    * an equi-join: bucket both sides by floor(ts / W) for a band width
+    * W ≥ the range radius, explode the PROBE side to its 3 adjacent
+    * bands (a view's single band must equal one of them for the pair
+    * to be in range — and the 3 probe bands are distinct, so no pair
+    * matches twice and no post-dedup is needed), equi-join on the
+    * band, then apply the exact |Δt| filter. Cost is O(n · in-range
+    * density) instead of O(n²); both sides shuffle once on the band
+    * key. Query: per purchase, how many view events ACROSS ALL USERS
+    * landed within ±60 s (global activity context at purchase time —
+    * 0 kept via the left join + count of non-null). The ORACLE states
+    * the naive range semantics directly; only the plan differs.
+    */
+  def joinRangeBand(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val radiusUs = 60L * 1000000L
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purch_id"), unix_micros(col("ts")).as("p_us"))
+      .withColumn("band",
+        explode(expr(s"sequence(p_us div $radiusUs - 1L, p_us div $radiusUs + 1L)")))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), unix_micros(col("ts")).as("v_us"))
+      .withColumn("band", expr(s"v_us div $radiusUs"))
+    purchases.join(views,
+        purchases("band") === views("band") &&
+          abs(col("v_us") - col("p_us")) <= radiusUs,
+        "left")
+      .groupBy(col("purch_id"))
+      .agg(count(col("view_id")).as("n_near_views"))
+      .orderBy(col("purch_id"))
+  }
+
+  private val joinRangeBandOracle =
+    """SELECT p.event_id AS purch_id,
+      |  (SELECT COUNT(*) FROM events v
+      |   WHERE v.event_type = 'view'
+      |     AND abs(epoch_us(v.ts) - epoch_us(p.ts)) <= 60000000) AS n_near_views
+      |FROM events p
+      |WHERE p.event_type = 'purchase'
+      |ORDER BY purch_id""".stripMargin
+
   // --------------------------------------------------------------- event_funnel
   /** Funnel analysis: how many users complete view → click → purchase
     * in event-time order. Per user, one aggregation computes the first
@@ -942,6 +988,8 @@ object EventStream {
       "exact dedup, first-in-event-time survives"),
     GQuery("join_interval", joinInterval, Some(joinIntervalOracle),
       "interval containment join (keyed time band)"),
+    GQuery("join_range_band", joinRangeBand, Some(joinRangeBandOracle),
+      "keyless range join via 3-adjacent-band bucketing (never a BNLJ)"),
     GQuery("pred_stream", predStream, Some(predStreamOracle),
       "train/score split + rolling MAE (online eval shape)")
   )
