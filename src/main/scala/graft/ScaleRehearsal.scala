@@ -28,7 +28,7 @@ object ScaleRehearsal {
   private val baseDir = "/root/testdata/sf0.1"
   private val qids = Seq(
     "dedup_near", "dedup_minhash", "dedup_simhash", "dedup_clusters",
-    "sim_ann_ivf", "sim_knn_graph", "graph_pagerank", "graph_triangles",
+    "sim_ann_ivf", "sim_knn_graph", "sim_pq", "graph_pagerank", "graph_triangles",
     "graph_jaccard", "hier_depth", "graph_shortest_path")
 
   private def synth(spark: SparkSession, scale: Int, outDir: String): Unit = {
