@@ -29,7 +29,13 @@ object ScaleRehearsal {
   private val qids = Seq(
     "dedup_near", "dedup_minhash", "dedup_simhash", "dedup_clusters",
     "sim_ann_ivf", "sim_knn_graph", "sim_pq", "graph_pagerank", "graph_triangles",
-    "graph_jaccard", "hier_depth", "graph_shortest_path")
+    "graph_jaccard", "hier_depth", "graph_shortest_path",
+    // event/stream/window family over the replicated events table
+    // (k× users in the SAME time window — denser traffic, the shape a
+    // growing service actually has; per-user structure per replica is
+    // identical, so output rows must scale exactly k×)
+    "stream_session", "join_asof", "join_range_band", "event_funnel",
+    "win_running_distinct")
 
   private def synth(spark: SparkSession, scale: Int, outDir: String): Unit = {
     val out = new java.io.File(outDir)
@@ -37,7 +43,8 @@ object ScaleRehearsal {
     // family joined the rehearsal get upgraded in place
     if (new java.io.File(out, "_DONE").exists() &&
       new java.io.File(out, "lineitem.parquet").exists() &&
-      new java.io.File(out, "part.parquet").exists()) return
+      new java.io.File(out, "part.parquet").exists() &&
+      new java.io.File(out, "events.parquet").exists()) return
     out.mkdirs()
     val docs = spark.read.parquet(s"$baseDir/documents.parquet")
     val embs = spark.read.parquet(s"$baseDir/embeddings.parquet")
@@ -87,6 +94,22 @@ object ScaleRehearsal {
     // forest precondition). Shifting by exactly max(key)+1 per replica
     // keeps 0..k·n-1 contiguous: one larger random recursive tree,
     // the honest k× shape.
+    // event family: replica r shifts user and event ids into disjoint
+    // ranges but keeps the TIMESTAMPS — k× more users active in the
+    // same window (denser traffic), so sessions/windows/funnels per
+    // replica are identical and outputs must scale exactly k×. ts is
+    // read as raw nanos (nanosAsLong) and written back unchanged;
+    // Tables.events normalizes either physical shape on read.
+    val evt = spark.read.parquet(s"$baseDir/events.parquet")
+    val evtReps = (0 until scale).map { r =>
+      if (r == 0) evt
+      else evt
+        .withColumn("event_id", col("event_id") + lit(r * 100000000L))
+        .withColumn("user_id", col("user_id") + lit(r * 10000000L))
+    }
+    evtReps.reduce(_ unionByName _)
+      .repartition(32).write.mode("overwrite")
+      .parquet(s"$outDir/events.parquet")
     val pt = spark.read.parquet(s"$baseDir/part.parquet")
       .select(col("p_partkey"))
     val ptStride = pt.agg(max(col("p_partkey"))).head().getLong(0) + 1L

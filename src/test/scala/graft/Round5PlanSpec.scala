@@ -14,6 +14,9 @@ import org.apache.spark.sql.catalyst.plans.logical.Window
   *   - sim_ann_ivf_sweep: windows over the 8-row nprobe sweep table.
   *   - text_bm25: ranks the 10 survivors of an orderBy+limit
   *     (TakeOrderedAndProject) — the window input is O(k) rows.
+  *   - join_range_band: the cross-band carry prefix sum runs over ONE
+  *     row per 60-second band — bounded by the time range (one row per
+  *     minute of history), not by event volume.
   *
   * This suite pins that inventory in BOTH directions: any NEW
   * unpartitioned window fails loudly (a scale regression cannot slip
@@ -24,7 +27,8 @@ import org.apache.spark.sql.catalyst.plans.logical.Window
 class Round5PlanSpec extends SparkSpec {
 
   test("skyline_pareto and sim_ann_ivf_sweep are the ONLY unpartitioned windows") {
-    val allowed = Set("skyline_pareto", "sim_ann_ivf_sweep", "text_bm25")
+    val allowed = Set("skyline_pareto", "sim_ann_ivf_sweep", "text_bm25",
+      "join_range_band")
     val offenders = Registry.all.flatMap { q =>
       // optimizedPlan runs analysis + optimizer only — no job for pure
       // plans; iterative qids do execute their build loops at
