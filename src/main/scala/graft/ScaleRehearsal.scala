@@ -35,7 +35,9 @@ object ScaleRehearsal {
     // growing service actually has; per-user structure per replica is
     // identical, so output rows must scale exactly k×)
     "stream_session", "join_asof", "join_range_band", "event_funnel",
-    "win_running_distinct")
+    "win_running_distinct",
+    "ts_resample", "ts_fill", "event_pattern", "stream_dedup_late",
+    "sketch_cms", "sketch_heavy_hitters")
 
   private def synth(spark: SparkSession, scale: Int, outDir: String): Unit = {
     val out = new java.io.File(outDir)
