@@ -1683,7 +1683,7 @@ object Relational {
     * (src, dst, support) for src ≠ dst, support = co-occurrence count
     * over per-order row pairs (symmetric, so the src<dst half equals
     * the canonical counts). Memoized per (application, dir), persisted
-    * MEMORY_AND_DISK_SER: this ONE self-join + groupBy is the
+    * MEMORY_AND_DISK_SER: this ONE basket-explode + groupBy is the
     * expensive subplan behind the whole graph family, and round 5
     * charged it three times per sweep (graph_degree_dist's directed
     * build, graph_jaccard's canon build, graph_pagerank's directed
@@ -1712,9 +1712,24 @@ object Relational {
       .getOrElse {
         val li = Tables.lineitem(spark, dir)
           .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        val all = li.as("a").join(li.as("b"),
-            col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
-          .groupBy(col("a.pk").as("src"), col("b.pk").as("dst"))
+        // Pair generation via per-order baskets, not a self-join: the
+        // self-join shuffles lineitem TWICE (both join sides) and then
+        // shuffles the pair stream a third time for the support count;
+        // collecting each order's basket needs ONE shuffle of lineitem,
+        // pairs are generated map-side by the double explode, and only
+        // the (src, dst) support groupBy shuffles after that. Duplicate
+        // parts stay in the basket and the inequality filter is on the
+        // VALUE, so row-pair multiplicity — hence every support count —
+        // is identical to the row-level self-join with a.pk ≠ b.pk.
+        // Per-basket work is O(k²) either way (k = order size, ≤ 7 in
+        // this schema); a cart-size cap is the standard guard if an
+        // upstream corpus had unbounded baskets.
+        val baskets = li.groupBy(col("ok")).agg(collect_list(col("pk")).as("ps"))
+        val all = baskets
+          .select(explode(col("ps")).as("src"), col("ps"))
+          .select(col("src"), explode(col("ps")).as("dst"))
+          .filter(col("src") =!= col("dst"))
+          .groupBy(col("src"), col("dst"))
           .agg(count(lit(1)).as("support"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
         coAllMemo.put(key, all)
