@@ -1765,7 +1765,8 @@ object LlmPipeline {
     // without changing which pairs are ever examined.
     var edges = topK(score(initCand))
       .withColumn("isnew", lit(true)).localCheckpoint()
-    for (_ <- 1 to rounds) {
+    var converged = false
+    for (_ <- 1 to rounds if !converged) {
       val adj = edges.select(col("src"), col("dst"), col("isnew")).unionByName(
         edges.select(col("dst").as("src"), col("src").as("dst"), col("isnew")))
       val cand = adj.as("a").join(adj.as("b"), col("a.dst") === col("b.src"))
@@ -1784,6 +1785,14 @@ object LlmPipeline {
         .localCheckpoint()
       GraphOps.freeCheckpoint(edges)
       edges = next
+      // Convergence early-exit, bit-identical by construction: with zero
+      // new edges the next round's candidate set is empty (every pair is
+      // old-old), so merged == edges for all remaining rounds — skip
+      // them. A scan of the just-checkpointed blocks (O(n·k), no
+      // shuffle) per round buys the stop; on clustered real embeddings
+      // descent converges in a few rounds and the fixed round budget
+      // stops being the cost driver.
+      converged = next.filter(col("isnew")).limit(1).isEmpty
     }
     // the returned graph is already-materialized checkpoint blocks, so
     // the embedding cache is dead weight from here — free it now rather
