@@ -391,15 +391,21 @@ object PsQueries {
     * top-50 pairs by support with a total-order tiebreak.
     */
   def mfCooccur(spark: SparkSession, dir: String): DataFrame = {
-    val ui = ratings(spark, dir)
-      .select(col("user"), col("item")).distinct()
-    val deg = ui.groupBy(col("user")).agg(count(lit(1)).as("d"))
-      .filter(col("d") <= 30)
-    val capped = ui.join(deg.select("user"), "user")
-    val pairs = capped.as("a")
-      .join(capped.as("b"),
-        col("a.user") === col("b.user") && col("a.item") < col("b.item"))
-      .groupBy(col("a.item").as("item_a"), col("b.item").as("item_b"))
+    // Basket form (the coPurchaseAll pattern): collect_set folds the
+    // DISTINCT into the one groupBy shuffle, the size() filter IS the
+    // degree cap, and pairs are generated map-side by the double
+    // explode — two shuffles total where the distinct + degree join +
+    // self-join route took four. Value comparison a < b over a set
+    // yields each user's unordered item pairs exactly once, identical
+    // to the row-level self-join on the distinct relation.
+    val baskets = ratings(spark, dir)
+      .groupBy(col("user")).agg(collect_set(col("item")).as("items"))
+      .filter(size(col("items")) <= 30)
+    val pairs = baskets
+      .select(explode(col("items")).as("ia"), col("items"))
+      .select(col("ia"), explode(col("items")).as("ib"))
+      .filter(col("ia") < col("ib"))
+      .groupBy(col("ia").as("item_a"), col("ib").as("item_b"))
       .agg(count(lit(1)).as("support"))
     pairs.orderBy(col("support").desc, col("item_a"), col("item_b")).limit(50)
   }
