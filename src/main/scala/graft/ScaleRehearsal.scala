@@ -37,7 +37,15 @@ object ScaleRehearsal {
     "stream_session", "join_asof", "join_range_band", "event_funnel",
     "win_running_distinct",
     "ts_resample", "ts_fill", "event_pattern", "stream_dedup_late",
-    "sketch_cms", "sketch_heavy_hitters")
+    "sketch_cms", "sketch_heavy_hitters",
+    // text family over the replicated documents (disjoint per-replica
+    // token namespaces — k× vocab, per-replica df structure identical)
+    "text_tfidf", "text_bm25", "text_ngram_profile", "text_entropy",
+    "text_repetition", "dedup_lines", "dedup_decontam",
+    // recommender family over replicated orders+lineitem (k× users,
+    // identical per-replica basket structure) and the fixed-query-band
+    // embedding scans (corpus grows, query side stays 20/50 vectors)
+    "mf_cooccur", "mf_topk", "sim_cosine", "ts_simsearch")
 
   private def synth(spark: SparkSession, scale: Int, outDir: String): Unit = {
     val out = new java.io.File(outDir)
@@ -46,7 +54,8 @@ object ScaleRehearsal {
     if (new java.io.File(out, "_DONE").exists() &&
       new java.io.File(out, "lineitem.parquet").exists() &&
       new java.io.File(out, "part.parquet").exists() &&
-      new java.io.File(out, "events.parquet").exists()) return
+      new java.io.File(out, "events.parquet").exists() &&
+      new java.io.File(out, "orders.parquet").exists()) return
     out.mkdirs()
     val docs = spark.read.parquet(s"$baseDir/documents.parquet")
     val embs = spark.read.parquet(s"$baseDir/embeddings.parquet")
@@ -80,15 +89,30 @@ object ScaleRehearsal {
     // (the growth-curve invariant). Only the two columns the graph qids
     // scan are written; their parquet reads prune to these anyway.
     val li = spark.read.parquet(s"$baseDir/lineitem.parquet")
-      .select(col("l_orderkey"), col("l_partkey"))
+      .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
     val liReps = (0 until scale).map { r =>
       if (r == 0) li
       else li.select((col("l_orderkey") + lit(r * 1000000000L)).as("l_orderkey"),
-        (col("l_partkey") + lit(r * 10000000L)).as("l_partkey"))
+        (col("l_partkey") + lit(r * 10000000L)).as("l_partkey"),
+        col("l_quantity"))
     }
     liReps.reduce(_ unionByName _)
       .repartition(32).write.mode("overwrite")
       .parquet(s"$outDir/lineitem.parquet")
+    // recommender family: orders replicate on the SAME orderkey stride
+    // as lineitem (the join key must stay consistent across replicas)
+    // with custkeys shifted into disjoint ranges — k× users, identical
+    // per-replica basket structure, the growth-curve invariant again.
+    val ord = spark.read.parquet(s"$baseDir/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val ordReps = (0 until scale).map { r =>
+      if (r == 0) ord
+      else ord.select((col("o_orderkey") + lit(r * 1000000000L)).as("o_orderkey"),
+        (col("o_custkey") + lit(r * 10000000L)).as("o_custkey"))
+    }
+    ordReps.reduce(_ unionByName _)
+      .repartition(32).write.mode("overwrite")
+      .parquet(s"$outDir/orders.parquet")
     // hierarchy family: replicas must keep the keyspace DENSE —
     // hier_depth's random parent is `h32 mod (p-1)`, i.e. any key
     // below p, so a 10⁷ shift would point most parents at nonexistent

@@ -828,7 +828,13 @@ object LlmPipeline {
   // ----------------------------------------------------------------- text_tfidf
   /** tf-idf: top-3 scoring terms per document (doc_id < 100), idf over
     * the full corpus. Explode → two groupBys → join — every stage is a
-    * keyed shuffle; the small idf side broadcasts at scale. */
+    * keyed shuffle. The BOUNDED side of the scoring join is the
+    * query-band tf slice (≤100 docs' terms), so THAT side broadcasts;
+    * the df relation is the full corpus VOCABULARY — Heaps-law
+    * unbounded, billions of terms at crawl scale — and must stream.
+    * (Round 6 scale audit: this originally broadcast df_, the same
+    * unbounded-broadcast class as the fixed-width LSH keys — fine on
+    * the fixture, an executor OOM on a real corpus.) */
   def textTfidf(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
     val nDocs = d.select(countDistinct("doc_id").as("n"))
@@ -836,8 +842,8 @@ object LlmPipeline {
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val df_ = toks.select("doc_id", "term").distinct()
       .groupBy("term").agg(count(lit(1)).as("df"))
-    tf.filter(col("doc_id") < 100)
-      .join(broadcast(df_), "term")
+    broadcast(tf.filter(col("doc_id") < 100))
+      .join(df_, "term")
       .crossJoin(broadcast(nDocs))
       .withColumn("tfidf", round(col("tf") * log(col("n").cast("double") / col("df")), 6))
       .withColumn("rk", row_number().over(
