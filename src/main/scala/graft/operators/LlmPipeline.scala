@@ -118,6 +118,46 @@ object LlmPipeline {
       }
   }
 
+  /** df cap for the pair-generating shingle universe: one ultra-hot
+    * shingle makes Σdf² quadratic at crawl scale while carrying no
+    * discriminative signal, so shingles hotter than this many documents
+    * are excluded from pair generation (and from the size denominator —
+    * the stats describe the df≤cap universe). At the test SFs max df
+    * ≈ 25, the cap never binds and every result is exact overlap. */
+  private val DfCap = 1000
+
+  /** FAMILY-SHARED per-shingle document baskets (shingle, docs) over
+    * the df≤[[DfCap]] universe — the basket form of the inverted
+    * index, same memo + SER contract as [[shingleBase]]. `docs` is the
+    * sorted doc_id array, so `docs[i] < docs[j]` for i < j and a df=2
+    * basket IS a canonical (src, dst) edge. Pair generation from
+    * baskets needs ONE shuffle of the postings (the groupBy here)
+    * where the postings self-join shuffled them twice — the same
+    * measured trade as the co-purchase basket rewrite. Boundedness:
+    * the hot anti-join runs BEFORE collect_list, so no basket exceeds
+    * [[DfCap]] doc_ids (the giant-row skew hazard is excluded before
+    * the aggregation buffer exists) and per-basket pair volume is
+    * ≤ DfCap² via the streaming double explode, never an in-row
+    * materialized pair array. */
+  private val shingleBasketsMemo =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+  private[graft] def shingleBaskets(spark: SparkSession, dir: String): DataFrame = {
+    val key = (spark.sparkContext.applicationId, dir)
+    shingleBasketsMemo.get(key)
+      .filter(_.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+      .getOrElse {
+        val hot = shingleDf(spark, dir)
+          .filter(col("df") > DfCap).select("shingle")
+        val baskets = shingleBase(spark, dir)
+          .join(hot, Seq("shingle"), "left_anti")
+          .groupBy(col("shingle"))
+          .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+        shingleBasketsMemo.put(key, baskets)
+        baskets
+      }
+  }
+
   // ---------------------------------------------------------------- dedup_exact
   /** Exact dedup by normalized-text hash. The corpus has no literal
     * dups, so the query materializes a duplicated corpus (docs ∪ every
@@ -164,19 +204,24 @@ object LlmPipeline {
     * of THIS relation; building it twice was the bench's single largest
     * repeated subplan (VERDICT r4 §Performance #4).
     *
-    * df-cap sampling contract: shingles hotter than dfCap documents are
-    * excluded from the inverted index AND from the size denominator, so
-    * the stats describe the df≤cap shingle universe. One ultra-hot
-    * shingle makes Σdf² quadratic at crawl scale while carrying no
-    * discriminative signal, so the cap is what bounds the operator
-    * unconditionally at 100 TB; at the test SFs max df ≈ 25, the cap
-    * never binds, and the result equals exact overlap. The hot set is
-    * ≤ |sh|/dfCap DISTINCT shingles — usually tiny under a Zipfian df
-    * distribution but not provably driver-sized, so no broadcast hint:
-    * AQE converts the anti join to broadcast when the built side is in
-    * fact small, and falls back to shuffle otherwise. `sizes` is one
-    * row PER DOCUMENT — broadcast-sized at test SFs, driver-OOM at
-    * crawl scale — so those joins carry no hint either.
+    * df-cap sampling contract: see [[DfCap]] — the stats describe the
+    * df≤cap shingle universe; at the test SFs the cap never binds and
+    * the result equals exact overlap. The hot set is ≤ |sh|/DfCap
+    * DISTINCT shingles — usually tiny under a Zipfian df distribution
+    * but not provably driver-sized, so the anti join carries no
+    * broadcast hint: AQE converts it when the built side is in fact
+    * small. `sizes` is one row PER DOCUMENT — broadcast-sized at test
+    * SFs, driver-OOM at crawl scale — so those joins carry no hint
+    * either.
+    *
+    * Pair generation is the basket double-explode over
+    * [[shingleBaskets]] (one posting shuffle + the pair-stream
+    * groupBy), not a postings self-join (which shuffles the postings
+    * TWICE before the same groupBy) — the co-purchase basket trade,
+    * re-measured here. Per-shingle pair volume is exactly one row per
+    * shared shingle per a<b pair, identical to the self-join's
+    * multiset, so `inter` is bit-identical. `sizes` explodes the same
+    * baskets back to postings — the df≤cap universe by construction.
     *
     * Persisted + memoized per (application, dir): the second family
     * member reuses the cached relation instead of rebuilding the
@@ -191,20 +236,14 @@ object LlmPipeline {
     pairStatsMemo.get(key)
       .filter(_.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
       .getOrElse {
-        val dfCap = 1000
-        // the raw shingle relation feeds the hot-set build, the size
-        // count, and both sides of the self-join — it is the family's
-        // shared [[shingleBase]] cache, built by whichever dedup qid
-        // runs first and reused by all of them
-        val shAll = shingleBase(spark, dir)
-        val hot = shingleDf(spark, dir)
-          .filter(col("df") > dfCap).select("shingle")
-        val sh = shAll.join(hot, Seq("shingle"), "left_anti")
-        val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-        val inter = sh.as("x").join(sh.as("y"),
-            col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
-          .groupBy(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
-          .agg(count(lit(1)).as("inter"))
+        val baskets = shingleBaskets(spark, dir)
+        val sizes = baskets.select(explode(col("docs")).as("doc_id"))
+          .groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+        val inter = baskets
+          .select(explode(col("docs")).as("da"), col("docs"))
+          .select(col("da"), explode(col("docs")).as("db"))
+          .filter(col("da") < col("db"))
+          .groupBy("da", "db").agg(count(lit(1)).as("inter"))
         val stats = inter
           .join(sizes.select(col("doc_id").as("da"), col("n_sh").as("na")), "da")
           .join(sizes.select(col("doc_id").as("db"), col("n_sh").as("nb")), "db")
@@ -1914,13 +1953,13 @@ object LlmPipeline {
     * pipeline needs AFTER pair generation: near-dup is not transitive,
     * so pairs (A,B),(B,C) must collapse to one canonical doc for the
     * whole chain, not two independent keep-one choices. Edges here are
-    * doc pairs sharing a df=2 shingle from the family's SHARED 3-gram
-    * relation [[shingleBase]] (rare-shingle evidence yielding real
+    * doc pairs sharing a df=2 shingle from the family's SHARED basket
+    * relation [[shingleBaskets]] (rare-shingle evidence yielding real
     * transitive chains, not planted 2-cliques) — round 5 re-exploded a
     * private 4-gram relation here, which made the family pay the
-    * document scan + explode + df-count twice back to back; the rare
-    * filter (df=2) and the pair-stats hot filter (df>1000) are now two
-    * cheap aggregations over the one cached postings relation. Labels
+    * document scan + explode + df-count twice back to back; now the
+    * edge set is a filter + projection of the one cached basket
+    * relation, with no pair join at all. Labels
     * converge via [[GraphOps.connectedComponents]] (alternating
     * large-star/small-star contraction, O(log² n) rounds worst case
     * with per-round edge volume that never grows, localCheckpoint
@@ -1930,27 +1969,17 @@ object LlmPipeline {
     * the whole fixpoint exactly.
     */
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingleBase(spark, dir)
-    val rare = shingleDf(spark, dir)
-      .filter(col("df") === 2)
-      .select(col("shingle"))
-    // materialize the rare-shingle postings once: both sides of the
-    // pair self-join read it. This is a small SUBSET of shingleBase
-    // (df=2 rows only), and connectedComponents eagerly checkpoints
-    // its input, so the subset cache is dropped as soon as the CC loop
-    // has consumed the edges — it never co-resides with the family's
-    // later fat relations.
-    val rsh = sh.join(rare, "shingle")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-    val edges = rsh.as("a")
-      .join(rsh.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
+    // a df=2 shingle's basket IS its edge: [[shingleBaskets]] sorts the
+    // doc array, so a 2-doc basket is already a canonical (src, dst)
+    // pair — no rare-postings subset, no self-join, just a filter +
+    // projection of the family's shared basket relation. (df=2 ≤ DfCap,
+    // so the capped universe contains every rare shingle.)
+    val edges = shingleBaskets(spark, dir)
+      .filter(size(col("docs")) === 2)
+      .select(col("docs").getItem(0).as("src"),
+        col("docs").getItem(1).as("dst"))
       .distinct()
     val labels = GraphOps.connectedComponents(edges)
-    // the CC fixpoint is localCheckpoint-materialized: the edge input —
-    // and with it rsh — is fully consumed by the time it returns
-    rsh.unpersist(false)
     val sizes = labels.groupBy(col("lab"))
       .agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "lab")

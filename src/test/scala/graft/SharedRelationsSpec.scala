@@ -45,6 +45,34 @@ class SharedRelationsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("shingleBaskets: sorted capped baskets equal to the postings groupBy; memo rebuilds") {
+    import org.apache.spark.sql.functions._
+    val baskets = operators.LlmPipeline.shingleBaskets(spark, sfDir)
+    assert(operators.LlmPipeline.shingleBaskets(spark, sfDir) eq baskets,
+      "second call while cached must return the memoized instance")
+    // every basket is sorted ascending and non-empty (df=0 impossible)
+    val unsorted = baskets.filter(
+      col("docs") =!= sort_array(col("docs")) || size(col("docs")) < 1)
+    assert(unsorted.isEmpty, "baskets must be sorted non-empty doc arrays")
+    // exploding the baskets recovers exactly the df-capped postings:
+    // pair generation and the size denominator both ride this identity
+    val exploded = baskets
+      .select(col("shingle"), explode(col("docs")).as("doc_id"))
+    val sh = operators.LlmPipeline.shingleBase(spark, sfDir)
+    val capped = sh.join(
+      sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+        .filter(col("df") > 1000).select("shingle"),
+      Seq("shingle"), "left_anti")
+      .select(col("shingle"), col("doc_id"))
+    assert(exploded.exceptAll(capped).isEmpty && capped.exceptAll(exploded).isEmpty,
+      "basket explode must equal the df-capped posting relation")
+    spark.catalog.clearCache()
+    val rebuilt = operators.LlmPipeline.shingleBaskets(spark, sfDir)
+    assert(!(rebuilt eq baskets), "after clearCache the memo must rebuild")
+    assert(rebuilt.count() == baskets.count())
+    spark.catalog.clearCache()
+  }
+
   test("coPurchaseAll: directed set is symmetric-distinct and the src<dst half carries canonical support") {
     import org.apache.spark.sql.functions._
     val all = operators.Relational.coPurchaseAll(spark, sfDir)
