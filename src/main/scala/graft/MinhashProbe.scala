@@ -31,8 +31,23 @@ object MinhashProbe {
         min(expr(s"cast(conv(substring(d${s / 4}, ${s % 4 * 8 + 1}, 8), 16, 10) as bigint)"))
           .as(s"mh$s")
       }
-      val wide = t("wide agg build")(
+      val wide = t("wide agg build (conv per row)")(
         hashed.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*).localCheckpoint())
+      // variant B: min over the fixed-length lowercase-hex SUBSTRING
+      // (lexicographic == numeric for fixed-width hex), conv only the
+      // per-doc minima after the aggregation — 16×|postings| conv
+      // evaluations become 16×|docs|
+      val minAggsB = (0 until 16).map { s =>
+        min(expr(s"substring(d${s / 4}, ${s % 4 * 8 + 1}, 8)")).as(s"h$s")
+      }
+      val wideB = t("wide agg build (string min, conv post-agg)")(
+        hashed.groupBy("doc_id").agg(minAggsB.head, minAggsB.tail: _*)
+          .select(col("doc_id") +:
+            (0 until 16).map(s =>
+              expr(s"cast(conv(h$s, 16, 10) as bigint)").as(s"mh$s")): _*)
+          .localCheckpoint())
+      val mismatch = wide.exceptAll(wideB).count() + wideB.exceptAll(wide).count()
+      println(s"variant mismatch rows: $mismatch")
       val sig = wide.select(col("doc_id"),
         posexplode(array((0 until 16).map(s => col(s"mh$s")): _*)).as(Seq("seed", "mh")))
       val bands = t("banding")(sig.withColumn("band", expr("seed div 4"))
