@@ -45,7 +45,14 @@ object ScaleRehearsal {
     // recommender family over replicated orders+lineitem (k× users,
     // identical per-replica basket structure) and the fixed-query-band
     // embedding scans (corpus grows, query side stays 20/50 vectors)
-    "mf_cooccur", "mf_topk", "sim_cosine", "ts_simsearch")
+    "mf_cooccur", "mf_topk", "sim_cosine", "ts_simsearch",
+    // relational/TPC-H family over the full-column fact replicas —
+    // shuffle joins, grouped aggs, per-group windows, top-k: the
+    // Spark-native shapes whose linearity the engine inherits from
+    // Catalyst, curved here so the claim is measured, not assumed
+    "q1_pricing", "q3_shipping", "q10_returns", "join_inner",
+    "join_theta", "join_skew_salt", "agg_hash", "agg_grouping_sets",
+    "win_rank", "topk_per_group", "limit_topk", "mf_baseline")
 
   private def synth(spark: SparkSession, scale: Int, outDir: String): Unit = {
     val out = new java.io.File(outDir)
@@ -55,7 +62,8 @@ object ScaleRehearsal {
       new java.io.File(out, "lineitem.parquet").exists() &&
       new java.io.File(out, "part.parquet").exists() &&
       new java.io.File(out, "events.parquet").exists() &&
-      new java.io.File(out, "orders.parquet").exists()) return
+      new java.io.File(out, "orders.parquet").exists() &&
+      new java.io.File(out, "customer.parquet").exists()) return
     out.mkdirs()
     val docs = spark.read.parquet(s"$baseDir/documents.parquet")
     val embs = spark.read.parquet(s"$baseDir/embeddings.parquet")
@@ -83,36 +91,56 @@ object ScaleRehearsal {
     embReps.reduce(_ unionByName _)
       .repartition(32).write.mode("overwrite")
       .parquet(s"$outDir/embeddings.parquet")
-    // graph family: replica r shifts order and part keys into disjoint
-    // ranges, so the co-purchase graph becomes k disjoint copies of the
-    // base graph — k× nodes, k× edges, identical per-replica structure
-    // (the growth-curve invariant). Only the two columns the graph qids
-    // scan are written; their parquet reads prune to these anyway.
+    // graph/recommender/relational families: lineitem and orders
+    // replicate FULL-COLUMN with every key shifted into a disjoint
+    // range on a consistent stride (orderkey 10⁹ on both tables so the
+    // join key stays aligned; partkey 10⁷, suppkey 10⁶, custkey 10⁷)
+    // and every non-key attribute kept verbatim — so the co-purchase
+    // graph becomes k disjoint copies, baskets stay identical per
+    // replica, and the TPC-H-shaped joins/aggs/windows see k× rows
+    // with an unchanged attribute distribution (the growth-curve
+    // invariant for the relational family).
     val li = spark.read.parquet(s"$baseDir/lineitem.parquet")
-      .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
     val liReps = (0 until scale).map { r =>
       if (r == 0) li
-      else li.select((col("l_orderkey") + lit(r * 1000000000L)).as("l_orderkey"),
-        (col("l_partkey") + lit(r * 10000000L)).as("l_partkey"),
-        col("l_quantity"))
+      else li
+        .withColumn("l_orderkey", col("l_orderkey") + lit(r * 1000000000L))
+        .withColumn("l_partkey", col("l_partkey") + lit(r * 10000000L))
+        .withColumn("l_suppkey", col("l_suppkey") + lit(r * 1000000L))
     }
     liReps.reduce(_ unionByName _)
       .repartition(32).write.mode("overwrite")
       .parquet(s"$outDir/lineitem.parquet")
-    // recommender family: orders replicate on the SAME orderkey stride
-    // as lineitem (the join key must stay consistent across replicas)
-    // with custkeys shifted into disjoint ranges — k× users, identical
-    // per-replica basket structure, the growth-curve invariant again.
     val ord = spark.read.parquet(s"$baseDir/orders.parquet")
-      .select(col("o_orderkey"), col("o_custkey"))
     val ordReps = (0 until scale).map { r =>
       if (r == 0) ord
-      else ord.select((col("o_orderkey") + lit(r * 1000000000L)).as("o_orderkey"),
-        (col("o_custkey") + lit(r * 10000000L)).as("o_custkey"))
+      else ord
+        .withColumn("o_orderkey", col("o_orderkey") + lit(r * 1000000000L))
+        .withColumn("o_custkey", col("o_custkey") + lit(r * 10000000L))
     }
     ordReps.reduce(_ unionByName _)
       .repartition(32).write.mode("overwrite")
       .parquet(s"$outDir/orders.parquet")
+    // customer/supplier replicate on the same custkey/suppkey shifts
+    // (nationkey kept — the nation/region dims stay fixed, copied
+    // verbatim below: dimensions don't grow with the fact tables)
+    val cust = spark.read.parquet(s"$baseDir/customer.parquet")
+    (0 until scale).map { r =>
+      if (r == 0) cust
+      else cust.withColumn("c_custkey", col("c_custkey") + lit(r * 10000000L))
+    }.reduce(_ unionByName _)
+      .repartition(32).write.mode("overwrite")
+      .parquet(s"$outDir/customer.parquet")
+    val supp = spark.read.parquet(s"$baseDir/supplier.parquet")
+    (0 until scale).map { r =>
+      if (r == 0) supp
+      else supp.withColumn("s_suppkey", col("s_suppkey") + lit(r * 1000000L))
+    }.reduce(_ unionByName _)
+      .repartition(4).write.mode("overwrite")
+      .parquet(s"$outDir/supplier.parquet")
+    for (dim <- Seq("nation", "region"))
+      spark.read.parquet(s"$baseDir/$dim.parquet")
+        .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$dim.parquet")
     // hierarchy family: replicas must keep the keyspace DENSE —
     // hier_depth's random parent is `h32 mod (p-1)`, i.e. any key
     // below p, so a 10⁷ shift would point most parents at nonexistent
