@@ -38,6 +38,8 @@ object ScaleRehearsal {
     "win_running_distinct",
     "ts_resample", "ts_fill", "event_pattern", "stream_dedup_late",
     "sketch_cms", "sketch_heavy_hitters",
+    "ts_outlier", "ts_trend", "ts_changepoint", "ts_acf",
+    "ts_seasonal", "event_markov", "event_attribution", "agg_retention",
     // text family over the replicated documents (disjoint per-replica
     // token namespaces — k× vocab, per-replica df structure identical)
     "text_tfidf", "text_bm25", "text_ngram_profile", "text_entropy",
