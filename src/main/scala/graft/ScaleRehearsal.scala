@@ -40,6 +40,8 @@ object ScaleRehearsal {
     "sketch_cms", "sketch_heavy_hitters",
     "ts_outlier", "ts_trend", "ts_changepoint", "ts_acf",
     "ts_seasonal", "event_markov", "event_attribution", "agg_retention",
+    "sketch_bloom", "sketch_tow", "sketch_minhash", "sketch_hll_union",
+    "sketch_quantile", "sketch_bloom_portable",
     // text family over the replicated documents (disjoint per-replica
     // token namespaces — k× vocab, per-replica df structure identical)
     "text_tfidf", "text_bm25", "text_ngram_profile", "text_entropy",
