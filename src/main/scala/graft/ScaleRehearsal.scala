@@ -42,6 +42,7 @@ object ScaleRehearsal {
     "ts_seasonal", "event_markov", "event_attribution", "agg_retention",
     "sketch_bloom", "sketch_tow", "sketch_minhash", "sketch_hll_union",
     "sketch_quantile", "sketch_bloom_portable",
+    "ps_transform", "ps_partition", "pa_multi", "mf_sgd",
     // text family over the replicated documents (disjoint per-replica
     // token namespaces — k× vocab, per-replica df structure identical)
     "text_tfidf", "text_bm25", "text_ngram_profile", "text_entropy",
