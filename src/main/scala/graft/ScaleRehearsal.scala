@@ -70,6 +70,15 @@ object ScaleRehearsal {
       new java.io.File(out, "orders.parquet").exists() &&
       new java.io.File(out, "customer.parquet").exists()) return
     out.mkdirs()
+    // this dir is being (re)generated: derived snapshots keyed by the
+    // dir PATH (the ratings materialized view, the binaryFile staging)
+    // would otherwise keep serving the previous corpus forever —
+    // Snapshots trusts _SUCCESS and has no content key. Drop them so
+    // the first consumer rebuilds from the new tables.
+    val tmpRoot = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    for (prefix <- Seq("graft_ratings_", "graft_binfile_docs_"))
+      graft.sources.Snapshots.deleteRecursively(
+        tmpRoot.resolve(prefix + Integer.toHexString(outDir.hashCode)))
     val docs = spark.read.parquet(s"$baseDir/documents.parquet")
     val embs = spark.read.parquet(s"$baseDir/embeddings.parquet")
     val docReps = (0 until scale).map { r =>

@@ -97,34 +97,15 @@ object LlmPipeline {
       }
   }
 
-  /** Family-shared per-shingle document frequency (shingle, df) over
-    * [[shingleBase]] — ONE aggregation pass serving two different
-    * thresholds: dedup_clusters keeps df=2 (rare-shingle edge
-    * evidence), [[shinglePairStats]] drops df>1000 (hot-set cap).
-    * Without it each qid re-aggregates the full postings relation for
-    * its own filter. Same memo + SER-storage contract as the base. */
-  private val shingleDfMemo =
-    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
-  private[graft] def shingleDf(spark: SparkSession, dir: String): DataFrame = {
-    val key = (spark.sparkContext.applicationId, dir)
-    shingleDfMemo.get(key)
-      .filter(_.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
-      .getOrElse {
-        val df = shingleBase(spark, dir)
-          .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-        shingleDfMemo.put(key, df)
-        df
-      }
-  }
-
   /** df cap for the pair-generating shingle universe: one ultra-hot
     * shingle makes Σdf² quadratic at crawl scale while carrying no
     * discriminative signal, so shingles hotter than this many documents
     * are excluded from pair generation (and from the size denominator —
     * the stats describe the df≤cap universe). At the test SFs max df
-    * ≈ 25, the cap never binds and every result is exact overlap. */
-  private val DfCap = 1000
+    * ≈ 25, the cap never binds and every result is exact overlap.
+    * private[graft] so the spec locks against THIS value, not a
+    * hardcoded copy that could drift. */
+  private[graft] val DfCap = 1000L
 
   /** FAMILY-SHARED per-shingle document baskets (shingle, docs) over
     * the df≤[[DfCap]] universe — the basket form of the inverted
@@ -146,7 +127,12 @@ object LlmPipeline {
     shingleBasketsMemo.get(key)
       .filter(_.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
       .getOrElse {
-        val hot = shingleDf(spark, dir)
+        // hot-set built inline, un-persisted: this aggregation runs
+        // exactly once per basket build (itself memoized), so caching
+        // the full (shingle, df) relation for the family's lifetime
+        // would be dead residency on a contended host
+        val hot = shingleBase(spark, dir)
+          .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
           .filter(col("df") > DfCap).select("shingle")
         val baskets = shingleBase(spark, dir)
           .join(hot, Seq("shingle"), "left_anti")

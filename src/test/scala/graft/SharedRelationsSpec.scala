@@ -27,20 +27,14 @@ class SharedRelationsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
-  test("shingleBase/shingleDf: reused while cached, rebuilt after clearCache, consistent") {
+  test("shingleBase: reused while cached, rebuilt after clearCache, consistent") {
     val base = operators.LlmPipeline.shingleBase(spark, sfDir)
-    val df = operators.LlmPipeline.shingleDf(spark, sfDir)
     assert(operators.LlmPipeline.shingleBase(spark, sfDir) eq base)
-    assert(operators.LlmPipeline.shingleDf(spark, sfDir) eq df)
-    // df must be exactly the aggregation of the base relation
     val nPostings = base.count()
-    assert(df.agg(org.apache.spark.sql.functions.sum("df")).head.getLong(0) == nPostings,
-      "sum of per-shingle df must equal the posting count")
     spark.catalog.clearCache()
     assert(base.storageLevel == StorageLevel.NONE)
     val base2 = operators.LlmPipeline.shingleBase(spark, sfDir)
-    val df2 = operators.LlmPipeline.shingleDf(spark, sfDir)
-    assert(!(base2 eq base) && !(df2 eq df), "memo must rebuild after clearCache")
+    assert(!(base2 eq base), "memo must rebuild after clearCache")
     assert(base2.count() == nPostings)
     spark.catalog.clearCache()
   }
@@ -61,7 +55,7 @@ class SharedRelationsSpec extends SparkSpec {
     val sh = operators.LlmPipeline.shingleBase(spark, sfDir)
     val capped = sh.join(
       sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-        .filter(col("df") > 1000).select("shingle"),
+        .filter(col("df") > operators.LlmPipeline.DfCap).select("shingle"),
       Seq("shingle"), "left_anti")
       .select(col("shingle"), col("doc_id"))
     assert(exploded.exceptAll(capped).isEmpty && capped.exceptAll(exploded).isEmpty,
