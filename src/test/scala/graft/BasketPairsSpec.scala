@@ -85,4 +85,51 @@ class BasketPairsSpec extends SparkSpec {
       rows.unpersist()
     }
   }
+
+  /** shinglePairStats' claim (the third basket form): over a DISTINCT
+    * (key, value) posting relation with a df cap on the key, sorted
+    * collect_list + double explode with a < b yields one row per
+    * shared key per unordered pair — identical to the capped postings
+    * self-join `x.key = y.key AND x.v < y.v` — and a size-2 basket is
+    * itself the canonical pair (the dedup_clusters edge path). */
+  test("shingle-style basket pair stats equal the capped postings self-join on random data") {
+    for ((seed, cap) <- Seq((7, 6), (42, 4), (1234, 9))) {
+      // distinct postings: a doc lists a shingle at most once
+      val sh = randomRows(seed).select(col("v").as("doc"), col("k").as("shingle"))
+        .distinct().cache()
+      val hot = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+        .filter(col("df") > cap).select("shingle")
+      val capped = sh.join(hot, Seq("shingle"), "left_anti")
+      val bySelfJoin = capped.as("x").join(capped.as("y"),
+          col("x.shingle") === col("y.shingle") && col("x.doc") < col("y.doc"))
+        .groupBy(col("x.doc").as("da"), col("y.doc").as("db"))
+        .agg(count(lit(1)).as("inter"))
+      val baskets = capped.groupBy("shingle")
+        .agg(sort_array(collect_list(col("doc"))).as("docs")).cache()
+      val byBasket = baskets
+        .select(explode(col("docs")).as("da"), col("docs"))
+        .select(col("da"), explode(col("docs")).as("db"))
+        .filter(col("da") < col("db"))
+        .groupBy("da", "db").agg(count(lit(1)).as("inter"))
+      val a = bySelfJoin.orderBy("da", "db").collect().toSeq
+      val b = byBasket.orderBy("da", "db").collect().toSeq
+      assert(a == b, s"seed=$seed cap=$cap: basket pair stats diverge from self-join")
+      // a 2-doc basket IS the canonical edge: filter+projection must
+      // equal the distinct pair set of df=2 keys from the self-join
+      val edgesByBasket = baskets.filter(size(col("docs")) === 2)
+        .select(col("docs").getItem(0).as("src"), col("docs").getItem(1).as("dst"))
+        .distinct()
+      val df2 = capped.groupBy("shingle").agg(count(lit(1)).as("df"))
+        .filter(col("df") === 2).select("shingle")
+      val edgesBySelfJoin = capped.join(df2, "shingle").as("x")
+        .join(capped.join(df2, "shingle").as("y"),
+          col("x.shingle") === col("y.shingle") && col("x.doc") < col("y.doc"))
+        .select(col("x.doc").as("src"), col("y.doc").as("dst"))
+        .distinct()
+      val ea = edgesBySelfJoin.orderBy("src", "dst").collect().toSeq
+      val eb = edgesByBasket.orderBy("src", "dst").collect().toSeq
+      assert(ea == eb, s"seed=$seed cap=$cap: df=2 basket edges diverge")
+      baskets.unpersist(); sh.unpersist()
+    }
+  }
 }
