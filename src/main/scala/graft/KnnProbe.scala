@@ -13,13 +13,16 @@ object KnnProbe {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    val k = sys.env.get("KNN_K").map(_.toInt).getOrElse(12)
+    val nB = sys.env.get("KNN_BUCKETINGS").map(_.toInt).getOrElse(8)
+    val bSz = sys.env.get("KNN_BUCKET_SIZE").map(_.toInt).getOrElse(16)
     val rounds = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(4, 5)
     import graft.operators.LlmPipeline
     import graft.functions.VectorExprs
     for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
         "/root/testdata/sf0.1"); r <- rounds) {
       val t0 = System.nanoTime()
-      val edges = LlmPipeline.knnGraphEdges(spark, dir, 12, r)
+      val edges = LlmPipeline.knnGraphEdges(spark, dir, k, r, nB, bSz)
       val ev = graft.sources.Tables.embeddings(spark, dir)
         .select(col("vec_id"),
           expr("transform(embedding, x -> cast(x as double))").as("v"))

@@ -817,10 +817,14 @@ object EventStream {
     * event-time order, which is also how a streaming CEP engine's NFA
     * sees them). Pattern here: view → click → purchase CONSECUTIVE in
     * one user's stream (no interleaving events — stricter than
-    * event_funnel's first-timestamp funnel) and completing within 2
+    * event_funnel's first-timestamp funnel) and completing within 24
     * hours. Emits one row per match anchored at the purchase. One
     * shuffle on user_id; the lag window is the same pass a
-    * sessionization would ride.
+    * sessionization would ride. (Round 7: the bound was 2 h, which the
+    * fixture's event spacing never satisfies — the oracle matched on
+    * the empty set at every SF, a vacuous pass. 24 h yields a
+    * deterministic non-empty match set: 5 rows at sf0.001, 54 at
+    * sf0.01, measured in DuckDB before the change.)
     */
   def eventPattern(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -832,7 +836,7 @@ object EventStream {
       .withColumn("eid2", lag(col("event_id"), 2).over(w))
       .filter(col("event_type") === "purchase" && col("t1") === "click" &&
         col("t2") === "view" &&
-        col("ts").cast("long") - col("ts2").cast("long") <= 7200L)
+        col("ts").cast("long") - col("ts2").cast("long") <= 86400L)
       .select(col("user_id"), col("eid2").as("view_id"),
         col("event_id").as("purchase_id"),
         (col("ts").cast("long") - col("ts2").cast("long")).as("span_sec"))
@@ -852,7 +856,7 @@ object EventStream {
       |       epoch_us(ts) // 1000000 - epoch_us(ts2) // 1000000 AS span_sec
       |FROM r
       |WHERE event_type = 'purchase' AND t1 = 'click' AND t2 = 'view'
-      |  AND epoch_us(ts) // 1000000 - epoch_us(ts2) // 1000000 <= 7200
+      |  AND epoch_us(ts) // 1000000 - epoch_us(ts2) // 1000000 <= 86400
       |ORDER BY user_id, purchase_id""".stripMargin
 
   // --------------------------------------------------------- event_attribution

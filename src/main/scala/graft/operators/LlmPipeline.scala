@@ -1406,12 +1406,20 @@ object LlmPipeline {
       // element_at on the array is O(1). Char-split alignment equals the
       // oracle's codepoint substring on this corpus (ASCII-only,
       // fixture-verified); non-[a-z] pairs are filtered either way.
+      // Round 7: the [a-z]{2} gate moved INSIDE the array, as two range
+      // comparisons on the single chars (for a one-char string, 'a' <=
+      // c <= 'z' is exactly the regex class: multi-byte UTF-8 leads
+      // with bytes > 'z' and is excluded under binary collation either
+      // way) — the per-bigram regex engine was the only non-codegen-
+      // friendly piece of this pipeline, and filtering BEFORE explode
+      // also shrinks the exploded relation to letter-pairs only.
       .select(col("lang"), split(lower(col("text")), "").as("cs"))
       .select(col("lang"), explode(expr(
-        "transform(sequence(1, size(cs) - 1), " +
-          "i -> concat(element_at(cs, i), element_at(cs, i + 1)))"))
-        .as("bigram"))
-      .filter(col("bigram").rlike("^[a-z]{2}$"))
+        "filter(transform(sequence(1, size(cs) - 1), " +
+          "i -> struct(element_at(cs, i) as a, element_at(cs, i + 1) as b)), " +
+          "p -> p.a >= 'a' and p.a <= 'z' and p.b >= 'a' and p.b <= 'z')"))
+        .as("p"))
+      .select(col("lang"), concat(col("p.a"), col("p.b")).as("bigram"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("lang").orderBy(col("n").desc, col("bigram"))
     bi.groupBy(col("lang"), col("bigram")).agg(count(lit(1)).as("n"))
@@ -1724,7 +1732,7 @@ object LlmPipeline {
     * geometry-free deterministic expander init (cosine top-k within
     * EIGHT independent md5 bucketings — one bucketing's components are
     * closed under neighbor-of-neighbor and descent could never leave
-    * them; the union mixes), then iterate 5 rounds: candidates =
+    * them; the union mixes), then iterate 4 rounds: candidates =
     * neighbors-of-neighbors over the symmetrized graph, keep the best
     * k=12 per node by exact cosine. Each round is two self-joins + a
     * windowed top-k — all keyed, never all-pairs; per-round candidate
@@ -1737,7 +1745,7 @@ object LlmPipeline {
     * DuckDB-oracle-able) plus `recall_ok` — the NN-Descent graph's
     * out-edges recovered ≥ 60% of those exact neighbors. Deterministic
     * (seeded hashes, total-order tie-breaks), measured 0.90 / 0.93 /
-    * 0.73 at sf0.001/0.01/0.1. The fixture embeddings are uniform
+    * 0.71 at sf0.001/0.01/0.1. The fixture embeddings are uniform
     * random — NO metric clustering — which is NN-Descent's worst case
     * (neighbor-of-neighbor carries no signal beyond sampling); on real
     * clustered embeddings the same loop converges far faster, so the
@@ -1748,7 +1756,7 @@ object LlmPipeline {
   /** The NN-Descent loop itself: returns the directed k-NN graph
     * (src, dst, cos). Shared by the qid and its diagnostics. */
   private[graft] def knnGraphEdges(spark: SparkSession, dir: String,
-      k: Int, rounds: Int): DataFrame = {
+      k: Int, rounds: Int, bucketings: Int = 8, bucketSize: Int = 16): DataFrame = {
     val ev = Tables.embeddings(spark, dir)
       .select(col("vec_id"),
         expr("transform(embedding, x -> cast(x as double))").as("v"))
@@ -1759,13 +1767,6 @@ object LlmPipeline {
       .join(ev.select(col("vec_id").as("dst"), col("v").as("qv"), col("n").as("qn")), "dst")
       .select(col("src"), col("dst"),
         (VectorExprs.dot(col("pv"), col("qv")) / (col("pn") * col("qn"))).as("cos"))
-    // one top-k sort per round (scored candidates + carried edges
-    // together), not one inside the scoring and another after the union
-    def topK(scored: DataFrame): DataFrame = scored
-      .withColumn("rk", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy("src")
-          .orderBy(col("cos").desc, col("dst"))))
-      .filter(col("rk") <= k).select(col("src"), col("dst"), col("cos"))
     // Init must MIX: a single bucketing's components are closed under
     // neighbor-of-neighbor (each bucket's out-edges stay in-bucket, so
     // descent can never leave its seed component — measured: recall
@@ -1776,16 +1777,22 @@ object LlmPipeline {
     // makes init volume O(n), where a fixed bucket count would make it
     // O(n²/B) — the same quadratic class the simhash 8-bit bands had.
     // (The one count() is the same driver-scalar the iterative
-    // trainers use for loop control — not per-row collection.)
-    val nBuckets = math.max(1L, ev.count() / 16L)
-    val initCand = (1 to 8).map { s =>
-      val withB = ev.select(col("vec_id"),
-        expr(s"pmod(${h32("vec_id", 100 + s)}, $nBuckets)").as("b"))
-      withB.select(col("vec_id").as("src"), col("b"))
-        .join(withB.select(col("vec_id").as("dst"), col("b")), "b")
-        .filter(col("src") =!= col("dst"))
-        .select(col("src"), col("dst"))
-    }.reduce(_ unionByName _).distinct()
+    // trainers use for loop control — not per-row collection.) Round 7
+    // folded the eight per-seed self-joins into ONE join on the
+    // (seed, bucket) pair column — identical candidate set (the seed
+    // lives in the key, so cross-seed rows never meet), 1 shuffle join
+    // instead of 8.
+    val nBuckets = math.max(1L, ev.count() / bucketSize)
+    val withB = ev.select(col("vec_id"), explode(expr(
+      s"transform(sequence(1, $bucketings), s -> named_struct(" +
+        s"'s', s, 'b', pmod(cast(conv(substring(md5(concat(" +
+        s"cast(100 + s as string), ':', vec_id)), 1, 8), 16, 10) as bigint), $nBuckets)))"))
+      .as("sb"))
+    val initCand = withB.select(col("vec_id").as("src"), col("sb"))
+      .join(withB.select(col("vec_id").as("dst"), col("sb")), "sb")
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst")) // dups (pair in 2+ bucketings) are
+      // rescored identically and collapsed by topKFlag's groupBy
     // Incremental refinement (the paper's new/old rule): a neighbor pair
     // only needs scoring in the round after one of its endpoints ENTERED
     // a neighbor list — pairs of co-resident neighbors were generated in
@@ -1794,8 +1801,29 @@ object LlmPipeline {
     // candidate generation to ≥1-new pairs drops the dominant old-old
     // share of the O(n·k²) per-round volume once lists stabilize,
     // without changing which pairs are ever examined.
-    var edges = topK(score(initCand))
-      .withColumn("isnew", lit(true)).localCheckpoint()
+    //
+    // Round-7 round-body restatement (same graph per round, fewer
+    // shuffles — KnnDescentSpec still locks exact equivalence to the
+    // naive full-rejoin loop): the candidate `distinct`, the carried∪
+    // scored `distinct`, and the old/new anti-join were three separate
+    // wide ops over the round's largest relation. Now candidates flow
+    // to scoring WITHOUT pre-dedup (a re-scored duplicate reproduces
+    // the identical cos, and the broadcast-sized embedding join makes
+    // re-scoring cheaper than a dedicated shuffle), and ONE
+    // groupBy(src, dst) both dedups and computes the old flag
+    // (max(cos) over identical values; an old edge contributes its
+    // carried old=true row, so max(old) is "was already a neighbor").
+    // Per round: 2 wide ops (groupBy + top-k window) instead of 4.
+    def topKFlag(merged: DataFrame): DataFrame = merged
+      .groupBy(col("src"), col("dst"))
+      .agg(max(col("cos")).as("cos"), max(col("old")).as("old"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("src")
+          .orderBy(col("cos").desc, col("dst"))))
+      .filter(col("rk") <= k)
+      .select(col("src"), col("dst"), col("cos"), (!col("old")).as("isnew"))
+    var edges = topKFlag(score(initCand).withColumn("old", lit(false)))
+      .localCheckpoint()
     var converged = false
     for (_ <- 1 to rounds if !converged) {
       val adj = edges.select(col("src"), col("dst"), col("isnew")).unionByName(
@@ -1804,15 +1832,9 @@ object LlmPipeline {
         .filter(col("a.isnew") || col("b.isnew"))
         .select(col("a.src").as("src"), col("b.dst").as("dst"))
         .filter(col("src") =!= col("dst"))
-        .distinct()
-      val merged = topK(edges.select(col("src"), col("dst"), col("cos"))
-        .unionByName(score(cand))
-        .distinct()) // a re-scored pair reproduces the identical cos
-      val next = merged.join(
-          edges.select(col("src"), col("dst"), lit(true).as("old")),
-          Seq("src", "dst"), "left")
-        .select(col("src"), col("dst"), col("cos"),
-          col("old").isNull.as("isnew"))
+      val next = topKFlag(
+        edges.select(col("src"), col("dst"), col("cos"), lit(true).as("old"))
+          .unionByName(score(cand).withColumn("old", lit(false))))
         .localCheckpoint()
       GraphOps.freeCheckpoint(edges)
       edges = next
@@ -1888,10 +1910,12 @@ object LlmPipeline {
   def simKnnGraph(spark: SparkSession, dir: String): DataFrame = {
     val nQ = 30
     val topQ = 5
-    // rounds=5: measured recall 0.90/0.93/0.73 at the three SFs (vs
-    // 0.90/0.93/0.75 at 6) — one full round of wall time buys 2 hits
-    // out of 150 against a 90-hit contract; 5 keeps a 20-hit margin
-    val edges = knnGraphEdges(spark, dir, k = 12, rounds = 5)
+    // rounds=4: measured recall 0.90/0.93/0.71 at the three SFs (vs
+    // 0.90/0.93/0.73 at 5) — the fifth round of wall time bought 3
+    // hits out of 150 against a 90-hit floor; 4 keeps a 17-hit margin
+    // and was this round's single biggest bench cut together with the
+    // 2-wide-ops round body (KnnProbe evidence, docs/TODO_r7.md)
+    val edges = knnGraphEdges(spark, dir, k = 12, rounds = 4)
     val ev = Tables.embeddings(spark, dir)
       .select(col("vec_id"),
         expr("transform(embedding, x -> cast(x as double))").as("v"))
