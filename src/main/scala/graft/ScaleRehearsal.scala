@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -70,15 +72,29 @@ object ScaleRehearsal {
       new java.io.File(out, "orders.parquet").exists() &&
       new java.io.File(out, "customer.parquet").exists()) return
     out.mkdirs()
+    // regeneration starts: retract the completion marker FIRST, so a
+    // crash mid-synth can never leave an old _DONE vouching for a dir
+    // whose guard-checked tables are a mix of old and new corpora (the
+    // marker is recreated only after the last table write below)
+    new java.io.File(out, "_DONE").delete()
     // this dir is being (re)generated: derived snapshots keyed by the
-    // dir PATH (the ratings materialized view, the binaryFile staging)
-    // would otherwise keep serving the previous corpus forever —
-    // Snapshots trusts _SUCCESS and has no content key. Drop them so
-    // the first consumer rebuilds from the new tables.
+    // dir PATH (the ratings materialized view, the binaryFile staging,
+    // the csv/orc/jsonl re-encodes, the partitioned/sink/evolve
+    // staging) would otherwise keep serving the previous corpus
+    // forever — Snapshots trusts _SUCCESS and has no content key. Drop
+    // EVERY graft_*_<hash(outDir)> tmp dir by glob rather than by a
+    // prefix list that silently goes stale when a new snapshot
+    // consumer joins the rehearsal.
     val tmpRoot = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
-    for (prefix <- Seq("graft_ratings_", "graft_binfile_docs_"))
-      graft.sources.Snapshots.deleteRecursively(
-        tmpRoot.resolve(prefix + Integer.toHexString(outDir.hashCode)))
+    val hash = Integer.toHexString(outDir.hashCode)
+    val matcher = tmpRoot.getFileSystem
+      .getPathMatcher(s"glob:graft_*_$hash")
+    val listing = java.nio.file.Files.list(tmpRoot)
+    try {
+      listing.iterator().asScala
+        .filter(p => matcher.matches(p.getFileName))
+        .foreach(graft.sources.Snapshots.deleteRecursively)
+    } finally listing.close()
     val docs = spark.read.parquet(s"$baseDir/documents.parquet")
     val embs = spark.read.parquet(s"$baseDir/embeddings.parquet")
     val docReps = (0 until scale).map { r =>

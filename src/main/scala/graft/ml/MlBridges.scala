@@ -60,15 +60,16 @@ object MlBridges {
       scored.count().toDouble
   }
 
-  /** IVF (inverted-file) approximate nearest neighbor: a KMeans coarse
-    * quantizer (fixed seed) assigns every vector to a centroid cell;
-    * each query probes its `nprobe` nearest cells (the standard IVF
-    * recall knob: nprobe=1 → only the query's own cell, nprobe=nCells →
-    * exact). Probe assignment ranks the tiny broadcast centroid table
-    * by squared L2 distance (only the `|c|² − 2 q·c` terms — `|q|²` is
-    * constant per query). At 100 TB the corpus partitions BY CELL, so a
-    * query touches nprobe partition groups instead of the whole corpus —
-    * the complementary design to the sign-bit LSH qid (`sim_ann_lsh`).
+  /** IVF (inverted-file) approximate nearest neighbor: a deterministic
+    * sampled-anchor coarse quantizer (round 7 — was an MLlib KMeans
+    * fit) assigns every vector to its nearest anchor's cell; each query
+    * probes its `nprobe` nearest cells (the standard IVF recall knob:
+    * nprobe=1 → only the query's own cell, nprobe=nCells → exact).
+    * Probe assignment ranks the tiny broadcast anchor table by squared
+    * L2 distance (only the `|c|² − 2 q·c` terms — `|q|²` is constant
+    * per query). At 100 TB the corpus partitions BY CELL, so a query
+    * touches nprobe partition groups instead of the whole corpus — the
+    * complementary design to the sign-bit LSH qid (`sim_ann_lsh`).
     * Returns per-query top-k probed neighbors by exact cosine.
     */
   def ivfTopK(spark: SparkSession, dir: String, nCells: Int = 8, k: Int = 5,
@@ -79,38 +80,90 @@ object MlBridges {
           .orderBy(col("cos").desc, col("cid"))))
       .filter(col("rk") <= k)
 
-  /** IVF candidate generation: one KMeans fit, every (query, candidate)
-    * pair inside the query's `nprobeMax` nearest cells, tagged with `pr`
-    * — the probe rank of the CANDIDATE's cell in the query's cell order
-    * (1 = the query's own/nearest cell). Filtering `pr <= np` for any
-    * `np <= nprobeMax` yields exactly the nprobe=np candidate set, so one
-    * plan (one KMeans fit, one join) serves a whole nprobe sweep.
+  /** IVF candidate generation: one sampled-anchor quantization, every
+    * (query, candidate) pair inside the query's `nprobeMax` nearest
+    * cells, tagged with `pr` — the probe rank of the CANDIDATE's cell
+    * in the query's cell order (1 = the query's own/nearest cell).
+    * Filtering `pr <= np` for any `np <= nprobeMax` yields exactly the
+    * nprobe=np candidate set, so one plan serves a whole nprobe sweep.
     * `qidBound` restricts the query side BEFORE the probe window (only
     * vec_id < bound become queries); the corpus side always stays full.
     * `cos` is the exact cosine rounded to 6 — identical expression shape
     * to the brute-force baseline so the nprobe=nCells candidate top-k is
     * bitwise equal to exhaustive search.
+    *
+    * Round-7 quantizer: the coarse centroids are the `nCells`
+    * smallest-md5 corpus vectors (the sim_pq sampled-codebook pattern —
+    * at 100 TB nobody fits a clusterer on the full corpus; IVF/PQ
+    * codebooks train on a bounded sample). This replaced an MLlib
+    * KMeans fit that cost more than the whole candidate join
+    * (IvfPhaseProbe: fit 1.4–3.5 s of sim_ann_ivf's 4.5 s driver
+    * seconds — per-job overhead of ~14 scheduler rounds on a corpus
+    * whose quantizer only GATES candidates; the declared rows are the
+    * exact twin and the cells just need recall ≥ 0.5 at nprobe 3/8).
+    * Anchor selection is a sort+limit (TakeOrderedAndProject) and the
+    * collect is `nCells` rows — the broadcast-model scalar class the
+    * trainers use, not a data collect. Cell assignment is then a pure
+    * PROJECTION (least() over nCells (d², cell) structs of literal
+    * anchors — same `|c|² − 2 v·c` ranking and (d², cell) tie-break as
+    * the probe window), so the whole build is one narrow pass.
+    * Deterministic across engines, partitionings, and runs — no solver
+    * floats anywhere in the path.
     */
   def ivfCandidates(spark: SparkSession, dir: String, nCells: Int = 8,
       nprobeMax: Int = 1, qidBound: Option[Int] = None): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
     import spark.implicits._
-    val toVec = udf((a: Seq[Float]) => Vectors.dense(a.map(_.toDouble).toArray))
-    // persist: KMeans makes one pass per iteration, and without this each
-    // pass re-reads the parquet and re-runs the UDF vectorization; the
-    // cache also feeds the two cells subtrees (query + corpus side) of
-    // the candidate join below. Released by the harness's family-
-    // boundary clearCache.
+    // persist: feeds the anchor sample plus the two cells subtrees
+    // (query + corpus side) of the candidate join below. Released by
+    // the harness's family-boundary clearCache.
     val base = graft.sources.Tables.embeddings(spark, dir)
-      .select(col("vec_id"), toVec(col("embedding")).as("features"),
+      .select(col("vec_id"),
         expr("transform(embedding, x -> cast(x as double))").as("v"))
       .persist()
-    val model = new KMeans().setK(nCells).setSeed(42L).setMaxIter(10).fit(base)
-    val cells = model.transform(base)
-      .select(col("vec_id"), col("v"), col("prediction").as("cell"))
+    val anchors = base
+      .withColumn("h", expr("cast(conv(substring(md5(concat('9001:', " +
+        "cast(vec_id as string))), 1, 8), 16, 10) as bigint)"))
+      .orderBy(col("h"), col("vec_id")).limit(nCells)
+      .select(col("vec_id"), col("v"))
+      .collect()
+      .map(r => r.getSeq[Double](1).toArray)
+    def assignExprs(cs: Array[Array[Double]]) = cs.zipWithIndex.map {
+      case (a, i) =>
+        val cvec = array(a.map(lit).toIndexedSeq: _*)
+        val d2 = lit(a.map(x => x * x).sum) -
+          lit(2.0) * graft.functions.VectorExprs.dot(col("v"), cvec)
+        struct(d2.as("d2"), lit(i).as("cell"))
+    }.toIndexedSeq
+    // ONE Lloyd refinement of the sampled anchors (random anchors carve
+    // uneven Voronoi cells on uniform data; one mean step rebalances —
+    // measured +12/+6/−1 recall hits at sf0.001/0.01/0.1, lifting the
+    // thinnest margin from 8 to 20 hits, IvfPhaseProbe). The per-cell
+    // mean is
+    // computed over e6-INTEGER coordinates: a bigint sum is exactly
+    // associative, so the refined centroids — unlike a float-summing
+    // KMeans — are bitwise identical under any partitioning. One
+    // groupBy job; the nCells-row collect is the same broadcast-model
+    // scalar class as the anchor sample. An emptied cell keeps its
+    // original anchor.
+    val dim = anchors.head.length
+    val sums = (1 to dim).map(i => sum(expr(
+      s"cast(round(element_at(v, $i) * 1000000) as bigint)")).as(s"s$i"))
+    val refinedRows = base
+      .withColumn("cell", least(assignExprs(anchors): _*).getField("cell"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("cnt"), sums: _*)
+      .collect()
+      .map(r => r.getInt(0) ->
+        (1 to dim).map(i => r.getLong(i + 1).toDouble / r.getLong(1) / 1e6).toArray)
+      .toMap
+    val centers = anchors.zipWithIndex.map { case (a, i) =>
+      refinedRows.getOrElse(i, a)
+    }
+    val cells = base
+      .withColumn("cell", least(assignExprs(centers): _*).getField("cell"))
       .withColumn("n", graft.functions.VectorExprs.l2(col("v")))
-    val centroids = model.clusterCenters.zipWithIndex
-      .map { case (c, i) => (i, c.toArray) }.toSeq
+    val centroids = centers.zipWithIndex
+      .map { case (c, i) => (i, c) }.toSeq
       .toDF("cell", "cvec")
       .withColumn("cc", graft.functions.VectorExprs.dot(col("cvec"), col("cvec")))
     val qside = qidBound.fold(cells)(b => cells.filter(col("vec_id") < b))
@@ -142,6 +195,9 @@ object MlBridges {
     * per (application, dir, nCells, qidBound) with the live-storage
     * contract of the other family memos; persisted SER (build-once,
     * read-per-qid). */
+  /** Dev/probe hook: drop the memo so a fresh build can be timed. */
+  private[graft] def clearIvfMemo(): Unit = ivfMemo.clear()
+
   private val ivfMemo = scala.collection.concurrent.TrieMap
     .empty[(String, String, Int, Option[Int]), DataFrame]
   def ivfCandidatesShared(spark: SparkSession, dir: String, nCells: Int,

@@ -1609,15 +1609,17 @@ object LlmPipeline {
 
   // ---------------------------------------------------------------- sim_ann_ivf
   /** IVF (inverted-file) ANN, driver-verified end to end: queries
-    * (vec_id < 30) probe their nprobe=3 nearest KMeans cells (of 8) and
+    * (vec_id < 30) probe their nprobe=3 nearest coarse cells (of 8) and
     * take the in-probe top-5 by exact cosine (ml/MlBridges.ivfCandidates
-    * — one KMeans fit, centroid table broadcast). KMeans centroids are
-    * solver floats no cross-engine oracle can reproduce, so the declared
-    * output is the EXACT top-5 (brute-force, fully oracle-able) plus a
+    * — round 7 replaced the MLlib KMeans quantizer with a deterministic
+    * sampled-anchor + one-integer-Lloyd-step codebook; the fit was
+    * costing more than the candidate join itself). The declared output
+    * is the EXACT top-5 (brute-force, fully oracle-able) plus a
     * `recall_ok` boolean asserting the IVF answer recovered >= 50% of
-    * the exact neighbors across the query band (measured this round:
-    * 0.81 / 0.65 / 0.74 at sf0.001/0.01/0.1 — deterministic for a fixed
-    * seed, the bound leaves ~20+ hits of margin) — the
+    * the exact neighbors across the query band (measured round 7:
+    * 0.63 / 0.67 / 0.59 at sf0.001/0.01/0.1 — now BITWISE deterministic
+    * under any partitioning, not just seed-fixed, so the thinnest
+    * margin, 13 hits at sf0.1, is a constant of the fixture) — the
     * agg_approx_distinct pattern (exact twin + accuracy bound the
     * oracle asserts as constant TRUE). At 100 TB the corpus partitions
     * BY CELL, so a query touches nprobe partition groups instead of the
@@ -1627,7 +1629,7 @@ object LlmPipeline {
   def simAnnIvf(spark: SparkSession, dir: String): DataFrame = {
     val nQ = 30
     val k = 5
-    // ONE shared KMeans fit + candidate join for the whole ANN family
+    // ONE shared quantization + candidate join for the whole ANN family
     // (sim_ann_ivf_sweep reuses it): the unfiltered relation is the
     // exhaustive scored set (nprobe = nCells), so the exact brute-force
     // twin is a rank over it and the IVF answer is the pr ≤ 3 filter.
@@ -1672,7 +1674,7 @@ object LlmPipeline {
       |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin
 
   // ---------------------------------------------------------- sim_ann_ivf_sweep
-  /** The IVF recall knob as DATA: one KMeans fit serves nprobe ∈
+  /** The IVF recall knob as DATA: one quantization serves nprobe ∈
     * {1,2,4,8} (candidates tagged with their cell's probe rank, filtered
     * per sweep point), and the output asserts the two structural IVF
     * guarantees the engine makes: recall is monotone in nprobe (the
@@ -1680,7 +1682,7 @@ object LlmPipeline {
     * candidate set always survives to its top-k under the shared total
     * order), and nprobe = nCells is exhaustive search (recall exactly
     * 1.0, bitwise — candidate scoring reuses the brute-force expression
-    * shape). Recall VALUES are KMeans-dependent floats, so the declared
+    * shape). Recall VALUES are quantizer-dependent, so the declared
     * columns are the booleans, constant-TRUE-oracled like
     * agg_approx_distinct.
     */
@@ -2372,7 +2374,7 @@ object LlmPipeline {
     GQuery("sim_ann_lsh", simAnnLsh, Some(simAnnLshOracle),
       "sign-bit LSH bucketed approximate NN, top-3 in-bucket"),
     GQuery("sim_ann_ivf", simAnnIvf, Some(simAnnIvfOracle),
-      "IVF ANN (KMeans cells, nprobe=3): exact top-5 + recall>=0.5 audit"),
+      "IVF ANN (sampled-anchor cells, nprobe=3): exact top-5 + recall>=0.5 audit"),
     GQuery("sim_ann_ivf_sweep", simAnnIvfSweep, Some(simAnnIvfSweepOracle),
       "IVF nprobe sweep 1/2/4/8: recall monotone, exhaustive at nCells"),
     GQuery("sim_knn_graph", simKnnGraph, Some(simKnnGraphOracle),

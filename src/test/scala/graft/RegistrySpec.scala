@@ -28,7 +28,7 @@ class RegistrySpec extends SparkSpec {
   // at the driver gate. Probed at two SFs because pivot-style plans can
   // in principle infer data-dependent schemas. NOTE: constructing the
   // DataFrame is NOT free for every qid — ML-backed ones execute Spark
-  // jobs at build time (KMeans fit in ivfCandidates, the full
+  // jobs at build time (the anchor sample/refine in ivfCandidates, the full
   // connected-components fixpoint in dedup_clusters) and persist()
   // intermediates, so the cache is cleared per SF to keep ~146 qids × 2
   // dirs from accumulating cached RDDs.

@@ -28,14 +28,43 @@ class Round6PlanSpec extends SparkSpec {
     assert(hintedSides.nonEmpty,
       "text_tfidf lost its broadcast hints entirely — the query-band tf " +
         "slice is the intended bounded build side")
+    // Structural boundedness check (round 7 — the original version
+    // looked for an aggregate output literally named "df", which a
+    // rename would silently disarm): a hinted side is corpus-bounded
+    // iff it is a global (no-grouping, ≤1-row) aggregate, OR every
+    // grouped aggregate in it sits above a doc_id band filter — the
+    // shape the fix installed. A grouped aggregate over the unfiltered
+    // corpus (the vocabulary df relation, whatever its aliases) has
+    // neither property and fails here.
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, BinaryComparison}
+    def hasDocIdBand(p: LogicalPlan): Boolean = p.collectFirst {
+      case f: Filter if f.condition.exists {
+        case cmp: BinaryComparison => cmp.references.exists {
+          case a: AttributeReference => a.name == "doc_id"
+          case _ => false
+        }
+        case _ => false
+      } => f
+    }.isDefined
     for (side <- hintedSides) {
-      val vocabAggs = side.collect {
-        case a: Aggregate if a.aggregateExpressions.exists(_.name == "df") => a
+      val isScalarAgg = side match {
+        case a: Aggregate if a.groupingExpressions.isEmpty => true
+        case _ => false
       }
-      assert(vocabAggs.isEmpty,
-        "text_tfidf broadcasts the vocabulary df relation again — that side " +
-          "is Heaps-law unbounded at corpus scale; broadcast the query-band " +
-          s"tf slice instead. Offending side:\n$side")
+      if (!isScalarAgg) {
+        assert(hasDocIdBand(side),
+          "a broadcast-hinted side of text_tfidf has no doc_id band filter " +
+            s"and is not a scalar aggregate — unbounded at corpus scale:\n$side")
+        val unboundedGroupedAggs = side.collect {
+          case a: Aggregate if a.groupingExpressions.nonEmpty && !hasDocIdBand(a) => a
+        }
+        assert(unboundedGroupedAggs.isEmpty,
+          "text_tfidf broadcasts a grouped aggregate over the unfiltered " +
+            "corpus (the vocabulary df shape, whatever its column names) — " +
+            "that side is Heaps-law unbounded at corpus scale; broadcast the " +
+            s"query-band tf slice instead. Offending aggregate(s):\n" +
+            unboundedGroupedAggs.mkString("\n"))
+      }
     }
   }
 }
