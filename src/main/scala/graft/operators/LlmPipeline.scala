@@ -1816,6 +1816,14 @@ object LlmPipeline {
     // (max(cos) over identical values; an old edge contributes its
     // carried old=true row, so max(old) is "was already a neighbor").
     // Per round: 2 wide ops (groupBy + top-k window) instead of 4.
+    // Scale note: a pair's duplicate multiplicity equals its endpoints'
+    // shared-neighbor count (≤ 2k by construction, near 1 in practice —
+    // two nodes sharing many neighbors are already each other's
+    // neighbors and the new/old rule stops regenerating them). On a
+    // corpus slice too big to broadcast the embedding join becomes a
+    // shuffle join and pre-score dedup trades one extra shuffle for a
+    // δ× smaller join volume — reinstate `cand.distinct()` there; the
+    // groupBy stays either way (it carries the old flag).
     def topKFlag(merged: DataFrame): DataFrame = merged
       .groupBy(col("src"), col("dst"))
       .agg(max(col("cos")).as("cos"), max(col("old")).as("old"))
@@ -1918,15 +1926,16 @@ object LlmPipeline {
     // and was this round's single biggest bench cut together with the
     // 2-wide-ops round body (KnnProbe evidence, docs/TODO_r7.md)
     val edges = knnGraphEdges(spark, dir, k = 12, rounds = 4)
-    val ev = Tables.embeddings(spark, dir)
-      .select(col("vec_id"),
-        expr("transform(embedding, x -> cast(x as double))").as("v"))
-      .withColumn("n", VectorExprs.l2(col("v")))
-    val exact = ev.as("q").filter(col("q.vec_id") < nQ)
-      .join(ev.as("c"), col("q.vec_id") =!= col("c.vec_id"))
-      .select(col("q.vec_id").as("qid"), col("c.vec_id").as("cid"),
-        round(VectorExprs.dot(col("q.v"), col("c.v")) /
-          (col("q.n") * col("c.n")), 6).as("cos"))
+    // The exact top-5 twin is the SAME relation the IVF family already
+    // materializes: the full-probe (nprobe = nCells) candidate set is
+    // every (qid < 30, cid ≠ qid) pair with the identical
+    // round(dot/(|q||c|), 6) expression, so ranking it IS brute force.
+    // sim_ann_ivf / _sweep / sim_knn_graph share one bench family, so
+    // in a sweep this is a memo hit instead of a second 30×n scan; in
+    // isolation it builds once at the same cost as the scan it
+    // replaces (the quantizer never affects the full-probe set).
+    val exact = graft.ml.MlBridges
+      .ivfCandidatesShared(spark, dir, nCells = 8, qidBound = Some(nQ))
       .withColumn("rk", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("qid")
           .orderBy(col("cos").desc, col("cid"))))
