@@ -127,13 +127,19 @@ object MlBridges {
       .select(col("vec_id"), col("v"))
       .collect()
       .map(r => r.getSeq[Double](1).toArray)
-    def assignExprs(cs: Array[Array[Double]]) = cs.zipWithIndex.map {
-      case (a, i) =>
+    // cell id of v's nearest center — least() needs ≥ 2 children, so a
+    // degenerate single-cell quantizer (nCells = 1, or a corpus with
+    // one vector) assigns the constant cell directly
+    def cellOf(cs: Array[Array[Double]]) = {
+      val assign = cs.zipWithIndex.map { case (a, i) =>
         val cvec = array(a.map(lit).toIndexedSeq: _*)
         val d2 = lit(a.map(x => x * x).sum) -
           lit(2.0) * graft.functions.VectorExprs.dot(col("v"), cvec)
         struct(d2.as("d2"), lit(i).as("cell"))
-    }.toIndexedSeq
+      }.toIndexedSeq
+      if (assign.length == 1) lit(0)
+      else least(assign: _*).getField("cell")
+    }
     // ONE Lloyd refinement of the sampled anchors (random anchors carve
     // uneven Voronoi cells on uniform data; one mean step rebalances —
     // measured +12/+6/−1 recall hits at sf0.001/0.01/0.1, lifting the
@@ -149,7 +155,7 @@ object MlBridges {
     val sums = (1 to dim).map(i => sum(expr(
       s"cast(round(element_at(v, $i) * 1000000) as bigint)")).as(s"s$i"))
     val refinedRows = base
-      .withColumn("cell", least(assignExprs(anchors): _*).getField("cell"))
+      .withColumn("cell", cellOf(anchors))
       .groupBy(col("cell"))
       .agg(count(lit(1)).as("cnt"), sums: _*)
       .collect()
@@ -160,7 +166,7 @@ object MlBridges {
       refinedRows.getOrElse(i, a)
     }
     val cells = base
-      .withColumn("cell", least(assignExprs(centers): _*).getField("cell"))
+      .withColumn("cell", cellOf(centers))
       .withColumn("n", graft.functions.VectorExprs.l2(col("v")))
     val centroids = centers.zipWithIndex
       .map { case (c, i) => (i, c) }.toSeq
@@ -184,22 +190,24 @@ object MlBridges {
           (col("qn") * col("c.n")), 6).as("cos"))
   }
 
-  /** FAMILY-SHARED full IVF candidate relation: [[ivfCandidates]] at
-    * nprobeMax = nCells — every (query, candidate≠query) pair tagged
-    * with its probe rank `pr` and exact rounded cosine. One KMeans fit
-    * + one candidate join serves BOTH ANN qids: sim_ann_ivf filters
-    * pr ≤ 3 for its answer and ranks the unfiltered relation for its
-    * exact brute-force twin (at nprobe = nCells the candidate set IS
-    * the exhaustive scored set, identical expression shape), and
-    * sim_ann_ivf_sweep filters pr ≤ nprobe per sweep point. Memoized
-    * per (application, dir, nCells, qidBound) with the live-storage
-    * contract of the other family memos; persisted SER (build-once,
-    * read-per-qid). */
   /** Dev/probe hook: drop the memo so a fresh build can be timed. */
   private[graft] def clearIvfMemo(): Unit = ivfMemo.clear()
 
   private val ivfMemo = scala.collection.concurrent.TrieMap
     .empty[(String, String, Int, Option[Int]), DataFrame]
+
+  /** FAMILY-SHARED full IVF candidate relation: [[ivfCandidates]] at
+    * nprobeMax = nCells — every (query, candidate≠query) pair tagged
+    * with its probe rank `pr` and exact rounded cosine. One
+    * quantization + one candidate join serves the whole sim ANN
+    * family: sim_ann_ivf filters pr ≤ 3 for its answer and ranks the
+    * unfiltered relation for its exact brute-force twin (at nprobe =
+    * nCells the candidate set IS the exhaustive scored set, identical
+    * expression shape), sim_ann_ivf_sweep filters pr ≤ nprobe per
+    * sweep point, and sim_knn_graph ranks the same relation for ITS
+    * exact twin. Memoized per (application, dir, nCells, qidBound)
+    * with the live-storage contract of the other family memos;
+    * persisted SER (build-once, read-per-qid). */
   def ivfCandidatesShared(spark: SparkSession, dir: String, nCells: Int,
       qidBound: Option[Int]): DataFrame = {
     val key = (spark.sparkContext.applicationId, dir, nCells, qidBound)
