@@ -1746,8 +1746,8 @@ object LlmPipeline {
     * EXACT cosine top-5 of the query band (vec_id < 30, fully
     * DuckDB-oracle-able) plus `recall_ok` — the NN-Descent graph's
     * out-edges recovered ≥ 60% of those exact neighbors. Deterministic
-    * (seeded hashes, total-order tie-breaks), measured 0.90 / 0.93 /
-    * 0.71 at sf0.001/0.01/0.1. The fixture embeddings are uniform
+    * (seeded hashes, total-order tie-breaks), measured 0.91 / 0.93 /
+    * 0.73 at sf0.001/0.01/0.1. The fixture embeddings are uniform
     * random — NO metric clustering — which is NN-Descent's worst case
     * (neighbor-of-neighbor carries no signal beyond sampling); on real
     * clustered embeddings the same loop converges far faster, so the
@@ -1758,7 +1758,7 @@ object LlmPipeline {
   /** The NN-Descent loop itself: returns the directed k-NN graph
     * (src, dst, cos). Shared by the qid and its diagnostics. */
   private[graft] def knnGraphEdges(spark: SparkSession, dir: String,
-      k: Int, rounds: Int, bucketings: Int = 8, bucketSize: Int = 16): DataFrame = {
+      k: Int, rounds: Int, bucketings: Int = 8, bucketSize: Int = 12): DataFrame = {
     val ev = Tables.embeddings(spark, dir)
       .select(col("vec_id"),
         expr("transform(embedding, x -> cast(x as double))").as("v"))
@@ -1775,9 +1775,14 @@ object LlmPipeline {
     // collapsed to ~1%). The union of EIGHT independent md5 bucketings
     // is an expander — the deterministic analog of the paper's random
     // init — and two hops already cross bucketings. The bucket COUNT
-    // scales with n so bucket size stays ~16 constant: a fixed fan-out
+    // scales with n so bucket size stays ~12 constant: a fixed fan-out
     // makes init volume O(n), where a fixed bucket count would make it
     // O(n²/B) — the same quadratic class the simhash 8-bit bands had.
+    // Size 12 beat 16 on BOTH axes in the round-7 ladder (KnnProbe,
+    // rounds=4): recall 0.91/0.93/0.73 vs 0.90/0.93/0.71 at 27% less
+    // init volume — more, smaller buckets mix the expander better per
+    // scored pair. 8 and 10 were probed too (0.67/0.68 at sf0.1) —
+    // the knee is at 12.
     // (The one count() is the same driver-scalar the iterative
     // trainers use for loop control — not per-row collection.) Round 7
     // folded the eight per-seed self-joins into ONE join on the
@@ -1920,11 +1925,12 @@ object LlmPipeline {
   def simKnnGraph(spark: SparkSession, dir: String): DataFrame = {
     val nQ = 30
     val topQ = 5
-    // rounds=4: measured recall 0.90/0.93/0.71 at the three SFs (vs
-    // 0.90/0.93/0.73 at 5) — the fifth round of wall time bought 3
-    // hits out of 150 against a 90-hit floor; 4 keeps a 17-hit margin
-    // and was this round's single biggest bench cut together with the
-    // 2-wide-ops round body (KnnProbe evidence, docs/TODO_r7.md)
+    // rounds=4: measured recall 0.91/0.93/0.73 at the three SFs with
+    // the size-12 init (rounds=5 at the old size-16 init measured
+    // 0.90/0.93/0.73 for a full extra round of wall time; rounds=3 at
+    // size 12 is 0.63, a 5-hit margin — too thin). 4 keeps a 20-hit
+    // margin and was this round's single biggest bench cut together
+    // with the 2-wide-ops round body (KnnProbe ladder, docs/TODO_r7.md)
     val edges = knnGraphEdges(spark, dir, k = 12, rounds = 4)
     // The exact top-5 twin is the SAME relation the IVF family already
     // materializes: the full-probe (nprobe = nCells) candidate set is

@@ -38,7 +38,7 @@ class KnnDescentSpec extends SparkSpec {
       .withColumn("rk", row_number().over(
         Window.partitionBy("src").orderBy(col("cos").desc, col("dst"))))
       .filter(col("rk") <= k).select(col("src"), col("dst"), col("cos"))
-    val nBuckets = math.max(1L, ev.count() / 16L)
+    val nBuckets = math.max(1L, ev.count() / 12L) // = knnGraphEdges' default bucketSize
     val initCand = (1 to 8).map { s =>
       val withB = ev.select(col("vec_id"),
         expr(s"pmod(${h32("vec_id", 100 + s)}, $nBuckets)").as("b"))
