@@ -471,6 +471,17 @@ class Round4PlanSpec extends SparkSpec {
     assert(plan.contains("Window"), plan)
   }
 
+  test("event_pattern matches a NON-EMPTY set on the real fixture") {
+    // Round-7 regression lock: through rounds 1–6 the 2 h completion
+    // bound matched zero fixture rows at every SF, so the driver's
+    // oracle pass was 0 = 0 — vacuous. The synthetic-data test above
+    // proves the operator; THIS pins that the fixture predicate keeps
+    // producing evidence (5 rows at sf0.001 under the 24 h bound).
+    assert(operators.EventStream.eventPattern(spark, sfDir).count() > 0,
+      "event_pattern matches nothing on the fixture again — its oracle " +
+        "check is vacuous; widen the completion bound")
+  }
+
   test("agg_incremental merges partials map-side before the key join") {
     val plan = operators.Relational.aggIncremental(spark, sfDir)
       .queryExecution.executedPlan.toString
