@@ -26,7 +26,8 @@ object IvfPhaseProbe {
     }
     for (iter <- 1 to iters) {
       println(s"== iter $iter ==")
-      val full = ml.MlBridges.ivfCandidatesShared(spark, dir, 8, Some(30))
+      val full = ml.MlBridges.ivfCandidatesShared(spark, dir,
+        operators.LlmPipeline.AnnNCells, Some(operators.LlmPipeline.AnnQueryBand))
       t("shared_candidates")(full.count())
       t("qid_assembly")(operators.LlmPipeline.queries
         .find(_.id == "sim_ann_ivf").get.fn(spark, dir).count())

@@ -1626,15 +1626,29 @@ object LlmPipeline {
     * whole corpus; the brute-force side here doubles as the audit and
     * stays broadcast-query-side × partitioned-corpus.
     */
+  /** The ONE (nCells, query-band) point the shared IVF relation is
+    * memoized at. sim_ann_ivf, sim_ann_ivf_sweep, and sim_knn_graph's
+    * exact twin must call [[graft.ml.MlBridges.ivfCandidatesShared]]
+    * with exactly these values or the "one build per family sweep"
+    * contract silently becomes N builds + N persisted 30×n relations —
+    * hoisted here so a tune can't drift one consumer off the key. */
+  private[graft] val AnnNCells = 8
+  private[graft] val AnnQueryBand = 30
+
+  /** The family-shared full-probe relation at the family's ONE memo
+    * key — the only way qids should reach ivfCandidatesShared. */
+  private def annFullProbe(spark: SparkSession, dir: String): DataFrame =
+    graft.ml.MlBridges
+      .ivfCandidatesShared(spark, dir, AnnNCells, Some(AnnQueryBand))
+
   def simAnnIvf(spark: SparkSession, dir: String): DataFrame = {
-    val nQ = 30
+    val nQ = AnnQueryBand
     val k = 5
     // ONE shared quantization + candidate join for the whole ANN family
     // (sim_ann_ivf_sweep reuses it): the unfiltered relation is the
     // exhaustive scored set (nprobe = nCells), so the exact brute-force
     // twin is a rank over it and the IVF answer is the pr ≤ 3 filter.
-    val full = graft.ml.MlBridges
-      .ivfCandidatesShared(spark, dir, nCells = 8, qidBound = Some(nQ))
+    val full = annFullProbe(spark, dir)
     val exact = full
       .withColumn("rk", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("qid")
@@ -1687,13 +1701,12 @@ object LlmPipeline {
     * agg_approx_distinct.
     */
   def simAnnIvfSweep(spark: SparkSession, dir: String): DataFrame = {
-    val nQ = 30
+    val nQ = AnnQueryBand
     val k = 5
-    val nCells = 8
+    val nCells = AnnNCells
     // the family-shared full candidate relation (built by sim_ann_ivf
     // in a bench sweep): exhaustive scored set + probe ranks in one
-    val full = graft.ml.MlBridges
-      .ivfCandidatesShared(spark, dir, nCells, qidBound = Some(nQ))
+    val full = annFullProbe(spark, dir)
     val exactSet = full
       .withColumn("rk", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("qid")
@@ -1877,8 +1890,10 @@ object LlmPipeline {
     * keep the top-b by exact cosine to each query. Returns (qid, cid,
     * cos) — the beam's final top-b per query. LlmPipelineSpec asserts
     * recall ≥ 0.85 of the exact top-5 (k=12/rounds=4/beam=48/hops=8
-    * measured 0.98/0.98/0.91 at sf0.001/0.01/0.1 via graft.RecallProbe
-    * — uniform-random fixtures, the descent-graph worst case); a
+    * measured 1.00/0.99/0.93 at sf0.001/0.01/0.1 via graft.RecallProbe
+    * on the round-7 size-12-init graph, up from 0.98/0.98/0.91 on the
+    * size-16 graph — uniform-random fixtures, the descent-graph worst
+    * case); a
     * capability method rather than a qid so the bench doesn't pay a
     * second graph build (the build itself is the sim_knn_graph qid). */
   private[graft] def knnGraphSearch(spark: SparkSession, dir: String,
@@ -1923,7 +1938,7 @@ object LlmPipeline {
   }
 
   def simKnnGraph(spark: SparkSession, dir: String): DataFrame = {
-    val nQ = 30
+    val nQ = AnnQueryBand
     val topQ = 5
     // rounds=4: measured recall 0.91/0.93/0.73 at the three SFs with
     // the size-12 init (rounds=5 at the old size-16 init measured
@@ -1940,8 +1955,7 @@ object LlmPipeline {
     // in a sweep this is a memo hit instead of a second 30×n scan; in
     // isolation it builds once at the same cost as the scan it
     // replaces (the quantizer never affects the full-probe set).
-    val exact = graft.ml.MlBridges
-      .ivfCandidatesShared(spark, dir, nCells = 8, qidBound = Some(nQ))
+    val exact = annFullProbe(spark, dir)
       .withColumn("rk", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("qid")
           .orderBy(col("cos").desc, col("cid"))))
