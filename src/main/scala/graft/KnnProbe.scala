@@ -15,7 +15,7 @@ object KnnProbe {
     spark.sparkContext.setLogLevel("ERROR")
     val k = sys.env.get("KNN_K").map(_.toInt).getOrElse(12)
     val nB = sys.env.get("KNN_BUCKETINGS").map(_.toInt).getOrElse(8)
-    val bSz = sys.env.get("KNN_BUCKET_SIZE").map(_.toInt).getOrElse(16)
+    val bSz = sys.env.get("KNN_BUCKET_SIZE").map(_.toInt).getOrElse(12) // = prod default
     val rounds = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(4, 5)
     import graft.operators.LlmPipeline
     import graft.functions.VectorExprs
