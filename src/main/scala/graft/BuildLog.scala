@@ -1,0 +1,25 @@
+package graft
+
+/** Build-attribution log for family-shared memoized relations (the
+  * round-8 answer to "attribute the dedup-family bench delta before
+  * optimizing it"): every memo MISS — and, for the relations that
+  * eagerly materialize, the build wall time — is appended to
+  * `target/memo_log.txt` and mirrored to stderr. Reading the log next
+  * to the bench's per-query map shows exactly which qid paid each
+  * family build (the first family member in sorted bench order) and
+  * how much of its headline number was shared-ETL vs per-query work.
+  * Never on stdout: the bench's stdout is a driver-parsed contract.
+  */
+object BuildLog {
+  private val path = java.nio.file.Paths.get("target/memo_log.txt")
+  def log(msg: String): Unit = synchronized {
+    val line = f"[graft t=${System.currentTimeMillis()}%d] $msg"
+    System.err.println(line)
+    try {
+      java.nio.file.Files.createDirectories(path.getParent)
+      java.nio.file.Files.write(path, (line + "\n").getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    } catch { case _: Throwable => () }
+  }
+}

@@ -44,8 +44,12 @@ object IvfPhaseProbe {
           org.apache.spark.sql.expressions.Window.partitionBy("qid")
             .orderBy(col("cos").desc, col("cid"))))
         .filter(col("ark") <= 5).select("qid", "cid")
+      // denominator = the ACTUAL exact-top-5 set size (not a literal
+      // 30×5): a fixture with fewer query-band vectors would silently
+      // skew a hardcoded recall
+      val nExact = exact.count()
       val nhits = exact.join(ivf, Seq("qid", "cid"), "leftsemi").count()
-      println(f"RECALL dir=$dir nhits=$nhits/150 (${nhits / 150.0}%.2f)")
+      println(f"RECALL dir=$dir nhits=$nhits/$nExact (${nhits.toDouble / math.max(1L, nExact)}%.2f)")
       spark.catalog.clearCache()
       ml.MlBridges.clearIvfMemo()
     }

@@ -75,8 +75,12 @@ object ScaleRehearsal {
     // regeneration starts: retract the completion marker FIRST, so a
     // crash mid-synth can never leave an old _DONE vouching for a dir
     // whose guard-checked tables are a mix of old and new corpora (the
-    // marker is recreated only after the last table write below)
-    new java.io.File(out, "_DONE").delete()
+    // marker is recreated only after the last table write below).
+    // deleteIfExists PROPAGATES a failed delete (File.delete's ignored
+    // boolean would let a permissions error proceed into regeneration
+    // with the stale marker still vouching — the exact hazard this
+    // retraction exists to close)
+    java.nio.file.Files.deleteIfExists(new java.io.File(out, "_DONE").toPath)
     // this dir is being (re)generated: derived snapshots keyed by the
     // dir PATH (the ratings materialized view, the binaryFile staging,
     // the csv/orc/jsonl re-encodes, the partitioned/sink/evolve

@@ -151,6 +151,12 @@ object MlBridges {
     // groupBy job; the nCells-row collect is the same broadcast-model
     // scalar class as the anchor sample. An emptied cell keeps its
     // original anchor.
+    // loud empty-corpus failure (the MLlib fit used to throw its own;
+    // anchors.head would be an opaque NoSuchElementException). Fewer
+    // distinct vectors than nCells is fine — the sample just yields
+    // fewer anchors and every downstream step sizes off anchors.length.
+    require(anchors.nonEmpty,
+      s"ivfCandidates: no embeddings found under $dir — cannot quantize an empty corpus")
     val dim = anchors.head.length
     val sums = (1 to dim).map(i => sum(expr(
       s"cast(round(element_at(v, $i) * 1000000) as bigint)")).as(s"s$i"))
@@ -214,6 +220,7 @@ object MlBridges {
     ivfMemo.get(key)
       .filter(_.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
       .getOrElse {
+        graft.BuildLog.log(s"memo miss: ivfCandidatesShared ($dir, nCells=$nCells, band=$qidBound)")
         val full = ivfCandidates(spark, dir, nCells, nCells, qidBound)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
         ivfMemo.put(key, full)

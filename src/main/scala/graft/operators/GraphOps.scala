@@ -42,16 +42,30 @@ object GraphOps {
     *
     * Per-round shape: two groupBy-mins + two co-keyed joins over the
     * current edge relation — all map-side combinable, all on the same
-    * (long, long) pairs. Convergence is detected by an exact
-    * set-difference count (`next EXCEPT cur` is empty AND the sizes
-    * match) — no arithmetic aliasing is possible, unlike a label-sum
-    * probe where non-ANSI long overflow could wrap a decreased sum onto
-    * the previous value and stop a round early.
+    * (long, long) pairs. Convergence decision stays EXACT — a
+    * set-difference (`next EXCEPT cur` empty AND sizes match) — but
+    * the exact check is GATED behind a cheap fingerprint
+    * (count, Σ decimal(xxhash64(u,v))) computed by the same scalar job
+    * that materializes the round (round-8 restatement): a fingerprint
+    * that differs from the previous round's proves the relation
+    * changed (equal sets ⟹ equal fingerprint, deterministically), so
+    * exceptAll runs only on a fingerprint match — in practice exactly
+    * once, at the true fixpoint. A spurious fingerprint collision
+    * (changed set, same sum — possible in principle) merely runs one
+    * exceptAll that says "not converged"; it can never stop a round
+    * early, so the label-sum-aliasing hazard the earlier shape
+    * documented does not apply to the gate. Decimal(38,0) sums keep
+    * the Σhash exact and ANSI-overflow-free to ~10¹⁸ edges.
     *
-    * Every round localCheckpoints (eager): both star ops reference the
-    * edge relation twice (the group-min side and the emit side), so an
-    * uncut lineage DOUBLES per round — exponential logical-plan growth
-    * that OOMs plan stringification long before any data is at risk.
+    * Every round localCheckpoints LAZILY and the fingerprint job is
+    * the materialization — one Spark job per round where the eager
+    * checkpoint + separate count paid two (each sequential job pays
+    * full scheduling latency on a contended host). Both star ops
+    * reference the edge relation twice (the group-min side and the
+    * emit side), so an uncut lineage DOUBLES per round — exponential
+    * logical-plan growth that OOMs plan stringification long before
+    * any data is at risk; the inputs a round reads are always the
+    * PREVIOUS round's already-materialized blocks.
     * The previous round's checkpoint blocks are unpersisted EXPLICITLY
     * once the next round is materialized (localCheckpointed RDDs are
     * not in the CacheManager, so without this, block cleanup would wait
@@ -74,9 +88,17 @@ object GraphOps {
     // ck is the checkpointed handle (owns the blocks, freed per round);
     // cur is its periodically stats-reset view (see statsReset: without
     // it an open-ended fixpoint's plan statistics square every round)
-    var ck = canonical.localCheckpoint()
+    // (count, Σ decimal-hash) change-gate — the one scalar job per
+    // round, doubling as the lazy checkpoint's materialization
+    def fingerprint(df: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = df.agg(count(lit(1)),
+        coalesce(sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")),
+          lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)"))).first()
+      (r.getLong(0), r.getDecimal(1))
+    }
+    var ck = canonical.localCheckpoint(false)
     var cur: DataFrame = ck
-    var curSize = ck.count()
+    var (curSize, curHash) = fingerprint(ck)
     var rounds = 0
     var converged = curSize == 0L
     while (!converged) {
@@ -100,14 +122,19 @@ object GraphOps {
       val attachPeers = afterLarge.join(smallMin, "v")
         .filter(col("u") =!= col("m"))
         .select(col("m").as("u"), col("u").as("v"))
-      val nextCk = attachSelf.unionByName(attachPeers).distinct().localCheckpoint()
+      val nextCk = attachSelf.unionByName(attachPeers).distinct().localCheckpoint(false)
       val next = statsResetEvery(rounds, nextCk)
-      val nextSize = nextCk.count()
-      val unchanged = nextSize == curSize && next.exceptAll(cur).isEmpty
+      val (nextSize, nextHash) = fingerprint(nextCk)
+      // exceptAll (the exact decider) runs ONLY on a fingerprint match —
+      // in practice once, at the true fixpoint; a differing fingerprint
+      // already proves the relation changed
+      val unchanged = nextSize == curSize && nextHash.compareTo(curHash) == 0 &&
+        next.exceptAll(cur).isEmpty
       freeCheckpoint(ck)
       ck = nextCk
       cur = next
       curSize = nextSize
+      curHash = nextHash
       rounds += 1
       converged = unchanged
     }
@@ -184,8 +211,26 @@ object GraphOps {
     * 100 TB (each round is one self-join co-keyed on the ancestor).
     * Root rows are their own fixpoint (anc = self, d = 0), so settled
     * rows pass through unchanged. Same localCheckpoint + explicit
-    * freeCheckpoint regimen as [[connectedComponents]]; convergence by
-    * an exact "any unsettled row left" anti-join count.
+    * freeCheckpoint regimen as [[connectedComponents]].
+    *
+    * ONE Spark job per round (the round-8 restatement): the round's
+    * checkpoint is LAZY and the convergence probe is a scalar
+    * `agg(count, sum(d))` over it, so the probe job IS the
+    * materialization — where the previous shape paid an eager
+    * checkpoint job PLUS an anti-join-vs-roots probe job every round
+    * (2× the job count, and each sequential job pays full scheduling
+    * latency on a contended host). Convergence by exactness of the
+    * (count, Σd) pair across rounds: d is monotone non-decreasing per
+    * surviving row and strictly increases for any row whose anc is
+    * not yet a root (a non-root ancestor's own d ≥ 1 — d starts at 1
+    * off-root and never shrinks), so a stationary pair ⟺ no row
+    * moved ⟺ every anc is a root. Σd of ≤ n terms each ≤ n stays
+    * ≤ n² — no Long wrap until n ≈ 3·10⁹ nodes, far above any single
+    * table's key space here; the count guards the row-drop edge (a
+    * dangling parent removes rows, which could otherwise offset a
+    * gain). Detection costs one confirming no-op round vs the
+    * anti-join probe (stationarity is observed one round after the
+    * fact) — one extra cheap job against ~2× fewer jobs per round.
     *
     * PRECONDITION: every parent value must exist as a node (a closed
     * forest). A dangling parent orphans its whole subtree — the hop
@@ -198,8 +243,8 @@ object GraphOps {
     *
     * The cap is DERIVED, not a magic constant: a forest on n nodes has
     * depth ≤ n, and doubling settles any depth ≤ 2^k in k rounds, so
-    * ⌈log₂ n⌉ + 2 rounds provably suffice — failing to settle within
-    * the cap IS a precondition violation. The cap must also stay small
+    * ⌈log₂ n⌉ + 1 confirming round + 2 slack provably suffice —
+    * failing to settle within the cap IS a precondition violation. The cap must also stay small
     * for a second reason: each round's self-join SQUARES the
     * checkpoint-inherited sizeInBytes statistic (join size estimate =
     * left × right, and LogicalRDD carries the checkpointed plan's
@@ -210,39 +255,48 @@ object GraphOps {
     * test). The n count() is the same driver scalar the iterative
     * trainers use for loop control. */
   def rootedDepth(parents: DataFrame): DataFrame = {
-    val roots = parents.filter(col("parent") === col("node"))
-      .select(col("node").as("r")).persist()
+    // (count, Σd) of a state relation — the one scalar job per round;
+    // running it over a LAZY checkpoint materializes the blocks as a
+    // side effect, so probe and checkpoint share a single job
+    def probe(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)), coalesce(sum(col("d")), lit(0L))).first()
+      (r.getLong(0), r.getLong(1))
+    }
     var ck = parents.select(col("node"), col("parent").as("anc"),
         when(col("parent") === col("node"), lit(0L)).otherwise(lit(1L)).as("d"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     var cur: DataFrame = ck
-    val n = math.max(1L, ck.count())
-    val maxRounds = // ceil(log2(n)) + 2, floor 4
-      math.max(4, 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n - 1)) + 2)
+    var (n0, prevSum) = probe(ck)
+    val n = math.max(1L, n0)
+    val maxRounds = // ceil(log2(n)) + 3, floor 4 (+1: stationarity of
+      // (count, Σd) is observed one confirming round after the fixpoint)
+      math.max(4, 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n - 1)) + 3)
     var rounds = 0
-    var done = false
+    var done = n0 == 0L
     while (!done && rounds < maxRounds) {
       val hop = cur.select(col("node").as("j_node"), col("anc").as("j_anc"),
         col("d").as("j_d"))
       val nextCk = cur.join(hop, col("anc") === col("j_node"))
         .select(col("node"), col("j_anc").as("anc"),
           (col("d") + col("j_d")).as("d"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       val next = statsResetEvery(rounds, nextCk)
+      val (nextN, nextSum) = probe(nextCk)
       freeCheckpoint(ck)
       ck = nextCk
       cur = next
       rounds += 1
-      done = cur.join(roots, col("anc") === col("r"), "leftanti")
-        .isEmpty
+      done = nextN == n0 && nextSum == prevSum
+      n0 = nextN
+      prevSum = nextSum
     }
     lastRounds = rounds
-    roots.unpersist(blocking = false)
-    // ⌈log₂ n⌉ + 2 doubling rounds settle any depth a forest on n nodes
-    // can have; not settling means the input broke the closed-forest
-    // precondition (parent cycle, or a dangling parent that can never
-    // reach a root). Fail loudly — wrong depths that LOOK right are the
-    // worst possible output of this op.
+    // ⌈log₂ n⌉ doubling rounds settle any depth a forest on n nodes can
+    // have, +1 to observe stationarity, +2 slack; not settling means
+    // the input broke the closed-forest precondition (parent cycle, or
+    // a dangling parent that can never reach a root — a cycle's rows
+    // gain d every round, so Σd never goes stationary). Fail loudly —
+    // wrong depths that LOOK right are the worst possible output.
     require(done, s"rootedDepth did not converge in $rounds rounds " +
       s"(n=$n): input has a parent cycle or is not a closed forest")
     cur.select(col("node"), col("anc").as("root"), col("d").as("depth"))

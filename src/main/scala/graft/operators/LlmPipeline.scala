@@ -90,6 +90,7 @@ object LlmPipeline {
     shingleBaseMemo.get(key)
       .filter(_.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
       .getOrElse {
+        graft.BuildLog.log(s"memo miss: shingleBase ($dir)")
         val sh = shingles(Tables.documents(spark, dir))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
         shingleBaseMemo.put(key, sh)
@@ -127,6 +128,7 @@ object LlmPipeline {
     shingleBasketsMemo.get(key)
       .filter(_.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
       .getOrElse {
+        graft.BuildLog.log(s"memo miss: shingleBaskets ($dir)")
         // hot-set built inline, un-persisted: this aggregation runs
         // exactly once per basket build (itself memoized), so caching
         // the full (shingle, df) relation for the family's lifetime
@@ -139,6 +141,15 @@ object LlmPipeline {
           .groupBy(col("shingle"))
           .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+        // eager, TIMED materialization: the basket build is the dedup
+        // family's dominant shared ETL, and fusing it into whichever
+        // qid happens to run first made that qid's bench number
+        // unattributable (the r6→r7 "dedup regression" debate). One
+        // count scan of the freshly persisted relation buys a logged
+        // build time; consumers read the same cache either way.
+        val t0 = System.nanoTime()
+        val n = baskets.count()
+        graft.BuildLog.log(f"shingleBaskets built in ${(System.nanoTime() - t0) / 1e9}%.2f s ($n baskets, $dir)")
         shingleBasketsMemo.put(key, baskets)
         baskets
       }
@@ -222,6 +233,7 @@ object LlmPipeline {
     pairStatsMemo.get(key)
       .filter(_.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
       .getOrElse {
+        graft.BuildLog.log(s"memo miss: shinglePairStats ($dir)")
         val baskets = shingleBaskets(spark, dir)
         val sizes = baskets.select(explode(col("docs")).as("doc_id"))
           .groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
@@ -447,6 +459,7 @@ object LlmPipeline {
     simhashMemo.get(key)
       .filter(_.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
       .getOrElse {
+        graft.BuildLog.log(s"memo miss: simhashes ($dir)")
         val toks = Tables.documents(spark, dir)
           .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
           .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
@@ -1771,10 +1784,17 @@ object LlmPipeline {
   /** The NN-Descent loop itself: returns the directed k-NN graph
     * (src, dst, cos). Shared by the qid and its diagnostics. */
   private[graft] def knnGraphEdges(spark: SparkSession, dir: String,
-      k: Int, rounds: Int, bucketings: Int = 8, bucketSize: Int = 12): DataFrame = {
-    val ev = Tables.embeddings(spark, dir)
+      k: Int, rounds: Int, bucketings: Int = 8, bucketSize: Int = 12,
+      capRows: Option[Int] = None): DataFrame = {
+    // capRows is the bench-prelude warm hook ONLY: a tiny corpus slice
+    // drives the production loop end to end so its codegen shapes
+    // (score joins, top-k window, probe agg, LogicalRDD rounds) JIT
+    // once in the quiet warmup window instead of on the measured qid.
+    // No qid passes it.
+    val ev0 = Tables.embeddings(spark, dir)
       .select(col("vec_id"),
         expr("transform(embedding, x -> cast(x as double))").as("v"))
+    val ev = capRows.fold(ev0)(ev0.limit(_))
       .withColumn("n", VectorExprs.l2(col("v")))
       .persist()
     def score(cand: DataFrame): DataFrame = cand
@@ -1842,7 +1862,16 @@ object LlmPipeline {
     // shuffle join and pre-score dedup trades one extra shuffle for a
     // δ× smaller join volume — reinstate `cand.distinct()` there; the
     // groupBy stays either way (it carries the old flag).
+    // ONE exchange per round, not two (round-8): hash-partitioning by
+    // `src` alone satisfies BOTH downstream distribution requirements —
+    // the (src, dst) groupBy (a subset of the grouping keys co-locates
+    // every group) and the src-partitioned top-k window — so the
+    // explicit repartition is the round's only shuffle of the candidate
+    // stream; groupBy(src, dst) straight off the join output would
+    // exchange on (src, dst) and the window would then re-exchange the
+    // deduped stream on (src). Same rows, same semantics, one wide op.
     def topKFlag(merged: DataFrame): DataFrame = merged
+      .repartition(col("src"))
       .groupBy(col("src"), col("dst"))
       .agg(max(col("cos")).as("cos"), max(col("old")).as("old"))
       .withColumn("rk", row_number().over(
@@ -1850,9 +1879,27 @@ object LlmPipeline {
           .orderBy(col("cos").desc, col("dst"))))
       .filter(col("rk") <= k)
       .select(col("src"), col("dst"), col("cos"), (!col("old")).as("isnew"))
+    // ONE Spark job per round (the round-8 restatement shared with the
+    // other iterative loops): each round's checkpoint is LAZY and the
+    // convergence probe — `agg(max(isnew))` over it, O(n·k) scan, no
+    // shuffle — is the job that materializes the blocks. The eager
+    // checkpoint + separate `filter(isnew).isEmpty` scan paid two
+    // sequential jobs per round, each charged full scheduling latency
+    // on a contended host. The inputs a round reads are always the
+    // previous round's already-materialized blocks, so the double
+    // reference (adj's union reads `edges` twice) never recomputes.
+    def probeNew(df: DataFrame): Boolean =
+      df.agg(coalesce(max(col("isnew")), lit(false))).first().getBoolean(0)
     var edges = topKFlag(score(initCand).withColumn("old", lit(false)))
-      .localCheckpoint()
-    var converged = false
+      .localCheckpoint(false)
+    // Convergence early-exit, bit-identical by construction: with zero
+    // new edges the next round's candidate set is empty (every pair is
+    // old-old), so merged == edges for all remaining rounds — skip
+    // them. On clustered real embeddings descent converges in a few
+    // rounds and the fixed round budget stops being the cost driver.
+    // (At init every edge is new, but the probe still runs — it is the
+    // init checkpoint's materialization.)
+    var converged = !probeNew(edges)
     for (_ <- 1 to rounds if !converged) {
       val adj = edges.select(col("src"), col("dst"), col("isnew")).unionByName(
         edges.select(col("dst").as("src"), col("src").as("dst"), col("isnew")))
@@ -1863,17 +1910,13 @@ object LlmPipeline {
       val next = topKFlag(
         edges.select(col("src"), col("dst"), col("cos"), lit(true).as("old"))
           .unionByName(score(cand).withColumn("old", lit(false))))
-        .localCheckpoint()
+        .localCheckpoint(false)
+      // probe (= materialize next, which reads edges' blocks) BEFORE
+      // freeing them: a lazy checkpoint's lineage is truncated once
+      // materialized, so blocks freed too early are unrecoverable
+      converged = !probeNew(next)
       GraphOps.freeCheckpoint(edges)
       edges = next
-      // Convergence early-exit, bit-identical by construction: with zero
-      // new edges the next round's candidate set is empty (every pair is
-      // old-old), so merged == edges for all remaining rounds — skip
-      // them. A scan of the just-checkpointed blocks (O(n·k), no
-      // shuffle) per round buys the stop; on clustered real embeddings
-      // descent converges in a few rounds and the fixed round budget
-      // stops being the cost driver.
-      converged = next.filter(col("isnew")).limit(1).isEmpty
     }
     // the returned graph is already-materialized checkpoint blocks, so
     // the embedding cache is dead weight from here — free it now rather

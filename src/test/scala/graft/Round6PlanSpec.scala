@@ -36,11 +36,16 @@ class Round6PlanSpec extends SparkSpec {
     // shape the fix installed. A grouped aggregate over the unfiltered
     // corpus (the vocabulary df relation, whatever its aliases) has
     // neither property and fails here.
-    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, BinaryComparison}
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, BinaryComparison, Literal}
+    // a genuine BAND filter: doc_id compared against a LITERAL bound.
+    // Accepting any comparison that merely references doc_id would let
+    // a pushed equi-join predicate (or doc_id = doc_id) satisfy the
+    // boundedness lock on a corpus-unbounded side.
     def hasDocIdBand(p: LogicalPlan): Boolean = p.collectFirst {
       case f: Filter if f.condition.exists {
-        case cmp: BinaryComparison => cmp.references.exists {
-          case a: AttributeReference => a.name == "doc_id"
+        case cmp: BinaryComparison => (cmp.left, cmp.right) match {
+          case (a: AttributeReference, _: Literal) => a.name == "doc_id"
+          case (_: Literal, a: AttributeReference) => a.name == "doc_id"
           case _ => false
         }
         case _ => false
