@@ -1710,6 +1710,7 @@ object Relational {
     coAllMemo.get(key)
       .filter(_.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
       .getOrElse {
+        graft.BuildLog.log(s"memo miss: coPurchaseAll ($dir)")
         val li = Tables.lineitem(spark, dir)
           .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
         // Pair generation via per-order baskets, not a self-join: the
