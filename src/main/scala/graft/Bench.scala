@@ -71,14 +71,22 @@ object Bench {
       // driver numbers were dominated by cold codegen amortized over
       // many sequential round jobs. Production code paths, toy data:
       // plans are unchanged, only the one-time JVM compile moves.
-      operators.GraphOps.rootedDepth(
-        spark.range(1, 65).selectExpr("id AS node",
-          "greatest(1L, id DIV 2) AS parent")).count()
-      operators.GraphOps.connectedComponents(
-        spark.range(63).selectExpr("id + 1 AS src", "(id + 1) * 2 AS dst")
-          .filter(org.apache.spark.sql.functions.col("dst") <= 63)).count()
-      operators.LlmPipeline.knnGraphEdges(spark, sfDir, k = 3, rounds = 1,
-        bucketings = 2, bucketSize = 4, capRows = Some(128)).count()
+      // each warm's final relation is localCheckpoint blocks, which
+      // live OUTSIDE the CacheManager — free them explicitly (the
+      // loops' own regimen) so the measured suite doesn't carry them
+      Seq(
+        operators.GraphOps.rootedDepth(
+          spark.range(1, 65).selectExpr("id AS node",
+            "greatest(1L, id DIV 2) AS parent")),
+        operators.GraphOps.connectedComponents(
+          spark.range(63).selectExpr("id + 1 AS src", "(id + 1) * 2 AS dst")
+            .filter(org.apache.spark.sql.functions.col("dst") <= 63)),
+        operators.LlmPipeline.knnGraphEdges(spark, sfDir, k = 3, rounds = 1,
+          bucketings = 2, bucketSize = 4, capRows = Some(128))
+      ).foreach { warm =>
+        warm.count()
+        operators.GraphOps.freeCheckpoint(warm)
+      }
     } catch { case _: Throwable => () }
     // Run in NAME order so each qid family (dedup_*, graph_*, …) is
     // contiguous, and drop caches only at family boundaries: shared

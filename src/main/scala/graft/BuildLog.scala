@@ -12,14 +12,23 @@ package graft
   */
 object BuildLog {
   private val path = java.nio.file.Paths.get("target/memo_log.txt")
+  // first write of each JVM truncates, so the file always describes
+  // exactly ONE run — successive bench/verify runs would otherwise
+  // interleave and a reader could attribute a previous run's build
+  // cost to the current per-query map
+  private var truncated = false
   def log(msg: String): Unit = synchronized {
     val line = f"[graft t=${System.currentTimeMillis()}%d] $msg"
     System.err.println(line)
     try {
       java.nio.file.Files.createDirectories(path.getParent)
-      java.nio.file.Files.write(path, (line + "\n").getBytes("UTF-8"),
-        java.nio.file.StandardOpenOption.CREATE,
-        java.nio.file.StandardOpenOption.APPEND)
+      val opts =
+        if (truncated) Seq(java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.APPEND)
+        else Seq(java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
+      java.nio.file.Files.write(path, (line + "\n").getBytes("UTF-8"), opts: _*)
+      truncated = true
     } catch { case _: Throwable => () }
   }
 }

@@ -46,9 +46,13 @@ object IvfPhaseProbe {
         .filter(col("ark") <= 5).select("qid", "cid")
       // denominator = the ACTUAL exact-top-5 set size (not a literal
       // 30×5): a fixture with fewer query-band vectors would silently
-      // skew a hardcoded recall
-      val nExact = exact.count()
-      val nhits = exact.join(ivf, Seq("qid", "cid"), "leftsemi").count()
+      // skew a hardcoded recall. Persisted so the count and the hit
+      // join share one window pass — this probe measures IVF phases
+      // and must not double its own ranking cost.
+      val exactSet = exact.persist()
+      val nExact = exactSet.count()
+      val nhits = exactSet.join(ivf, Seq("qid", "cid"), "leftsemi").count()
+      exactSet.unpersist(blocking = false)
       println(f"RECALL dir=$dir nhits=$nhits/$nExact (${nhits.toDouble / math.max(1L, nExact)}%.2f)")
       spark.catalog.clearCache()
       ml.MlBridges.clearIvfMemo()

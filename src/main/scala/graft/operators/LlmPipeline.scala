@@ -401,14 +401,24 @@ object LlmPipeline {
   }
 
   private val dedupMinhashOracle = {
+    // the signature pass reads the df≤DfCap universe, EXACTLY like the
+    // implementation (which hashes the shingleBaskets relation): the
+    // oracle models the cap too, so the two engines agree even on a
+    // corpus where the cap binds — not just on fixtures where it never
+    // does. Verification (inter/sizes) stays on the uncapped postings
+    // in BOTH engines.
     val mhUnion = (0 until 16)
       .map { s =>
         val slice = s"CAST(('0x' || substr(md5(concat('${100 + s / 4}:', shingle)), " +
           s"${s % 4 * 8 + 1}, 8)) AS BIGINT)"
-        s"SELECT doc_id, $s AS seed, min($slice) AS mh FROM sh GROUP BY doc_id"
+        s"SELECT doc_id, $s AS seed, min($slice) AS mh FROM sh_capped GROUP BY doc_id"
       }
       .mkString("\n  UNION ALL\n  ")
     s"""WITH sh AS ($oShingles),
+       |sh_capped AS (
+       |  SELECT doc_id, shingle FROM sh
+       |  WHERE shingle IN (SELECT shingle FROM sh
+       |                    GROUP BY shingle HAVING count(*) <= $DfCap)),
        |sig AS (
        |  $mhUnion),
        |bands AS (
