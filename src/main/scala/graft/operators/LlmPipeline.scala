@@ -1838,6 +1838,22 @@ object LlmPipeline {
       .join(ev.select(col("vec_id").as("dst"), col("v").as("qv"), col("n").as("qn")), "dst")
       .select(col("src"), col("dst"),
         (VectorExprs.dot(col("pv"), col("qv")) / (col("pn") * col("qn"))).as("cos"))
+    // Score each UNDIRECTED pair once, emit both directions (round-8):
+    // both candidate generators are direction-symmetric — the bucket
+    // join produces (a,b) and (b,a), and the neighbor-of-neighbor join
+    // over the symmetrized adjacency produces each pair via the same
+    // middles in both orders with identical new/old flag profiles — so
+    // filtering to src < dst before the embedding joins and mirroring
+    // AFTER scoring with a narrow in-row explode feeds topKFlag the
+    // bit-identical (src, dst, cos) set at HALF the join volume
+    // (cos(a,b) = cos(b,a); a plan-level union of score(cand) with its
+    // transpose would instead duplicate the join subtree and recompute
+    // it — the explode is one pass). KnnDescentSpec locks equivalence.
+    def scoreBoth(candCanonical: DataFrame): DataFrame = score(candCanonical)
+      .select(explode(array(
+          struct(col("src").as("s"), col("dst").as("d")),
+          struct(col("dst").as("s"), col("src").as("d")))).as("p"), col("cos"))
+      .select(col("p.s").as("src"), col("p.d").as("dst"), col("cos"))
     // Init must MIX: a single bucketing's components are closed under
     // neighbor-of-neighbor (each bucket's out-edges stay in-bucket, so
     // descent can never leave its seed component — measured: recall
@@ -1866,7 +1882,7 @@ object LlmPipeline {
       .as("sb"))
     val initCand = withB.select(col("vec_id").as("src"), col("sb"))
       .join(withB.select(col("vec_id").as("dst"), col("sb")), "sb")
-      .filter(col("src") =!= col("dst"))
+      .filter(col("src") < col("dst")) // canonical: scoreBoth mirrors
       .select(col("src"), col("dst")) // dups (pair in 2+ bucketings) are
       // rescored identically and collapsed by topKFlag's groupBy
     // Incremental refinement (the paper's new/old rule): a neighbor pair
@@ -1926,7 +1942,7 @@ object LlmPipeline {
     // reference (adj's union reads `edges` twice) never recomputes.
     def probeNew(df: DataFrame): Boolean =
       df.agg(coalesce(max(col("isnew")), lit(false))).first().getBoolean(0)
-    var edges = topKFlag(score(initCand).withColumn("old", lit(false)))
+    var edges = topKFlag(scoreBoth(initCand).withColumn("old", lit(false)))
       .localCheckpoint(false)
     // Convergence early-exit, bit-identical by construction: with zero
     // new edges the next round's candidate set is empty (every pair is
@@ -1939,13 +1955,17 @@ object LlmPipeline {
     for (_ <- 1 to rounds if !converged) {
       val adj = edges.select(col("src"), col("dst"), col("isnew")).unionByName(
         edges.select(col("dst").as("src"), col("src").as("dst"), col("isnew")))
+      // canonical src < dst: every neighbor-of-neighbor pair arrives
+      // via the same middles in BOTH orders with identical flag
+      // profiles (adj is symmetrized), so keeping one order halves the
+      // scoring joins and scoreBoth's mirror restores the full set
       val cand = adj.as("a").join(adj.as("b"), col("a.dst") === col("b.src"))
         .filter(col("a.isnew") || col("b.isnew"))
         .select(col("a.src").as("src"), col("b.dst").as("dst"))
-        .filter(col("src") =!= col("dst"))
+        .filter(col("src") < col("dst"))
       val next = topKFlag(
         edges.select(col("src"), col("dst"), col("cos"), lit(true).as("old"))
-          .unionByName(score(cand).withColumn("old", lit(false))))
+          .unionByName(scoreBoth(cand).withColumn("old", lit(false))))
         .localCheckpoint(false)
       // probe (= materialize next, which reads edges' blocks) BEFORE
       // freeing them: a lazy checkpoint's lineage is truncated once
