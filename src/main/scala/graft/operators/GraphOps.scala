@@ -57,10 +57,13 @@ object GraphOps {
     * documented does not apply to the gate. Decimal(38,0) sums keep
     * the Σhash exact and ANSI-overflow-free to ~10¹⁸ edges.
     *
-    * Every round localCheckpoints LAZILY and the fingerprint job is
-    * the materialization — one Spark job per round where the eager
-    * checkpoint + separate count paid two (each sequential job pays
-    * full scheduling latency on a contended host). Both star ops
+    * Every round localCheckpoints LAZILY and the fingerprint action
+    * doubles as the checkpoint's final-stage materialization — the
+    * eager checkpoint's dedicated count pass is gone from every round
+    * (under AQE the round's exchange stages still materialize inside
+    * the checkpoint call; the fusion removes the extra sequential
+    * scans, each of which pays full scheduling latency on a contended
+    * host). Both star ops
     * reference the edge relation twice (the group-min side and the
     * emit side), so an uncut lineage DOUBLES per round — exponential
     * logical-plan growth that OOMs plan stringification long before
@@ -213,13 +216,16 @@ object GraphOps {
     * rows pass through unchanged. Same localCheckpoint + explicit
     * freeCheckpoint regimen as [[connectedComponents]].
     *
-    * ONE Spark job per round (the round-8 restatement): the round's
-    * checkpoint is LAZY and the convergence probe is a scalar
-    * `agg(count, sum(d))` over it, so the probe job IS the
-    * materialization — where the previous shape paid an eager
-    * checkpoint job PLUS an anti-join-vs-roots probe job every round
-    * (2× the job count, and each sequential job pays full scheduling
-    * latency on a contended host). Convergence by exactness of the
+    * Fused probe (the round-8 restatement): the round's checkpoint is
+    * LAZY and the convergence probe is a scalar `agg(count, sum(d))`
+    * over it, so the probe action doubles as the checkpoint's
+    * final-stage materialization — the eager checkpoint's dedicated
+    * count pass and the separate anti-join-vs-roots probe job (plus
+    * its broadcast build) are gone from every round. (Under AQE the
+    * round's exchange stages still materialize inside the checkpoint
+    * call itself; what the fusion removes is the two extra sequential
+    * scans per round, each of which pays full scheduling latency on a
+    * contended host.) Convergence by exactness of the
     * (count, Σd) pair across rounds: d is monotone non-decreasing per
     * surviving row and strictly increases for any row whose anc is
     * not yet a root (a non-root ancestor's own d ≥ 1 — d starts at 1

@@ -1931,13 +1931,16 @@ object LlmPipeline {
           .orderBy(col("cos").desc, col("dst"))))
       .filter(col("rk") <= k)
       .select(col("src"), col("dst"), col("cos"), (!col("old")).as("isnew"))
-    // ONE Spark job per round (the round-8 restatement shared with the
-    // other iterative loops): each round's checkpoint is LAZY and the
+    // Fused probe (the round-8 restatement shared with the other
+    // iterative loops): each round's checkpoint is LAZY and the
     // convergence probe — `agg(max(isnew))` over it, O(n·k) scan, no
-    // shuffle — is the job that materializes the blocks. The eager
-    // checkpoint + separate `filter(isnew).isEmpty` scan paid two
-    // sequential jobs per round, each charged full scheduling latency
-    // on a contended host. The inputs a round reads are always the
+    // shuffle — doubles as the checkpoint's final-stage
+    // materialization, so the eager checkpoint's dedicated count pass
+    // and the separate `filter(isnew).isEmpty` scan are gone from
+    // every round (under AQE the round's exchange stages still
+    // materialize inside the checkpoint call; the fusion removes the
+    // extra sequential scans, each charged full scheduling latency on
+    // a contended host). The inputs a round reads are always the
     // previous round's already-materialized blocks, so the double
     // reference (adj's union reads `edges` twice) never recomputes.
     def probeNew(df: DataFrame): Boolean =
