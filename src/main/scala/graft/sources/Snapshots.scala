@@ -51,9 +51,23 @@ object Snapshots {
           }
         }
       }
-      if (Files.exists(marker)) read(spark, path.toString) else live
+      // marker-validated reads are memoized per (application, path):
+      // a published snapshot is immutable for the life of the app (a
+      // validated layout is never deleted, per the race note above),
+      // and re-deriving the scan costs ~60 ms of driver file listing +
+      // footer read per call — the ratings view alone is consumed by
+      // ~20 qids. The fallback (`live`, marker absent) is NEVER
+      // memoized, so a snapshot published later is still picked up.
+      if (Files.exists(marker))
+        readMemo.getOrElseUpdate(
+          (spark.sparkContext.applicationId, path.toString),
+          read(spark, path.toString))
+      else live
     } catch { case _: Throwable => live }
   }
+
+  private val readMemo =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
 
   private[graft] def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {
