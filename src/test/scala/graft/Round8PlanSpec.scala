@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, Md5}
+import org.apache.spark.sql.catalyst.plans.logical.{Generate, LogicalPlan}
+import org.apache.spark.sql.functions._
+
+/** Structural locks for the round-8 restatements that correctness
+  * tests can't see (moving them back would keep results identical and
+  * only re-inflate the cost):
+  *
+  *  - dedup_minhash hashes signatures per DISTINCT shingle: every
+  *    md5-of-shingle expression must sit BELOW the explode of the
+  *    basket doc arrays (hashing after the explode would be the old
+  *    per-posting shape — ~10× the md5 work for identical minima).
+  *  - Tables.table and marker-validated Snapshots reads are memoized
+  *    per application — the same call must return the SAME plan
+  *    instance, or every qid re-pays ~60 ms of driver file listing +
+  *    footer read (measured: 200 re-reads = 11.7 s).
+  */
+class Round8PlanSpec extends SparkSpec {
+
+  private def md5OnShingle(e: Expression): Boolean = e.exists {
+    case m: Md5 => m.references.exists(_.name == "shingle")
+    case _ => false
+  }
+
+  test("dedup_minhash: md5(shingle) only below the basket docs explode") {
+    val plan = operators.LlmPipeline
+      .dedupMinhash(spark, sfDir).queryExecution.analyzed
+    var sawDocsGenerate = false
+    def check(p: LogicalPlan): Unit = {
+      val isDocsGenerate = p match {
+        case g: Generate => g.generator.references.exists(_.name == "docs")
+        case _ => false
+      }
+      if (isDocsGenerate) sawDocsGenerate = true
+      else {
+        assert(!p.expressions.exists(md5OnShingle),
+          s"md5(shingle) computed ABOVE the docs explode — the " +
+            s"per-posting signature shape is back:\n$p")
+        p.children.foreach(check)
+      }
+    }
+    check(plan)
+    assert(sawDocsGenerate,
+      "plan has no explode of the basket docs array — the signature " +
+        "pass no longer reads shingleBaskets")
+  }
+
+  test("Tables.table returns the memoized scan instance") {
+    val a = sources.Tables.table(spark, sfDir, "part")
+    val b = sources.Tables.table(spark, sfDir, "part")
+    assert(a eq b, "Tables.table re-derived the scan — the per-query " +
+      "file-listing overhead is back")
+  }
+
+  test("Snapshots memoizes marker-validated reads, same instance per app") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_snapmemo_")
+    val snap = dir.resolve("t")
+    def live = Seq(1L, 2L, 3L).toDF("x")
+    val first = sources.Snapshots.parquet(spark, snap, live)
+    val second = sources.Snapshots.parquet(spark, snap, live)
+    assert(first.count() === 3)
+    assert(first eq second, "a marker-validated snapshot read was " +
+      "re-derived instead of memoized")
+    sources.Snapshots.deleteRecursively(dir)
+  }
+}
