@@ -73,19 +73,25 @@ object Bench {
       // plans are unchanged, only the one-time JVM compile moves.
       // each warm's final relation is localCheckpoint blocks, which
       // live OUTSIDE the CacheManager — free them explicitly (the
-      // loops' own regimen) so the measured suite doesn't carry them
-      Seq(
-        operators.GraphOps.rootedDepth(
+      // loops' own regimen) so the measured suite doesn't carry them.
+      // Thunked + per-warm try/finally: building a warm RUNS its loop,
+      // so one warm failing must not skip the free (or the run) of the
+      // others — blocks leaked here would survive every clearCache.
+      val warmThunks: Seq[() => org.apache.spark.sql.DataFrame] = Seq(
+        () => operators.GraphOps.rootedDepth(
           spark.range(1, 65).selectExpr("id AS node",
             "greatest(1L, id DIV 2) AS parent")),
-        operators.GraphOps.connectedComponents(
+        () => operators.GraphOps.connectedComponents(
           spark.range(63).selectExpr("id + 1 AS src", "(id + 1) * 2 AS dst")
             .filter(org.apache.spark.sql.functions.col("dst") <= 63)),
-        operators.LlmPipeline.knnGraphEdges(spark, sfDir, k = 3, rounds = 1,
-          bucketings = 2, bucketSize = 4, capRows = Some(128))
-      ).foreach { warm =>
-        warm.count()
-        operators.GraphOps.freeCheckpoint(warm)
+        () => operators.LlmPipeline.knnGraphEdges(spark, sfDir, k = 3,
+          rounds = 1, bucketings = 2, bucketSize = 4, capRows = Some(128)))
+      warmThunks.foreach { mk =>
+        try {
+          val warm = mk()
+          try warm.count()
+          finally operators.GraphOps.freeCheckpoint(warm)
+        } catch { case _: Throwable => () }
       }
     } catch { case _: Throwable => () }
     // Run in NAME order so each qid family (dedup_*, graph_*, …) is

@@ -12,23 +12,27 @@ package graft
   */
 object BuildLog {
   private val path = java.nio.file.Paths.get("target/memo_log.txt")
-  // first write of each JVM truncates, so the file always describes
-  // exactly ONE run — successive bench/verify runs would otherwise
-  // interleave and a reader could attribute a previous run's build
-  // cost to the current per-query map
-  private var truncated = false
+  // append-only with a pid-tagged RUN HEADER on each JVM's first write:
+  // a reader separates runs by header instead of trusting truncation.
+  // (An earlier truncate-on-first-write draft destroyed a concurrent
+  // JVM's in-flight lines — two graft JVMs on one host is a supported
+  // topology, see Warehouse — and append-only can't.) Every line also
+  // carries the pid, so even interleaved concurrent runs attribute
+  // cleanly.
+  private val pid = ProcessHandle.current().pid()
+  private var headerWritten = false
   def log(msg: String): Unit = synchronized {
-    val line = f"[graft t=${System.currentTimeMillis()}%d] $msg"
+    val line = f"[graft pid=$pid%d t=${System.currentTimeMillis()}%d] $msg"
     System.err.println(line)
     try {
       java.nio.file.Files.createDirectories(path.getParent)
-      val opts =
-        if (truncated) Seq(java.nio.file.StandardOpenOption.CREATE,
-          java.nio.file.StandardOpenOption.APPEND)
-        else Seq(java.nio.file.StandardOpenOption.CREATE,
-          java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
-      java.nio.file.Files.write(path, (line + "\n").getBytes("UTF-8"), opts: _*)
-      truncated = true
+      val payload =
+        (if (headerWritten) "" else f"---- run start pid=$pid%d t=${System.currentTimeMillis()}%d ----%n") +
+          line + "\n"
+      java.nio.file.Files.write(path, payload.getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+      headerWritten = true
     } catch { case _: Throwable => () }
   }
 }

@@ -58,11 +58,19 @@ object Snapshots {
       // footer read per call — the ratings view alone is consumed by
       // ~20 qids. The fallback (`live`, marker absent) is NEVER
       // memoized, so a snapshot published later is still picked up.
-      if (Files.exists(marker))
-        readMemo.getOrElseUpdate(
-          (spark.sparkContext.applicationId, path.toString),
+      // HARD CONTRACT the memo key relies on: a path identifies ONE
+      // (format, schema, read closure) for the life of the app —
+      // every call site derives a purpose-specific path (the
+      // `graft_<purpose>_<hash(dir)>` convention), so the key omits
+      // the `read` function's identity. A second caller reusing a
+      // path with a different reader would silently get the first
+      // caller's DataFrame; derive a new path instead.
+      if (Files.exists(marker)) {
+        val app = spark.sparkContext.applicationId
+        readMemo.filterInPlace { case ((a, _), _) => a == app }
+        readMemo.getOrElseUpdate((app, path.toString),
           read(spark, path.toString))
-      else live
+      } else live
     } catch { case _: Throwable => live }
   }
 

@@ -32,9 +32,17 @@ object Tables {
     * fresh session never sees a stale index. */
   private val tableMemo =
     scala.collection.concurrent.TrieMap.empty[(String, String, String), DataFrame]
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    tableMemo.getOrElseUpdate((spark.sparkContext.applicationId, dir, name),
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val app = spark.sparkContext.applicationId
+    // evict dead applications' entries on the way in: a stopped
+    // session's memoized plans would otherwise pin its file-index
+    // state for the JVM lifetime (probe mains and test JVMs cycle
+    // sessions); only one application is ever live per JVM here, so
+    // other-app entries are garbage by construction
+    tableMemo.filterInPlace { case ((a, _, _), _) => a == app }
+    tableMemo.getOrElseUpdate((app, dir, name),
       spark.read.parquet(s"$dir/$name.parquet"))
+  }
 
   def region(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "nation")
