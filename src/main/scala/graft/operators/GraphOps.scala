@@ -112,11 +112,17 @@ object GraphOps {
         cur.select(col("v").as("u"), col("u").as("v")))
       val largeMin = dirs.groupBy("u").agg(min(col("v")).as("mn"))
         .select(col("u"), least(col("mn"), col("u")).as("m"))
-      // m <= u < v, so (m, v) is already canonical and never a self-loop
+      // m <= u < v, so (m, v) is already canonical and never a self-loop.
+      // NO intermediate distinct (round 8, −1 exchange/round): small-star's
+      // min-aggregation ignores duplicate rows and the round's FINAL
+      // distinct restores the set, so the result is identical; the
+      // duplicate multiset stays bounded (each `dirs` row emits ≤ 1 row
+      // here, so |afterLarge| ≤ 2·|cur| rows into the next two keyed ops —
+      // the star contraction's no-growth guarantee is about the SET, which
+      // the end-of-round distinct still enforces before the checkpoint).
       val afterLarge = dirs.join(largeMin, "u")
         .filter(col("v") > col("u"))
         .select(col("m").as("u"), col("v"))
-        .distinct()
       // Small-star: every node v connects its smaller-or-equal
       // neighborhood N<=(v) ∪ {v} to its minimum. In canonical form the
       // smaller neighbors of v are exactly the u's of edges (u, v).
