@@ -150,8 +150,10 @@ object GraphOps {
     lastRounds = rounds
     // At the fixpoint the relation is a star forest rooted at each
     // component's minimum: every edge is (root, member).
+    // roots needs no pre-distinct: the union's final distinct collapses
+    // the duplicate (root, root) rows — one exchange instead of two.
     val leaves = cur.select(col("v").as("id"), col("u").as("lab"))
-    val roots = cur.select(col("u").as("id"), col("u").as("lab")).distinct()
+    val roots = cur.select(col("u").as("id"), col("u").as("lab"))
     leaves.unionByName(roots).distinct()
   }
 

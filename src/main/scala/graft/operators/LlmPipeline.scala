@@ -2117,11 +2117,14 @@ object LlmPipeline {
     // pair — no rare-postings subset, no self-join, just a filter +
     // projection of the family's shared basket relation. (df=2 ≤ DfCap,
     // so the capped universe contains every rare shingle.)
+    // NO distinct here: connectedComponents canonicalizes AND distincts
+    // its input as round 0 (two shingles sharing the same 2-doc basket
+    // collapse there), so a pre-dedup is one extra exchange of the edge
+    // relation for an identical result.
     val edges = shingleBaskets(spark, dir)
       .filter(size(col("docs")) === 2)
       .select(col("docs").getItem(0).as("src"),
         col("docs").getItem(1).as("dst"))
-      .distinct()
     val labels = GraphOps.connectedComponents(edges)
     val sizes = labels.groupBy(col("lab"))
       .agg(count(lit(1)).as("cluster_size"))
