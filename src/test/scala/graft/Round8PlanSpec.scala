@@ -47,6 +47,24 @@ class Round8PlanSpec extends SparkSpec {
         "pass no longer reads shingleBaskets")
   }
 
+  test("connectedComponents epilogue: exactly one Aggregate (one distinct)") {
+    // the star-forest readout is leaves ∪ roots under a SINGLE
+    // distinct; a pre-distinct on either union branch (the shape this
+    // round removed) would re-add an exchange to every CC call while
+    // keeping results identical — lock the aggregate count
+    import spark.implicits._
+    val out = operators.GraphOps.connectedComponents(
+      Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("src", "dst"))
+    val aggs = out.queryExecution.optimizedPlan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }
+    assert(aggs.size === 1,
+      s"CC epilogue has ${aggs.size} Aggregates — a redundant " +
+        "pre-distinct is back (or the final distinct was dropped)")
+    assert(out.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      Set((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L), (6L, 5L)))
+  }
+
   test("Tables.table returns the memoized scan instance") {
     val a = sources.Tables.table(spark, sfDir, "part")
     val b = sources.Tables.table(spark, sfDir, "part")
