@@ -105,33 +105,7 @@ object GraphOps {
     var rounds = 0
     var converged = curSize == 0L
     while (!converged) {
-      // Large-star: every node u connects its strictly-larger neighbors
-      // to min(N(u) ∪ {u}). Work from both edge directions so each
-      // node's full neighborhood is in one group.
-      val dirs = cur.unionByName(
-        cur.select(col("v").as("u"), col("u").as("v")))
-      val largeMin = dirs.groupBy("u").agg(min(col("v")).as("mn"))
-        .select(col("u"), least(col("mn"), col("u")).as("m"))
-      // m <= u < v, so (m, v) is already canonical and never a self-loop.
-      // NO intermediate distinct (round 8, −1 exchange/round): small-star's
-      // min-aggregation ignores duplicate rows and the round's FINAL
-      // distinct restores the set, so the result is identical; the
-      // duplicate multiset stays bounded (each `dirs` row emits ≤ 1 row
-      // here, so |afterLarge| ≤ 2·|cur| rows into the next two keyed ops —
-      // the star contraction's no-growth guarantee is about the SET, which
-      // the end-of-round distinct still enforces before the checkpoint).
-      val afterLarge = dirs.join(largeMin, "u")
-        .filter(col("v") > col("u"))
-        .select(col("m").as("u"), col("v"))
-      // Small-star: every node v connects its smaller-or-equal
-      // neighborhood N<=(v) ∪ {v} to its minimum. In canonical form the
-      // smaller neighbors of v are exactly the u's of edges (u, v).
-      val smallMin = afterLarge.groupBy("v").agg(min(col("u")).as("m"))
-      val attachSelf = smallMin.select(col("m").as("u"), col("v"))
-      val attachPeers = afterLarge.join(smallMin, "v")
-        .filter(col("u") =!= col("m"))
-        .select(col("m").as("u"), col("u").as("v"))
-      val nextCk = attachSelf.unionByName(attachPeers).distinct().localCheckpoint(false)
+      val nextCk = ccRound(cur).localCheckpoint(false)
       val next = statsResetEvery(rounds, nextCk)
       val (nextSize, nextHash) = fingerprint(nextCk)
       // exceptAll (the exact decider) runs ONLY on a fingerprint match —
@@ -155,6 +129,43 @@ object GraphOps {
     val leaves = cur.select(col("v").as("id"), col("u").as("lab"))
     val roots = cur.select(col("u").as("id"), col("u").as("lab"))
     leaves.unionByName(roots).distinct()
+  }
+
+  /** One large-star + small-star contraction round over a canonical
+    * (u < v, distinct) edge relation — extracted from the loop so its
+    * plan shape is lockable by test BEFORE the localCheckpoint cuts it
+    * out of the inspectable lineage (Round8PlanSpec holds it to
+    * exactly three Aggregates: the two star group-mins and the final
+    * set-restoring distinct; a re-added intermediate dedup would be a
+    * fourth). */
+  private[graft] def ccRound(cur: DataFrame): DataFrame = {
+    // Large-star: every node u connects its strictly-larger neighbors
+    // to min(N(u) ∪ {u}). Work from both edge directions so each
+    // node's full neighborhood is in one group.
+    val dirs = cur.unionByName(
+      cur.select(col("v").as("u"), col("u").as("v")))
+    val largeMin = dirs.groupBy("u").agg(min(col("v")).as("mn"))
+      .select(col("u"), least(col("mn"), col("u")).as("m"))
+    // m <= u < v, so (m, v) is already canonical and never a self-loop.
+    // NO intermediate distinct (round 8, −1 exchange/round): small-star's
+    // min-aggregation ignores duplicate rows and the round's FINAL
+    // distinct restores the set, so the result is identical; the
+    // duplicate multiset stays bounded (each `dirs` row emits ≤ 1 row
+    // here, so |afterLarge| ≤ 2·|cur| rows into the next two keyed ops —
+    // the star contraction's no-growth guarantee is about the SET, which
+    // the end-of-round distinct still enforces before the checkpoint).
+    val afterLarge = dirs.join(largeMin, "u")
+      .filter(col("v") > col("u"))
+      .select(col("m").as("u"), col("v"))
+    // Small-star: every node v connects its smaller-or-equal
+    // neighborhood N<=(v) ∪ {v} to its minimum. In canonical form the
+    // smaller neighbors of v are exactly the u's of edges (u, v).
+    val smallMin = afterLarge.groupBy("v").agg(min(col("u")).as("m"))
+    val attachSelf = smallMin.select(col("m").as("u"), col("v"))
+    val attachPeers = afterLarge.join(smallMin, "v")
+      .filter(col("u") =!= col("m"))
+      .select(col("m").as("u"), col("u").as("v"))
+    attachSelf.unionByName(attachPeers).distinct()
   }
 
   /** Fixed-iteration PageRank in e6-scaled integer arithmetic.

@@ -65,6 +65,43 @@ class Round8PlanSpec extends SparkSpec {
       Set((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L), (6L, 5L)))
   }
 
+  test("CC round body: the only pure-distinct Aggregate is the final one") {
+    // the loop checkpoints each round, cutting its plan out of any
+    // post-hoc lineage — so lock the round-body shape directly. The
+    // logical tree DUPLICATES shared subplans (smallMin and afterLarge
+    // are each referenced twice), so a raw Aggregate count is a
+    // copy-count artifact; the stable property is the KIND: the star
+    // group-mins carry a min() aggregate function, while a distinct is
+    // an Aggregate with none. Exactly one such pure-distinct node may
+    // exist — the round's final set restore at the root. A re-added
+    // afterLarge pre-dedup (identical results, one extra exchange per
+    // round, ~30% of warm round cost in the r8 A/B) would show up as
+    // pure-distinct Aggregates below the root.
+    import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    import spark.implicits._
+    val cur = Seq((1L, 2L), (1L, 3L), (2L, 4L)).toDF("u", "v")
+    val round = operators.GraphOps.ccRound(cur)
+    val plan = round.queryExecution.optimizedPlan
+    val pureDistincts = plan.collect {
+      case a: Aggregate
+        if !a.aggregateExpressions.exists(_.exists(
+          _.isInstanceOf[AggregateExpression])) => a
+    }
+    assert(pureDistincts.size === 1,
+      s"CC round body has ${pureDistincts.size} pure-distinct " +
+        "Aggregates — expected only the final set restore; an " +
+        "intermediate dedup is back (>1) or the final distinct was " +
+        "dropped (0)")
+    assert(plan.isInstanceOf[Aggregate] &&
+      pureDistincts.head.eq(plan),
+      "the pure-distinct Aggregate is not the plan root — the final " +
+        "set restore moved or an intermediate dedup replaced it")
+    // and the round itself contracts this graph to the star on 1
+    assert(round.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      Set((1L, 2L), (1L, 3L), (1L, 4L)))
+  }
+
   test("Tables.table returns the memoized scan instance") {
     val a = sources.Tables.table(spark, sfDir, "part")
     val b = sources.Tables.table(spark, sfDir, "part")
