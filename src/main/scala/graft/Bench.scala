@@ -60,6 +60,21 @@ object Bench {
         .groupBy(col("id") % 3)
         .agg(min(struct(col("rk"), col("id"))))
         .count()
+      // warm the basket-build shape shared by coPurchaseAll and
+      // shingleBaskets (ObjectHashAggregate collect_list + sort_array,
+      // double Generate explode, support HashAggregate): these family
+      // ETL builds now materialize eagerly with a logged build time,
+      // and without this warm that logged figure is inflated by the
+      // one-time JIT of exactly these operators. Toy data, production
+      // operator shapes.
+      import org.apache.spark.sql.functions.{collect_list, count, explode, lit, sort_array}
+      spark.range(200).selectExpr("id % 40 AS ok", "id % 13 AS pk")
+        .groupBy(col("ok")).agg(sort_array(collect_list(col("pk"))).as("ps"))
+        .select(explode(col("ps")).as("src"), col("ps"))
+        .select(col("src"), explode(col("ps")).as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("support"))
+        .count()
       Seq("ps_combine", "join_bucketed", "scan_partitioned").foreach { q =>
         Registry.byId.get(q).foreach(g => g.fn(spark, sfDir).count())
       }
@@ -77,6 +92,14 @@ object Bench {
       // Thunked + per-warm try/finally: building a warm RUNS its loop,
       // so one warm failing must not skip the free (or the run) of the
       // others — blocks leaked here would survive every clearCache.
+      // warm the PQ chain on 64 deterministic toy vectors: sim_pq's
+      // r8 driver regression (1.61 → 2.35 s, plan unchanged) probed as
+      // pure first-run JIT — 5.23 s cold vs 1.66 s warm in one JVM
+      // (PqPhaseProbe); production operator chain, toy data
+      operators.LlmPipeline.simPqOn(
+        spark.range(64).selectExpr("id AS vec_id",
+          "transform(sequence(1, 64), j -> cast((id * 31 + j) % 97 as float)) AS embedding")
+      ).count()
       val warmThunks: Seq[() => org.apache.spark.sql.DataFrame] = Seq(
         () => operators.GraphOps.rootedDepth(
           spark.range(1, 65).selectExpr("id AS node",
@@ -100,7 +123,14 @@ object Bench {
     // are intentionally reused across a family's queries, while storage
     // still never outlives a family — bounded memory AND no repeated
     // subplans. Sorted order also makes run-to-run timings comparable.
+    // dev-only filter (unset on the driver): run just the qids whose
+    // name starts with one of the comma-separated prefixes, under the
+    // exact bench conditions (prelude warms, family-boundary cache
+    // clears, sorted order) — for attributing a family's driver
+    // numbers without a 3-minute full sweep
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
     def family(name: String): String = name.takeWhile(_ != '_')
     val results = ordered.zipWithIndex.map { case ((name, fn), i) =>
       val t0 = System.nanoTime()
@@ -125,12 +155,18 @@ object Bench {
       .map { case (n, s, e) =>
         f""""$n":$s%.3f""" + e.map(x => f""","${n}_err":"$x"""").getOrElse("")
       }.mkString("{", ",", "}")
-    // sibling artifact with the same per-query map, for offline
-    // regression attribution (the stdout tail can truncate)
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get("target/bench_queries.json"),
-      perQuery.getBytes("UTF-8"))
-    catch { case _: Throwable => () }
+    // sibling artifacts with the same per-query map, for offline
+    // regression attribution (the stdout tail can truncate). TWO
+    // copies: target/ for tooling, and a repo-root BENCH_QUERIES_
+    // LATEST.json that gets committed as BENCH_QUERIES_r{N}.json at
+    // the next round's open — both r7→r8 "suite maximum arrived
+    // unnoticed" incidents trace to the full map living only in
+    // truncated stdout and an uncommitted target/ file.
+    Seq("target/bench_queries.json", "BENCH_QUERIES_LATEST.json").foreach { p =>
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get(p), perQuery.getBytes("UTF-8"))
+      catch { case _: Throwable => () }
+    }
     // per-query map on its OWN line (full stdout + sibling file carry
     // it; it is too long for the driver's 2000-char tail capture)...
     println(s"""{"metric":"queries","queries":$perQuery}""")

@@ -1733,6 +1733,17 @@ object Relational {
           .groupBy(col("src"), col("dst"))
           .agg(count(lit(1)).as("support"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+        // eager, TIMED materialization (the shingleBaskets pattern):
+        // this build is the graph family's dominant shared ETL, and
+        // fusing it lazily into whichever graph qid ran first made
+        // that qid's bench number unattributable — r8's suite maximum
+        // (graph_degree_dist, 11.6 s) was mostly this build plus cold
+        // codegen, indistinguishable from a plan regression in the
+        // artifact. One count scan of the freshly persisted relation
+        // buys a logged build time; consumers read the same cache.
+        val t0 = System.nanoTime()
+        val n = all.count()
+        graft.BuildLog.log(f"coPurchaseAll built in ${(System.nanoTime() - t0) / 1e9}%.2f s ($n pairs, $dir)")
         coAllMemo.put(key, all)
         all
       }
