@@ -81,6 +81,10 @@ object ScaleRehearsal {
     // with the stale marker still vouching — the exact hazard this
     // retraction exists to close)
     java.nio.file.Files.deleteIfExists(new java.io.File(out, "_DONE").toPath)
+    // drop any memoized base-table scans of this dir taken over the
+    // PREVIOUS corpus (dirs are "upgraded in place" in the same JVM,
+    // and Tables.table memoizes the file index per (app, dir, table))
+    graft.sources.Tables.invalidate(outDir)
     // this dir is being (re)generated: derived snapshots keyed by the
     // dir PATH (the ratings materialized view, the binaryFile staging,
     // the csv/orc/jsonl re-encodes, the partitioned/sink/evolve
@@ -97,7 +101,15 @@ object ScaleRehearsal {
     try {
       listing.iterator().asScala
         .filter(p => matcher.matches(p.getFileName))
-        .foreach(graft.sources.Snapshots.deleteRecursively)
+        .foreach { p =>
+          graft.sources.Snapshots.deleteRecursively(p)
+          // and drop any read memoized over the now-deleted layout —
+          // without this a consumer in this JVM that already
+          // materialized the snapshot would keep a plan over deleted
+          // files (Snapshots' "never deleted" invariant has exactly
+          // this one rehearsal-regeneration exception)
+          graft.sources.Snapshots.invalidate(p)
+        }
     } finally listing.close()
     val docs = spark.read.parquet(s"$baseDir/documents.parquet")
     val embs = spark.read.parquet(s"$baseDir/embeddings.parquet")

@@ -258,13 +258,14 @@ object GraphOps {
     * fact) — one extra cheap job against ~2× fewer jobs per round.
     *
     * PRECONDITION: every parent value must exist as a node (a closed
-    * forest). A dangling parent orphans its whole subtree — the hop
-    * join finds no ancestor row and the subtree drops from the output
-    * silently. Validate with a parents-minus-nodes anti-join upstream
-    * if the hierarchy column is untrusted. A parent CYCLE can never
-    * reach a root, so the loop would spin to its round cap — the
-    * post-loop convergence assert below turns both violations into a
-    * loud failure instead of plausible-looking wrong depths.
+    * forest). Both violation modes fail LOUDLY: a parent CYCLE gains d
+    * every round, so Σd never goes stationary and the loop hits its
+    * derived cap (the convergence require); a DANGLING parent orphans
+    * its subtree — the hop join finds no ancestor row and the rows
+    * DRAIN, after which (count, Σd) goes stationary at a SMALLER
+    * count, caught by the final-vs-initial row-count require (the
+    * probe already tracks the count, so the check costs no extra
+    * job).
     *
     * The cap is DERIVED, not a magic constant: a forest on n nodes has
     * depth ≤ n, and doubling settles any depth ≤ 2^k in k rounds, so
@@ -292,6 +293,7 @@ object GraphOps {
       .localCheckpoint(false)
     var cur: DataFrame = ck
     var (n0, prevSum) = probe(ck)
+    val nInit = n0
     val n = math.max(1L, n0)
     val maxRounds = // ceil(log2(n)) + 3, floor 4 (+1: stationarity of
       // (count, Σd) is observed one confirming round after the fixpoint)
@@ -317,13 +319,20 @@ object GraphOps {
     }
     lastRounds = rounds
     // ⌈log₂ n⌉ doubling rounds settle any depth a forest on n nodes can
-    // have, +1 to observe stationarity, +2 slack; not settling means
-    // the input broke the closed-forest precondition (parent cycle, or
-    // a dangling parent that can never reach a root — a cycle's rows
-    // gain d every round, so Σd never goes stationary). Fail loudly —
-    // wrong depths that LOOK right are the worst possible output.
+    // have, +1 to observe stationarity, +2 slack; not settling means a
+    // parent CYCLE (its rows gain d every round, so Σd never goes
+    // stationary). Fail loudly — wrong depths that LOOK right are the
+    // worst possible output.
     require(done, s"rootedDepth did not converge in $rounds rounds " +
-      s"(n=$n): input has a parent cycle or is not a closed forest")
+      s"(n=$n): input has a parent cycle")
+    // the OTHER precondition violation converges: a dangling parent's
+    // orphan subtree drains through the inner hop join, then
+    // (count, Σd) goes stationary at a smaller count — which would
+    // silently return depths missing those nodes. The probe already
+    // carries the count, so the row-conservation check is free.
+    require(n0 == nInit, s"rootedDepth lost ${nInit - n0} of $nInit " +
+      "rows: a dangling parent orphaned a subtree (input is not a " +
+      "closed forest) — validate parents against nodes upstream")
     cur.select(col("node"), col("anc").as("root"), col("d").as("depth"))
   }
 

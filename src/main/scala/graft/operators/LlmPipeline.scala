@@ -154,12 +154,25 @@ object LlmPipeline {
         // eager, TIMED materialization: the basket build is the dedup
         // family's dominant shared ETL, and fusing it into whichever
         // qid happens to run first made that qid's bench number
-        // unattributable (the r6→r7 "dedup regression" debate). One
-        // count scan of the freshly persisted relation buys a logged
-        // build time; consumers read the same cache either way.
+        // unattributable (the r6→r7 "dedup regression" debate). The
+        // materializing scan doubles as a COVERAGE census (ADVICE r8):
+        // a doc whose every shingle is hotter than [[DfCap]] lands in
+        // no basket, gets no minhash signature, and can never be
+        // flagged near-duplicate — a real behavior change vs the
+        // uncapped per-posting shape that the fixtures (max df ≈ 25)
+        // can never exercise, so a BINDING cap must be loud in the
+        // log, not silent. The corpus count is parquet-metadata-only.
         val t0 = System.nanoTime()
-        val n = baskets.count()
-        graft.BuildLog.log(f"shingleBaskets built in ${(System.nanoTime() - t0) / 1e9}%.2f s ($n baskets, $dir)")
+        val cov = baskets.select(explode(col("docs")).as("d"))
+          .agg(count(lit(1)), countDistinct(col("d"))).head()
+        val (nPost, nDocs) = (cov.getLong(0), cov.getLong(1))
+        val nCorpus = Tables.documents(spark, dir).count()
+        graft.BuildLog.log(
+          f"shingleBaskets built in ${(System.nanoTime() - t0) / 1e9}%.2f s " +
+            f"($nDocs of $nCorpus docs in the df<=$DfCap universe, $nPost postings, $dir)" +
+            (if (nDocs < nCorpus)
+              f" WARNING: ${nCorpus - nDocs} signature-less docs — the df cap binds"
+            else ""))
         shingleBasketsMemo.put(key, baskets)
         baskets
       }

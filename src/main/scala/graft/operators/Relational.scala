@@ -268,7 +268,8 @@ object Relational {
         .option("header", "true").option("sep", "|").csv(p),
       (s, p) => s.read
         .schema("s_suppkey BIGINT, s_name STRING, s_nationkey INT, s_acctbal DOUBLE")
-        .option("header", "true").option("sep", "|").csv(p))
+        .option("header", "true").option("sep", "|").csv(p),
+      tag = "csv")
     csv.groupBy(col("s_nationkey"))
       .agg(count(lit(1)).as("n_suppliers"),
         sum(cents(col("s_acctbal"))).as("bal_cents"))
@@ -299,7 +300,7 @@ object Relational {
       Tables.orders(spark, dir)
         .select("o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"),
       (df, p) => df.write.mode("overwrite").orc(p),
-      (s, p) => s.read.orc(p))
+      (s, p) => s.read.orc(p), tag = "orc")
     orc.filter(col("o_totalprice") > 200000)
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n"),
@@ -441,7 +442,8 @@ object Relational {
       (s, p) => s.read.format("binaryFile")
         .option("pathGlobFilter", "part-*")
         .option("recursiveFileLookup", "true")
-        .load(p))
+        .load(p),
+      tag = "binaryfile")
     files.select(
         regexp_extract(col("path"), "doc_id=(\\d+)", 1).cast("long")
           .as("doc_id"),
@@ -466,7 +468,8 @@ object Relational {
       (df, p) => df.write.mode("overwrite").json(p),
       (s, p) => s.read
         .schema("c_custkey BIGINT, c_mktsegment STRING, c_acctbal DOUBLE")
-        .json(p))
+        .json(p),
+      tag = "jsonl")
     jsonl.groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n_cust"),
         sum(cents(col("c_acctbal"))).as("bal_cents"))

@@ -20,14 +20,19 @@ object Snapshots {
       write: (DataFrame, String) => Unit =
         (df, p) => df.write.mode("overwrite").parquet(p)): DataFrame =
     materialize(spark, path, live, write,
-      (s, p) => s.read.parquet(p))
+      (s, p) => s.read.parquet(p), tag = "parquet")
 
   /** Format-agnostic core: publish `write`'s output atomically at
     * `path`, read it back with `read` when the `_SUCCESS` marker proves
-    * the layout is complete, fall back to `live` otherwise. */
+    * the layout is complete, fall back to `live` otherwise. `tag` names
+    * the reader/format ("csv", "orc", …) and is part of the read-memo
+    * key: two call sites accidentally sharing a path with different
+    * readers now get a cache MISS (each reads with its own closure)
+    * instead of silently sharing the first caller's DataFrame. */
   def materialize(spark: SparkSession, path: Path, live: => DataFrame,
       write: (DataFrame, String) => Unit,
-      read: (SparkSession, String) => DataFrame): DataFrame = {
+      read: (SparkSession, String) => DataFrame,
+      tag: String): DataFrame = {
     try {
       val marker = path.resolve("_SUCCESS")
       if (!Files.exists(marker)) {
@@ -51,31 +56,46 @@ object Snapshots {
           }
         }
       }
-      // marker-validated reads are memoized per (application, path):
-      // a published snapshot is immutable for the life of the app (a
-      // validated layout is never deleted, per the race note above),
-      // and re-deriving the scan costs ~60 ms of driver file listing +
+      // marker-validated reads are memoized per (application, tag,
+      // path): a published snapshot is immutable for the life of the
+      // app — a validated layout is never deleted, per the race note
+      // above, with ONE exception: ScaleRehearsal.synth regenerates a
+      // rehearsal corpus in place and deletes that corpus's derived
+      // snapshot dirs, calling [[invalidate]] on each so this memo
+      // cannot keep a plan over deleted files. That exception is safe
+      // within one JVM by call ordering (synth runs before any read of
+      // the regenerated dir); a CONCURRENT JVM that memoized the path
+      // keeps its plan — rehearsal regeneration is a single-JVM
+      // protocol, not a cross-JVM one (synth's _DONE guard makes
+      // steady-state concurrent runs skip regeneration entirely).
+      // Re-deriving the scan costs ~60 ms of driver file listing +
       // footer read per call — the ratings view alone is consumed by
       // ~20 qids. The fallback (`live`, marker absent) is NEVER
       // memoized, so a snapshot published later is still picked up.
-      // HARD CONTRACT the memo key relies on: a path identifies ONE
-      // (format, schema, read closure) for the life of the app —
-      // every call site derives a purpose-specific path (the
-      // `graft_<purpose>_<hash(dir)>` convention), so the key omits
-      // the `read` function's identity. A second caller reusing a
-      // path with a different reader would silently get the first
-      // caller's DataFrame; derive a new path instead.
+      // The `tag` in the key downgrades the old path-uniqueness HARD
+      // CONTRACT to a convention: distinct readers on one path now
+      // miss instead of sharing wrong data (each still re-reads the
+      // same on-disk layout, so distinct SCHEMAS on one path remain a
+      // call-site bug — derive a purpose-specific path, the
+      // `graft_<purpose>_<hash(dir)>` convention).
       if (Files.exists(marker)) {
         val app = spark.sparkContext.applicationId
-        readMemo.filterInPlace { case ((a, _), _) => a == app }
-        readMemo.getOrElseUpdate((app, path.toString),
+        readMemo.filterInPlace { case ((a, _, _), _) => a == app }
+        readMemo.getOrElseUpdate((app, tag, path.toString),
           read(spark, path.toString))
       } else live
     } catch { case _: Throwable => live }
   }
 
   private val readMemo =
-    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(String, String, String), DataFrame]
+
+  /** Drop every memoized read of `path` (any app, any tag) — called by
+    * ScaleRehearsal.synth immediately after deleting a regenerated
+    * corpus's snapshot dir, so no caller in THIS JVM can be served a
+    * plan over deleted files. */
+  private[graft] def invalidate(path: Path): Unit =
+    readMemo.filterInPlace { case ((_, _, p), _) => p != path.toString }
 
   private[graft] def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {

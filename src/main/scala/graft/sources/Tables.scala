@@ -44,6 +44,14 @@ object Tables {
       spark.read.parquet(s"$dir/$name.parquet"))
   }
 
+  /** Drop every memoized scan under `dir` (any app, any table) —
+    * called by ScaleRehearsal.synth right after it retracts a
+    * rehearsal dir's _DONE marker, so the regeneration that follows
+    * can never race a memoized file index taken over the previous
+    * corpus ("upgraded in place" happens within one JVM). */
+  private[graft] def invalidate(dir: String): Unit =
+    tableMemo.filterInPlace { case ((_, d, _), _) => d != dir }
+
   def region(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "nation")
   def customer(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "customer")

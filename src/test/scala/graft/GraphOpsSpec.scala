@@ -148,6 +148,23 @@ class GraphOpsSpec extends SparkSpec {
     assert(ds(1L) === 0L && (2L to 50L).forall(ds(_) === 1L))
   }
 
+  test("rootedDepth: dangling parent fails loudly, not silently short") {
+    import spark.implicits._
+    // node 5's parent 99 exists nowhere: its subtree (5, then 6 under
+    // 5) drains through the hop join and the loop converges at a
+    // SMALLER count — the row-conservation require must throw rather
+    // than return depths missing nodes 5 and 6 (ADVICE r8: the old
+    // comment claimed the convergence require caught this; it only
+    // catches cycles)
+    val broken = Seq((1L, 1L), (2L, 1L), (3L, 2L), (4L, 2L),
+      (5L, 99L), (6L, 5L)).toDF("node", "parent")
+    val e = intercept[IllegalArgumentException] {
+      operators.GraphOps.rootedDepth(broken).count()
+    }
+    assert(e.getMessage.contains("dangling parent"),
+      s"wrong failure mode: ${e.getMessage}")
+  }
+
   test("bounded BFS relaxation: exact hop distances on a lollipop graph") {
     import spark.implicits._
     // triangle 1-2-3 with a tail 3-4-5-6: dist from 1 = 0,1,1,2,3,4
