@@ -116,6 +116,37 @@ object Bench {
           finally operators.GraphOps.freeCheckpoint(warm)
         } catch { case _: Throwable => () }
       }
+      // r9 warms, same toy-input/production-path contract: the BFS
+      // round shape (graph_shortest_path), the 3-iteration pagerank
+      // round shape, and the six-stage minhash chain — each measured
+      // at ~2x its steady-state cost in-bench from first-run JIT
+      // (MinhashProbe / PqPhaseProbe pattern). Their tiny persisted
+      // inputs are dropped by the clearCache below, BEFORE any
+      // measured query runs.
+      try {
+        val toyCanon = spark.range(1, 32).selectExpr("id AS u", "id * 2 AS v")
+          .filter(org.apache.spark.sql.functions.col("v") < 32)
+        val toyUnd = toyCanon.unionByName(toyCanon.selectExpr("v AS u", "u AS v")).persist()
+        val toySrc = toyUnd.groupBy(col("u"))
+          .agg(org.apache.spark.sql.functions.count(lit(1)).as("d"))
+          .orderBy(col("d").desc, col("u")).limit(1).select(col("u").as("node"))
+        val bfs = operators.GraphOps.boundedBfs(toyUnd, toySrc, hops = 6)
+        try bfs.count() finally operators.GraphOps.freeCheckpoint(bfs)
+        operators.GraphOps.pageRank(
+          toyUnd.select(col("u").as("src"), col("v").as("dst")), iters = 3).count()
+        val toySh = spark.range(600)
+          .selectExpr("id % 60 AS doc_id", "concat('s', id % 37) AS shingle")
+          .distinct().persist()
+        val toyBaskets = toySh.groupBy(col("shingle"))
+          .agg(org.apache.spark.sql.functions.sort_array(
+            collect_list(col("doc_id"))).as("docs"))
+        operators.LlmPipeline.dedupMinhashOn(toySh, toyBaskets).count()
+      } catch { case _: Throwable => () }
+      // drop every cache the warms created (toy pagerank/BFS edge
+      // caches, toy postings): measured queries must start from the
+      // bench's normal cold-cache state. Checkpoint blocks are freed
+      // above (they live outside the CacheManager).
+      try spark.catalog.clearCache() catch { case _: Throwable => () }
     } catch { case _: Throwable => () }
     // Run in NAME order so each qid family (dedup_*, graph_*, …) is
     // contiguous, and drop caches only at family boundaries: shared

@@ -336,6 +336,49 @@ object GraphOps {
     cur.select(col("node"), col("anc").as("root"), col("d").as("depth"))
   }
 
+  /** Bounded-hop BFS frontier relaxation from `srcDf` (a 1-row (node)
+    * relation) over undirected edges `und` (u, v; the caller persists
+    * it — all `hops` rounds read it): each round is one co-keyed join
+    * + one min-groupBy (the Bellman-Ford round as relational algebra).
+    * Returns (node, dist) for every node reached within `hops`.
+    *
+    * localCheckpoint every SECOND round: without any cut the rounds
+    * nest into a ~40-operator plan that Catalyst re-optimizes
+    * wholesale (measured 15.7 s -> ~4 s at sf0.1 when per-round
+    * checkpoints were introduced), because each round references the
+    * previous frontier TWICE (join side + union side) — plan size
+    * doubles per uncut round. But a per-ROUND eager checkpoint buys
+    * that cut with one sequential Spark action per round, and two
+    * nested rounds are only ~4x one round's operators — well inside
+    * Catalyst's budget. Checkpointing on even rounds keeps the
+    * doubling bounded at one level while halving the loop's action
+    * count (8 -> 5 job-bearing actions for graph_shortest_path,
+    * measured by ActionAudit — the contended-driver axis, same
+    * motivation as the r8 fused probes). Blocks of the previous
+    * checkpoint are freed only after the next eager checkpoint has
+    * materialized (the lazy in-between round still reads them until
+    * then). Split out of graph_shortest_path (r9) so the bench
+    * prelude can warm the round shape on a toy graph. */
+  private[graft] def boundedBfs(und: DataFrame, srcDf: DataFrame,
+      hops: Int): DataFrame = {
+    var ck = srcDf.select(col("node"), lit(0L).as("dist"))
+      .localCheckpoint()
+    var dist = ck
+    for (r <- 1 to hops) {
+      val nxt = dist.join(und, col("node") === col("u"))
+        .select(col("v").as("node"), (col("dist") + 1).as("dist"))
+      val stepped = dist.unionByName(nxt)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+      if (r % 2 == 0) {
+        val next = stepped.localCheckpoint()
+        freeCheckpoint(ck)
+        ck = next
+        dist = next
+      } else dist = stepped
+    }
+    dist
+  }
+
   /** Rebuild a checkpointed DataFrame from its RDD, RESETTING inherited
     * statistics. LogicalRDD carries the checkpointed plan's stats, and
     * an iterative loop whose round plan self-joins the previous round

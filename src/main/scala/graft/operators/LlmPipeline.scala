@@ -370,8 +370,17 @@ object LlmPipeline {
     * join shuffles on a high-cardinality key with near-singleton
     * buckets — textbook MinHashLSH.
     */
-  def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingleBase(spark, dir)
+  def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
+    dedupMinhashOn(shingleBase(spark, dir), shingleBaskets(spark, dir))
+
+  /** dedup_minhash over arbitrary postings (doc_id, shingle) and their
+    * df-capped baskets (shingle, docs) — split out (the simPqOn
+    * pattern) so the bench prelude can warm the chain's six codegen
+    * stages (4-md5 slice, 16-way min agg, band agg, band self-join,
+    * sizes, verification joins) on toy postings: MinhashProbe measured
+    * the in-bench figure at ~2× the steady-state stage sum, the rest
+    * being first-run JIT. */
+  private[graft] def dedupMinhashOn(sh: DataFrame, baskets: DataFrame): DataFrame = {
     // (doc_id, seed, minhash): 16 seeded 32-bit hashes per shingle from
     // only 4 md5 evaluations — each 128-bit digest is sliced into four
     // 8-hex-char words (seed = group*4 + slot). All 16 minima are taken
@@ -391,7 +400,7 @@ object LlmPipeline {
     // is the standard MinHash hygiene — the same contract dedup_near
     // documents. The exact-Jaccard verification below stays on the
     // uncapped postings.
-    val hashed = shingleBaskets(spark, dir)
+    val hashed = baskets
       .withColumn("d0", md5(concat(lit("100:"), col("shingle"))))
       .withColumn("d1", md5(concat(lit("101:"), col("shingle"))))
       .withColumn("d2", md5(concat(lit("102:"), col("shingle"))))

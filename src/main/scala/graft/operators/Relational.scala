@@ -1983,37 +1983,10 @@ object Relational {
     val srcDf = und.groupBy(col("u")).agg(count(lit(1)).as("d"))
       .orderBy(col("d").desc, col("u")).limit(1)
       .select(col("u").as("node"))
-    // localCheckpoint every SECOND round: without any cut the 6 rounds
-    // nest into a ~40-operator plan that Catalyst re-optimizes
-    // wholesale (measured 15.7 s -> ~4 s at sf0.1 when per-round
-    // checkpoints were introduced), because each round references the
-    // previous frontier TWICE (join side + union side) — plan size
-    // doubles per uncut round. But a per-ROUND eager checkpoint buys
-    // that cut with one sequential Spark action per round, and two
-    // nested rounds are only ~4x one round's operators — well inside
-    // Catalyst's budget. Checkpointing on even rounds keeps the
-    // doubling bounded at one level while halving the loop's action
-    // count (8 -> 5 job-bearing actions for the qid, measured by
-    // ActionAudit — the contended-driver axis, same motivation as the
-    // r8 fused probes). Blocks of the previous checkpoint are freed
-    // only after the next eager checkpoint has materialized (the lazy
-    // in-between round still reads them until then).
-    var ck = srcDf.select(col("node"), lit(0L).as("dist"))
-      .localCheckpoint()
-    var dist = ck
-    for (r <- 1 to 6) {
-      val nxt = dist.join(und, col("node") === col("u"))
-        .select(col("v").as("node"), (col("dist") + 1).as("dist"))
-      val stepped = dist.unionByName(nxt)
-        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
-      if (r % 2 == 0) {
-        val next = stepped.localCheckpoint()
-        GraphOps.freeCheckpoint(ck)
-        ck = next
-        dist = next
-      } else dist = stepped
-    }
-    dist.groupBy(col("dist"))
+    // loop body (and its biennial-checkpoint regimen) lives in
+    // GraphOps.boundedBfs so the bench prelude can warm it on a toy
+    // graph; the measured trade-offs are documented there
+    GraphOps.boundedBfs(und, srcDf, hops = 6).groupBy(col("dist"))
       .agg(count(lit(1)).as("n_nodes"), sum(col("node")).as("node_sum"))
       .orderBy(col("dist"))
   }
