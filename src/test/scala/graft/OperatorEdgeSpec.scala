@@ -100,7 +100,11 @@ class OperatorEdgeSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException] {
       operators.GraphOps.rootedDepth(cyc).collect()
     }
-    assert(e.getMessage.contains("closed forest"))
+    // r9 split the two violation modes into distinct loud failures:
+    // non-convergence now names the cycle specifically (the dangling-
+    // parent mode has its own row-conservation require, pinned in
+    // GraphOpsSpec)
+    assert(e.getMessage.contains("parent cycle"))
   }
 
   test("time-travel probe selects CLOSED intervals, not just current rows") {
