@@ -290,15 +290,29 @@ object SketchQueries {
   def sketchCms(spark: SparkSession, dir: String): DataFrame = {
     val d = 4
     val w = 256
-    val ev = Tables.events(spark, dir).select(col("user_id"))
-    val cms = ev
-      .select(col("user_id"), explode(expr(s"sequence(0, ${d - 1})")).as("r"))
-      .select(col("r"), expr(
+    // Hash per DISTINCT key, not per event (round-9, the dedup_minhash
+    // r8 lesson applied to sketches): the bucket depends only on
+    // user_id, so fold the event stream to (user_id, cnt) FIRST — one
+    // map-side-combinable groupBy — and build the sketch by SUMMING
+    // counts into cells. Bit-identical cells (count of events landing
+    // in a cell = Σ per-user counts of its users), but the md5 work and
+    // the ×d explode run over the key universe (1.5k at sf0.1), not the
+    // event stream (100k) — at 100 TB the sketch build's hash volume is
+    // bounded by distinct keys while the scan stays one pass. The exact
+    // top-10 reads the SAME per-user relation, so the events scan
+    // happens once, not twice. Measured (filtered A/B, idle host,
+    // sf0.1): 1.02 → 0.69 s minima; in-suite 1.01 → 0.74.
+    val perUser = Tables.events(spark, dir).select(col("user_id"))
+      .groupBy(col("user_id")).agg(count(lit(1)).as("exact_cnt"))
+      .persist()
+    val cms = perUser
+      .select(col("user_id"), col("exact_cnt"), explode(expr(s"sequence(0, ${d - 1})")).as("r"))
+      .select(col("exact_cnt"), col("r"), expr(
         s"cast(conv(substring(md5(concat(cast(300 + r as string), ':', " +
           s"cast(user_id as string))), 1, 8), 16, 10) as bigint) % $w").as("bucket"))
       .groupBy(col("r"), col("bucket"))
-      .agg(count(lit(1)).as("cell"))
-    val top = ev.groupBy(col("user_id")).agg(count(lit(1)).as("exact_cnt"))
+      .agg(sum(col("exact_cnt")).as("cell"))
+    val top = perUser
       .orderBy(col("exact_cnt").desc, col("user_id")).limit(10)
     top
       .select(col("user_id"), col("exact_cnt"),
