@@ -66,24 +66,47 @@ object SketchQueries {
   }
 
   // ----------------------------------------------------------------- sketch_tow
-  /** ToW sketches of the per-event-type user-count vectors, built by the
-    * typed Aggregator; pairwise sketch inner products estimate the exact
-    * count-vector inner product Σ_u cnt_a(u)·cnt_b(u), which is also
-    * computed exactly — the oracle checks estimate AND exact. Estimate
-    * quality is property-tested in ScalaTest; here determinism is what
-    * is asserted.
+  /** ToW sketches of the per-event-type user-count vectors, built by
+    * linear fold over the per-key count relation (see in-body note;
+    * `TowAgg` above is the equivalent mergeable-Aggregator form, kept
+    * property-tested); pairwise sketch inner products estimate the
+    * exact count-vector inner product Σ_u cnt_a(u)·cnt_b(u), which is
+    * also computed exactly — the oracle checks estimate AND exact.
+    * Estimate quality is property-tested in ScalaTest; here
+    * determinism is what is asserted.
     */
   def sketchTow(spark: SparkSession, dir: String): DataFrame = {
-    val tow = udaf(TowAgg)
-    val sk = Tables.events(spark, dir)
-      .groupBy(col("event_type"))
-      .agg(tow(col("user_id")).as("sk"))
+    // Fold-first (round-9): the ToW map is linear, so
+    // cell_j(t) = Σ_events sign(user, j) = Σ_u cnt(t, u) · sign(u, j).
+    // Build the per-key count relation ONCE (the exact inner product
+    // needs it anyway — one events scan total) and derive the sketch
+    // from it with codegen'd md5 expressions. The old form pushed
+    // every event through the typed Aggregator — 8 MessageDigest
+    // rounds per ROW outside codegen; now the hash volume is bounded
+    // by distinct (type, user) pairs at any corpus size. Cells are
+    // bit-identical (integer linearity; the expression reproduces
+    // TowAgg.sign's md5 scheme exactly). TowAgg itself remains the
+    // property-tested mergeable reference implementation of the shape.
+    // The explicit not-null filter is semantically free (a null user's
+    // sign expression is null, which sum() skips — exactly what the
+    // exact branch's inner join does) but load-bearing for the plan:
+    // the self-join below pushes IsNotNull(user_id) into ITS scan, and
+    // without the same filter here the two cnt subtrees don't
+    // canonicalize equal, so AQE reuses neither and events is scanned
+    // and shuffled twice. With it: one scan, one (type,user) exchange,
+    // reused by the sketch branch and both self-join sides.
+    val cnt = Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull)
+      .groupBy(col("event_type"), col("user_id")).agg(count(lit(1)).as("cnt"))
+    val sk = cnt.groupBy(col("event_type"))
+      .agg(array((0 until TowAgg.d).map(j =>
+        sum(col("cnt") *
+          expr(s"((${h32(s"concat(user_id, ':', $j)", 17)}) % 2) * 2 - 1"))): _*)
+        .as("sk"))
     val est = sk.as("a").join(sk.as("b"), col("a.event_type") < col("b.event_type"))
       .select(col("a.event_type").as("ta"), col("b.event_type").as("tb"),
         (expr("aggregate(zip_with(a.sk, b.sk, (x, y) -> x * y), 0L, (acc, v) -> acc + v)")
           .cast("double") / TowAgg.d.toDouble).as("tow_estimate"))
-    val cnt = Tables.events(spark, dir)
-      .groupBy(col("event_type"), col("user_id")).agg(count(lit(1)).as("cnt"))
     val exact = cnt.as("x").join(cnt.as("y"),
         col("x.user_id") === col("y.user_id") &&
           col("x.event_type") < col("y.event_type"))
@@ -163,6 +186,16 @@ object SketchQueries {
     * value. The signature pass is one groupBy over (source, seed) —
     * linear; pairs are across 20 sources only. */
   def sketchMinhash(spark: SparkSession, dir: String): DataFrame = {
+    // The distinct (source, tok) relation feeds the signature pass, the
+    // set sizes, AND the exact-intersection self-join, but is NOT
+    // persisted: the three subtrees canonicalize to the same exchange,
+    // so AQE's runtime exchange reuse computes it once within the one
+    // job — a persist here was A/B-measured (r9) at +0.6 s, replacing
+    // free reuse with cache materialization. Hashing stays per
+    // (source, tok): cross-source token multiplicity is ~2-3× here, so
+    // folding to per-distinct-tok would trade cheap codegen'd md5 for
+    // an extra join shuffle — the wrong trade (the dedup_minhash fold
+    // paid off at ~40× multiplicity).
     val toks = Tables.documents(spark, dir)
       .select(col("source"), explode(split(col("text"), " ")).as("tok"))
       .distinct()
