@@ -1012,11 +1012,23 @@ object LlmPipeline {
     val toks = Tables.documents(spark, dir)
       .filter(col("doc_id") < 200)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-    val scored = lex.toSeq.sortBy(_._1).map { case (name, words) =>
-      toks.groupBy("doc_id")
-        .agg(sum(when(col("tok").isin(words: _*), 1L).otherwise(0L)).as("score"))
-        .withColumn("lx", lit(name))
-    }.reduce(_ unionByName _)
+    // One grouped aggregate computes every lexicon's score, then stack
+    // pivots to the (doc_id, lx, score) long form the argmax needs.
+    // The union-of-groupBys phrasing (one branch per lexicon, the
+    // oracle's shape) reads the corpus and shuffles the tokens once
+    // PER LEXICON — ScanAudit (r9) flagged documents scanned 3x in
+    // one execution; this form is one scan + one shuffle at any
+    // corpus size and any lexicon count, and emits identical rows.
+    val lexSorted = lex.toSeq.sortBy(_._1)
+    val scoreCols = lexSorted.map { case (name, words) =>
+      sum(when(col("tok").isin(words: _*), 1L).otherwise(0L)).as(name)
+    }
+    val stackArgs = lexSorted.map { case (name, _) => s"'$name', $name" }
+      .mkString(", ")
+    val scored = toks.groupBy("doc_id")
+      .agg(scoreCols.head, scoreCols.tail: _*)
+      .select(col("doc_id"),
+        expr(s"stack(${lexSorted.size}, $stackArgs) as (lx, score)"))
     scored
       .withColumn("rk", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
@@ -1208,19 +1220,25 @@ object LlmPipeline {
     * sentences repeat across pages; drop or down-weight them). Sentences
     * are exploded per doc, counted across docs, and each doc gets its
     * duplicated-sentence fraction in e6 integer units (integer division
-    * keeps it engine-exact). Two keyed aggregations, both map-side
-    * combined; at 100 TB the sentence-count relation is the big one and
-    * shuffles on the sentence hash — in production the count table
-    * would be md5-bucketed exactly like the shingle paths.
+    * keeps it engine-exact). The cross-doc count rides a window over
+    * the ONE line-keyed shuffle rather than a separate aggregate joined
+    * back: ScanAudit (r9) showed the aggregate-join phrasing scanning
+    * and exploding the corpus twice (the raw and aggregated subtrees
+    * can never exchange-reuse), while this form reads the corpus once
+    * at any scale. count(*) over the line partition IS count(distinct
+    * doc): array_distinct makes (doc, line) unique per doc, and doc_id
+    * is the table's non-null key. At 100 TB the line-keyed exchange is
+    * the big one — in production the line key would be md5-bucketed
+    * exactly like the shingle paths.
     */
   def dedupLines(spark: SparkSession, dir: String): DataFrame = {
     val lines = Tables.documents(spark, dir)
       .select(col("doc_id"),
         explode(expr("array_distinct(split(text, '\\\\. '))")).as("line"))
       .filter(length(col("line")) >= 20)
-    val counts = lines.groupBy(col("line"))
-      .agg(countDistinct(col("doc_id")).as("ndocs"))
-    lines.join(counts, "line")
+    lines
+      .withColumn("ndocs", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("line")))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_lines"),
         sum(when(col("ndocs") > 1, 1L).otherwise(0L)).as("n_dup_lines"))
@@ -2291,42 +2309,52 @@ object LlmPipeline {
     * the query {spark, hash, join} — the retrieval scorer every
     * RAG/dedup-adjacent pipeline needs next to tf-idf. k1=1.2, b=0.75,
     * idf = ln(1 + (N − df + ½)/(df + ½)) (the "plus one" form, always
-    * positive). Doc length comes from size(split(text)) — no explode
-    * needed for dl — and the exploded token stream is filtered to the
-    * 3 query terms BEFORE the tf groupBy, so the heavy shuffle carries
-    * only query-term postings (at 100 TB: |postings(q)|, not |tokens|).
-    * df and the 1-row corpus stats are broadcast. Determinism: every
-    * input to the float math is an integer (tf, df, dl, N, Σdl); both
-    * engines evaluate the same expression tree, and each per-term
-    * weight is fixed to e6 integer units BEFORE the per-doc sum — an
-    * integer sum is order-independent where a float sum is not (ln is
-    * the one libm call, same margin contract as text_entropy). */
+    * positive). For a FIXED query, tf per term is a per-row array
+    * expression — size(filter(w, x -> x = term)) over one split
+    * projection — so the scoring pass needs no explode, no tf groupBy,
+    * and no join at all: the only data movement before the top-10 is
+    * the broadcast of the 1-row stats aggregate (N, Σdl, and per-term
+    * df as conditional counts, all from the SAME projection).
+    * ScanAudit (r9) showed the old explode-join phrasing reading
+    * documents four times (dl, stats, tf, df); this form reads it
+    * twice — once for the stats row, once for scoring — which is the
+    * floor without caching the corpus (the stats must be complete
+    * before any row can be scored). Determinism: every input to the
+    * float math is an integer (tf, df, dl, N, Σdl); both engines
+    * evaluate the same expression tree, and each per-term weight is
+    * fixed to e6 integer units BEFORE the per-doc sum — an integer sum
+    * is order-independent where a float sum is not (ln is the one libm
+    * call, same margin contract as text_entropy). A zero tf yields w
+    * EXACTLY 0 (the numerator is tf·2.2), so summing all terms
+    * unconditionally equals the old join form that only saw tf>0 rows;
+    * docs with no query term are filtered to keep membership
+    * identical. */
   def textBm25(spark: SparkSession, dir: String): DataFrame = {
     val qterms = Seq("spark", "hash", "join")
     val d = Tables.documents(spark, dir)
-    val dl = d.select(col("doc_id"),
-      size(split(col("text"), " ")).cast("long").as("dl"))
-    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
-    val toks = d.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-      .filter(col("term").isin(qterms: _*))
-    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-    val df_ = toks.select(col("doc_id"), col("term")).distinct()
-      .groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val scored = tf
-      .join(broadcast(df_), "term")
-      .join(dl, "doc_id")
+    val perDoc = d.select(
+      col("doc_id") +: size(split(col("text"), " ")).cast("long").as("dl") +:
+        qterms.map(t =>
+          expr(s"size(filter(split(text, ' '), x -> x = '$t'))")
+            .cast("long").as(s"tf_$t")): _*)
+    val statCols = count(lit(1)).as("n_docs") +: sum(col("dl")).as("sum_dl") +:
+      qterms.map(t =>
+        sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t"))
+    val stats = perDoc.agg(statCols.head, statCols.tail: _*)
+    def wE6(t: String) = {
+      val tf = col(s"tf_$t").cast("double")
+      val idf = log(lit(1.0) +
+        (col("n_docs").cast("double") - col(s"df_$t").cast("double") + 0.5) /
+          (col(s"df_$t").cast("double") + 0.5))
+      val w = idf * (tf * 2.2) /
+        (tf + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl").cast("double") / col("avgdl")))
+      round(w * 1e6).cast("long")
+    }
+    val scored = perDoc
+      .filter(qterms.map(t => col(s"tf_$t") > 0).reduce(_ || _))
       .crossJoin(broadcast(stats))
       .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs").cast("double"))
-      .withColumn("idf", log(lit(1.0) +
-        (col("n_docs").cast("double") - col("df").cast("double") + 0.5) /
-          (col("df").cast("double") + 0.5)))
-      .withColumn("w", col("idf") * (col("tf").cast("double") * 2.2) /
-        (col("tf").cast("double") +
-          lit(1.2) * (lit(0.25) + lit(0.75) * col("dl").cast("double") / col("avgdl"))))
-      // per-term e6 fixpoint BEFORE the sum: a float sum's value depends
-      // on addition order (Det contract); integer sums do not
-      .withColumn("w_e6", round(col("w") * 1e6).cast("long"))
-      .groupBy(col("doc_id")).agg(sum(col("w_e6")).as("score_e6"))
+      .withColumn("score_e6", qterms.map(wE6).reduce(_ + _))
     // global top-10 as orderBy+limit — physical TakeOrderedAndProject
     // (per-partition top-10, driver merge), never a single-task global
     // sort; the rank window then runs over the 10 SURVIVORS only, so

@@ -1148,6 +1148,15 @@ object Relational {
     * replicate-count) rather than materializing duplicates; output is
     * re-aggregated so the declared result stays small and totally
     * ordered.
+    *
+    * Scale note (ScanAudit r9): exercising BOTH multiset ops over the
+    * same inputs in one statement reads each input twice — Spark plans
+    * each op as its own join and the branch filters differ, so neither
+    * AQE reuse nor pushdown merges them. That is inherent to the
+    * operator surface this qid exists to cover; a production pipeline
+    * wanting both results over element-typed rows would use the
+    * single-scan counting restatement (per-key cnt_a/cnt_b, then
+    * least(cnt_a, cnt_b) and greatest(cnt_a - cnt_b, 0)).
     */
   def setOpsAll(spark: SparkSession, dir: String): DataFrame = {
     val a = Tables.lineitem(spark, dir)

@@ -483,9 +483,17 @@ object PsQueries {
     * (p_num_j = Σ_i r_ui · q_ij, den = Σ_i r_ui), then a dot product
     * against a target item's factors. All integer math: factors at the
     * e6 scale, ratings integral, so every sum is order-independent and
-    * the oracle reproduces it exactly. Shapes: ratings join a
-    * 300×8-cell factor table (broadcastable at any scale — the model
-    * shard), two keyed aggregations.
+    * the oracle reproduces it exactly.
+    *
+    * Shapes (restated r9 after ScanAudit flagged ratings read FOUR
+    * times — q build, p, den, tgt): the factor dimension j is pivoted
+    * into 8 conditional sums so the numerator vector, the denominator,
+    * and the target item all come out of ONE user-keyed aggregate over
+    * the one ratings-join-factors stream, and the final dot product is
+    * an 8-term expression against the pivoted (one row per item,
+    * broadcastable at any scale — the model shard) factor table. Two
+    * ratings reads — the model build and the scoring pass, the floor
+    * without caching — and ONE shuffle of the big side, by user.
     */
   def mfFoldIn(spark: SparkSession, dir: String): DataFrame = {
     val r = ratings(spark, dir)
@@ -496,21 +504,22 @@ object PsQueries {
       .select(col("item"), col("j"), expr(
         s"cast(round((${initFactor("item", "j", -0.1, 0.1)}) * 1000000.0) as bigint)")
         .as("q_e6"))
-    // per-user numerator vector and denominator
-    val p = r.join(q, "item")
-      .groupBy(col("user"), col("j"))
-      .agg(sum(col("rl") * col("q_e6")).as("p_num"))
-    val den = r.groupBy(col("user"))
-      .agg(sum(col("rl")).as("rating_sum"), count(lit(1)).as("n_rated"))
-    // target item per user: the smallest rated item (deterministic)
-    val tgt = r.groupBy(col("user")).agg(min(col("item")).as("t_item"))
-    val tq = tgt.join(q, col("t_item") === col("item"))
-      .select(col("user"), col("j"), col("q_e6").as("tq_e6"))
-    p.join(tq, Seq("user", "j"))
-      .groupBy(col("user"))
-      .agg(sum(col("p_num") * col("tq_e6")).as("score_num"))
-      .join(den, "user")
-      .select(col("user"), col("n_rated"), col("rating_sum"), col("score_num"))
+    val js = 0 until 8
+    // the model shard in wide form: one row per item, q0..q7
+    val qCols = js.map(jj => sum(when(col("j") === jj, col("q_e6"))).as(s"q$jj"))
+    val qPivot = q.groupBy(col("item")).agg(qCols.head, qCols.tail: _*)
+    // one user-keyed aggregate: numerator vector (pivoted), denominator
+    // (j = 0 slice, so the 8x factor fan-out doesn't overcount), target
+    val aggCols = js.map(jj =>
+      sum(when(col("j") === jj, col("rl") * col("q_e6"))).as(s"p$jj")) ++ Seq(
+      sum(when(col("j") === 0, col("rl"))).as("rating_sum"),
+      sum(when(col("j") === 0, 1L)).as("n_rated"),
+      min(col("item")).as("t_item"))
+    val perUser = r.join(broadcast(q), "item")
+      .groupBy(col("user")).agg(aggCols.head, aggCols.tail: _*)
+    perUser.join(broadcast(qPivot), col("t_item") === col("item"))
+      .select(col("user"), col("n_rated"), col("rating_sum"),
+        js.map(jj => col(s"p$jj") * col(s"q$jj")).reduce(_ + _).as("score_num"))
       .orderBy(col("user"))
   }
 

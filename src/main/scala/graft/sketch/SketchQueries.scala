@@ -503,15 +503,44 @@ object SketchQueries {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
   }
 
+  /** MG over pre-aggregated (token, freq) pairs. `reduce` is a merge
+    * with the singleton summary {tok -> freq} — the Agarwal et al.
+    * mergeable-summaries result says ANY merge tree over singletons
+    * carries the same guarantee as the row-at-a-time stream fold, so
+    * every token with true frequency > n/(k+1) still survives. The
+    * sketch CONTENT can differ from MgAgg's (both are valid MG
+    * summaries); only the guarantee is declared output, exactly as in
+    * sketch_heavy_hitters' contract. MgAgg stays the property-tested
+    * per-row reference. */
+  object MgWeightedAgg
+      extends Aggregator[(String, Long), Map[String, Long], Map[String, Long]] {
+    def zero: Map[String, Long] = Map.empty
+    def reduce(b: Map[String, Long], r: (String, Long)): Map[String, Long] =
+      MgAgg.merge(b, Map(r._1 -> r._2))
+    def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] =
+      MgAgg.merge(a, b)
+    def finish(m: Map[String, Long]): Map[String, Long] = m
+    def bufferEncoder: org.apache.spark.sql.Encoder[Map[String, Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+    def outputEncoder: org.apache.spark.sql.Encoder[Map[String, Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+  }
+
   def sketchHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(spark, dir)
       .select(explode(split(col("text"), " ")).as("tok"))
+    // Everything below derives from the ONE token-keyed exchange: the
+    // exact heavy set (filter), the total (sum), and the sketch — fed
+    // the (tok, freq) pairs through the weighted-merge form instead of
+    // re-reading and re-exploding the corpus for a per-row fold
+    // (ScanAudit r9: the old shape scanned documents twice; this one
+    // scans once and the UDAF touches |vocabulary| rows, not |tokens|).
     val counts = toks.groupBy(col("tok")).agg(count(lit(1)).as("freq"))
     val tot = counts.agg(sum(col("freq")).as("n"))
     val heavy = counts.crossJoin(broadcast(tot)) // 1-row total
       .filter(col("freq") * lit(MgAgg.k + 1L) > col("n"))
-    val mg = udaf(MgAgg)
-    val sketchKeys = toks.agg(mg(col("tok")).as("mg")) // 1-row sketch
+    val mg = udaf(MgWeightedAgg)
+    val sketchKeys = counts.agg(mg(col("tok"), col("freq")).as("mg")) // 1-row sketch
       .select(explode(map_keys(col("mg"))).as("tok"), lit(true).as("present"))
     heavy.join(sketchKeys, Seq("tok"), "left")
       .select(col("tok"), col("freq"),

@@ -166,6 +166,24 @@ object GraftProperties extends Properties("graft") {
       }
     }
 
+  property("MgWeightedAgg containment: the fold over (tok, freq) pairs keeps heavy tokens") =
+    forAll(tokenStream, Gen.chooseNum(0, 400)) { (toks, cut) =>
+      val agg = sketch.SketchQueries.MgWeightedAgg
+      val kk = sketch.SketchQueries.MgAgg.k
+      val exact = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      // feed the PRE-AGGREGATED pairs (the sketch_heavy_hitters shape),
+      // split at an arbitrary point to exercise the partial-agg merge
+      val pairs = exact.toList.sortBy(_._1)
+      val split = math.min(cut, pairs.size)
+      val (l, r) = pairs.splitAt(split)
+      val m = agg.merge(
+        l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce))
+      val n = toks.size.toLong
+      exact.forall { case (t, f) =>
+        f * (kk + 1L) <= n || m.contains(t)
+      }
+    }
+
   property("MgAgg estimate error bounded by n/(k+1) on both sides") =
     forAll(tokenStream) { toks =>
       val agg = sketch.SketchQueries.MgAgg
