@@ -6,7 +6,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.{FileSourceScanExec, QueryExecution, SparkPlan}
 import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
-import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ReusedExchangeExec}
+import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ReusedExchangeExec, ShuffleExchangeExec}
 import org.apache.spark.sql.util.QueryExecutionListener
 
 /** Diagnostic main: count LIVE parquet scans per source file in each
@@ -51,9 +51,10 @@ object ScanAudit {
     *     duplicates vanish at scale — rerun with
     *     SPARK_GRAFT_NO_BCAST=1 (broadcast joins disabled, the shape
     *     a non-broadcastable side gets) and read THAT count as the
-    *     scale-path answer. r9 measured: none of the five bcast-
-    *     flagged qids collapsed on the shuffled path — their sides
-    *     differ structurally (raw rows vs aggregated) above the scan.
+    *     scale-path answer. r9 measured both outcomes: dedup_embed's
+    *     symmetric self-join DOES collapse on the shuffled path,
+    *     while the structurally-divergent qids (raw rows vs
+    *     aggregated above the scan) did not and needed restatements.
     *   - `subq`: inside a scalar/IN-subquery plan — a separate pass
     *     over the table that the semantics themselves demand.
     *   - `main`: in the main pipeline. A file appearing twice with
@@ -85,6 +86,24 @@ object ScanAudit {
         ++ other.subqueries.flatMap(liveScans(_, "subq")))
   }
 
+  /** Live (non-reused) shuffle exchanges in `p`. Two live exchanges in
+    * one execution whose canonicalized plans are semantically equal are
+    * a MISSED reuse: identical data, identically partitioned, computed
+    * twice — either an AQE canonicalization near-miss worth
+    * restructuring around, or work that should derive from one shared
+    * relation. (ScanAudit's scan metric only sees duplicates that reach
+    * a parquet scan; this catches recomputed DERIVED relations too.) */
+  private def liveExchanges(p: SparkPlan): Seq[SparkPlan] = p match {
+    case a: AdaptiveSparkPlanExec => liveExchanges(a.executedPlan)
+    case s: QueryStageExec => liveExchanges(s.plan)
+    case _: ReusedExchangeExec => Nil
+    case _: InMemoryTableScanExec => Nil
+    case e: ShuffleExchangeExec =>
+      e +: (e.children ++ e.subqueries).flatMap(liveExchanges)
+    case other =>
+      (other.children ++ other.subqueries).flatMap(liveExchanges)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -110,9 +129,18 @@ object ScanAudit {
     // delivery is async, so the drain polls until stable (the
     // ActionAudit protocol)
     val executions = new java.util.concurrent.ConcurrentLinkedQueue[Seq[String]]()
+    val exchDupes = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     spark.listenerManager.register(new QueryExecutionListener {
-      override def onSuccess(f: String, qe: QueryExecution, ns: Long): Unit =
+      override def onSuccess(f: String, qe: QueryExecution, ns: Long): Unit = {
         executions.add(liveScans(qe.executedPlan))
+        liveExchanges(qe.executedPlan)
+          .groupBy(_.canonicalized.semanticHash()).values
+          .filter(g => g.size > 1 && g.sliding(2).forall {
+            case Seq(x, y) => x.sameResult(y); case _ => true
+          })
+          .foreach(g => exchDupes.add(
+            s"${g.size}x ${g.head.outputPartitioning}"))
+      }
       override def onFailure(f: String, qe: QueryExecution, e: Exception): Unit = ()
     })
     def drain(): Seq[Seq[String]] = {
@@ -133,6 +161,7 @@ object ScanAudit {
     def family(name: String): String = name.takeWhile(_ != '_')
     var flagged = 0
     var mainFlagged = 0
+    var exchFlagged = 0
     ordered.zipWithIndex.foreach { case ((name, fn), i) =>
       drain()
       try fn(spark, sfDir).collect()
@@ -162,6 +191,10 @@ object ScanAudit {
           println(f"$w%3d in one exec (${total(f)}%3d over ${execs.size}%2d execs, tags=${tags(f).sorted.mkString("/")})  $name%-24s $f")
         }
       }
+      while (!exchDupes.isEmpty) {
+        exchFlagged += 1
+        println(s"EXCH missed reuse  $name  ${exchDupes.poll()}")
+      }
       val lastOfFamily = i + 1 >= ordered.size ||
         family(ordered(i + 1)._1) != family(name)
       if (lastOfFamily)
@@ -169,6 +202,7 @@ object ScanAudit {
     }
     println(s"flagged (identical slice scanned >1x in a single execution): $flagged")
     println(s"of which >1 main-pipeline reads (the real scale findings): $mainFlagged")
+    println(s"missed exchange reuses (semantically-equal live shuffles): $exchFlagged")
     spark.stop()
   }
 }
