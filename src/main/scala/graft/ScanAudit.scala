@@ -64,7 +64,7 @@ object ScanAudit {
     *     fn_collate, dedup_lines r9) or an aligned subtree that AQE
     *     can reuse (sketch_tow r9).
     */
-  private def liveScans(p: SparkPlan, tag: String = "main"): Seq[String] = p match {
+  private[graft] def liveScans(p: SparkPlan, tag: String = "main"): Seq[String] = p match {
     case a: AdaptiveSparkPlanExec => liveScans(a.executedPlan, tag)
     case s: QueryStageExec => liveScans(s.plan, tag)
     case _: ReusedExchangeExec => Nil
@@ -93,7 +93,7 @@ object ScanAudit {
     * restructuring around, or work that should derive from one shared
     * relation. (ScanAudit's scan metric only sees duplicates that reach
     * a parquet scan; this catches recomputed DERIVED relations too.) */
-  private def liveExchanges(p: SparkPlan): Seq[SparkPlan] = p match {
+  private[graft] def liveExchanges(p: SparkPlan): Seq[SparkPlan] = p match {
     case a: AdaptiveSparkPlanExec => liveExchanges(a.executedPlan)
     case s: QueryStageExec => liveExchanges(s.plan)
     case _: ReusedExchangeExec => Nil
