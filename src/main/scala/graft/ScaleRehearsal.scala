@@ -70,7 +70,11 @@ object ScaleRehearsal {
       new java.io.File(out, "part.parquet").exists() &&
       new java.io.File(out, "events.parquet").exists() &&
       new java.io.File(out, "orders.parquet").exists() &&
-      new java.io.File(out, "customer.parquet").exists()) return
+      new java.io.File(out, "customer.parquet").exists() &&
+      // r9: part went key-only -> full-column; dirs synthesized before
+      // that upgrade in place (the lineitem-presence pattern above)
+      spark.read.parquet(s"$outDir/part.parquet")
+        .schema.fieldNames.contains("p_type")) return
     out.mkdirs()
     // regeneration starts: retract the completion marker FIRST, so a
     // crash mid-synth can never leave an old _DONE vouching for a dir
@@ -210,12 +214,15 @@ object ScaleRehearsal {
     evtReps.reduce(_ unionByName _)
       .repartition(32).write.mode("overwrite")
       .parquet(s"$outDir/events.parquet")
+    // part replicates FULL-COLUMN (r9: the key-only replica broke the
+    // six part-attribute qids under BroadcastAudit's all-qid sweep);
+    // the key shift stays max(key)+1 so the hierarchy keyspace keeps
+    // hier_depth's documented dense-closed-forest precondition
     val pt = spark.read.parquet(s"$baseDir/part.parquet")
-      .select(col("p_partkey"))
     val ptStride = pt.agg(max(col("p_partkey"))).head().getLong(0) + 1L
     val ptReps = (0 until scale).map { r =>
       if (r == 0) pt
-      else pt.select((col("p_partkey") + lit(r * ptStride)).as("p_partkey"))
+      else pt.withColumn("p_partkey", col("p_partkey") + lit(r * ptStride))
     }
     ptReps.reduce(_ unionByName _)
       .repartition(32).write.mode("overwrite")

@@ -547,6 +547,14 @@ object Relational {
   // --------------------------------------------------------- join_broadcast
   /** Explicit broadcast of the small dim (part) against the fact
     * (lineitem): no shuffle of the 100 TB side, map-side hash join.
+    * The hint is an ASSERTION that the dim fits executor memory —
+    * BroadcastAudit (r9) confirms it is one of only two hint-forced
+    * broadcasts whose build grows on the rehearsal corpus (part
+    * doubles as the hierarchy keyspace there, so it replicates with
+    * scale). At a scale where the dim genuinely outgrows memory the
+    * correct move is to DROP the hint, not resize it: the CBO/AQE
+    * path then plans the sort-merge join — cbo_demo demonstrates
+    * exactly that decision from table stats.
     */
   def joinBroadcast(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
