@@ -141,6 +141,26 @@ object Bench {
           .agg(org.apache.spark.sql.functions.sort_array(
             collect_list(col("doc_id"))).as("docs"))
         operators.LlmPipeline.dedupMinhashOn(toySh, toyBaskets).count()
+        // RANGE-frame cumulative window (ts_outlier's histogram-median
+        // shape, r9): unlike row_number (warmed above, shared by ~40
+        // qids), the rangeBetween cumulative sum + whole-partition sum
+        // codegen has exactly one consumer, so its first-run JIT
+        // landed entirely on ts_outlier. Toy histogram, same operator
+        // shapes.
+        val wr = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("g")).orderBy(col("v"))
+          .rangeBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        spark.range(200).selectExpr("id % 5 AS g", "id % 23 AS v", "1L AS cnt")
+          .groupBy(col("g"), col("v")).agg(count(lit(1)).as("cnt"))
+          .withColumn("cum", org.apache.spark.sql.functions.sum(col("cnt")).over(wr))
+          .withColumn("n", org.apache.spark.sql.functions.sum(col("cnt")).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("g"))))
+          .groupBy(col("g"))
+          .agg(org.apache.spark.sql.functions.min(org.apache.spark.sql.functions
+            .when(col("cum") >= org.apache.spark.sql.functions.expr("(n + 1) div 2"),
+              col("v"))).as("med"))
+          .count()
       } catch { case _: Throwable => () }
       // drop every cache the warms created (toy pagerank/BFS edge
       // caches, toy postings): measured queries must start from the

@@ -933,10 +933,13 @@ object EventStream {
     // (filtered A/B, idle host, sf0.1): a wash locally — 1.59 vs 1.63 s
     // minima — because distinct cents ≈ rows/2 at this SF; the rewrite
     // is for the scale axis, where the ratio is unbounded.
+    // NOT persisted: every consumer embeds this same groupBy subtree,
+    // so AQE exchange reuse computes the histogram once within the one
+    // job — the round-9 sketch_minhash measurement (persist replaced
+    // free reuse with cache materialization, +0.6 s) applies verbatim
     val h = Tables.events(spark, dir)
       .select(col("event_type"), cents(col("value")).as("c"))
       .groupBy(col("event_type"), col("c")).agg(count(lit(1)).as("cnt"))
-      .persist()
     def medianOf(hist: DataFrame, valueCol: String, out: String): DataFrame = {
       // RANGE frame, not ROWS: tied values must share one cumulative
       // count so "first value reaching the position" is well-defined
@@ -959,7 +962,6 @@ object EventStream {
       .groupBy(col("event_type"), col("med_c"),
         abs(col("c") - col("med_c")).as("dev"))
       .agg(sum(col("cnt")).as("cnt"))
-      .persist()
     val mad = medianOf(hdev.select(col("event_type"), col("dev"), col("cnt")),
       "dev", "mad_c")
     hdev.join(broadcast(mad), "event_type")
