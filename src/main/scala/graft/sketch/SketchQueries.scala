@@ -335,9 +335,13 @@ object SketchQueries {
     // top-10 reads the SAME per-user relation, so the events scan
     // happens once, not twice. Measured (filtered A/B, idle host,
     // sf0.1): 1.02 → 0.69 s minima; in-suite 1.01 → 0.74.
+    // NOT persisted: the sketch build and the exact top-10 embed the
+    // same groupBy subtree, so AQE exchange reuse computes it once
+    // within the one job (the sketch_tow/ts_outlier r9 measurement:
+    // a persist here buys cache materialization for sharing that
+    // reuse already provides free)
     val perUser = Tables.events(spark, dir).select(col("user_id"))
       .groupBy(col("user_id")).agg(count(lit(1)).as("exact_cnt"))
-      .persist()
     val cms = perUser
       .select(col("user_id"), col("exact_cnt"), explode(expr(s"sequence(0, ${d - 1})")).as("r"))
       .select(col("exact_cnt"), col("r"), expr(

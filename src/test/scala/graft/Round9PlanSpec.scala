@@ -60,9 +60,18 @@ class Round9PlanSpec extends SparkSpec {
     assert(liveScanCount("mf_fold_in") <= 2)
   }
 
+  test("sketch_cms: one events scan feeds the sketch and the exact top-10") {
+    assert(liveScanCount("sketch_cms") == 1)
+  }
+
+  test("ts_outlier: one events scan; both medians ride reused exchanges") {
+    assert(liveScanCount("ts_outlier") == 1)
+  }
+
   test("no restated qid recomputes a semantically-equal live shuffle") {
     for (qid <- Seq("sketch_tow", "text_langid", "fn_collate", "dedup_lines",
-        "sketch_heavy_hitters", "text_bm25", "mf_fold_in"))
+        "sketch_heavy_hitters", "text_bm25", "mf_fold_in", "sketch_cms",
+        "ts_outlier"))
       assert(liveExchangeDupes(qid) == 0, qid)
   }
 }
