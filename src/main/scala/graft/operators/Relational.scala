@@ -264,7 +264,14 @@ object Relational {
     val csv = graft.sources.Snapshots.materialize(spark, staged,
       Tables.supplier(spark, dir)
         .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal"),
-      (df, p) => df.coalesce(1).write.mode("overwrite")
+      // parallel staging write — no coalesce(1): SerialStageAudit (r9)
+      // measured that funnel tracking the table (1000 -> 10000 rows
+      // 1x -> 10x), and nothing needs a single file — the read-back
+      // reads the directory, header rows are skipped per part file,
+      // and the consumer aggregates so part order is irrelevant. The
+      // staged table is a dim (bounded in production), but the
+      // snapshot idiom is generic and must not teach a serial write.
+      (df, p) => df.write.mode("overwrite")
         .option("header", "true").option("sep", "|").csv(p),
       (s, p) => s.read
         .schema("s_suppkey BIGINT, s_name STRING, s_nationkey INT, s_acctbal DOUBLE")
