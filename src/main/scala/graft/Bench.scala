@@ -100,6 +100,14 @@ object Bench {
         spark.range(64).selectExpr("id AS vec_id",
           "transform(sequence(1, 64), j -> cast((id * 31 + j) % 97 as float)) AS embedding")
       ).count()
+      // warm the distinct-first dedup_embed chain (r9 restatement:
+      // array-keyed groupBy/expansion joins, mirror explode) on 64 toy
+      // vectors with planted duplicates (id div 2 ⇒ every vector has a
+      // twin) so BOTH the intra-group and cross-group paths JIT here
+      operators.LlmPipeline.dedupEmbedOn(
+        spark.range(64).selectExpr("id AS vec_id",
+          "transform(sequence(1, 8), j -> cast(((id div 2) * 13 + j) % 19 - 9 as double)) AS v")
+      ).count()
       val warmThunks: Seq[() => org.apache.spark.sql.DataFrame] = Seq(
         () => operators.GraphOps.rootedDepth(
           spark.range(1, 65).selectExpr("id AS node",

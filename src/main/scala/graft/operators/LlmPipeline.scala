@@ -706,29 +706,82 @@ object LlmPipeline {
     "greatest(12L, least(48L, cast(ceil(log2(cnt / 16.0d)) as long)))"
   /** (vec_id, v) → (vec_id, v, bucket, n) with the derived-width sign
     * key — the one bucketing definition behind dedup_embed and
-    * sim_ann_lsh (and the width-growth spec). */
-  private[graft] def signLshBucketed(corpus: DataFrame): DataFrame = {
-    val bits = corpus.agg(count(lit(1)).as("cnt"))
+    * sim_ann_lsh (and the width-growth spec). `widthOf` is the
+    * relation whose COUNT derives the key width (defaults to the
+    * bucketed relation itself); dedup_embed buckets distinct vectors
+    * but derives the width from the full corpus count so its
+    * candidate set — and the DuckDB oracle's — is width-identical. */
+  private[graft] def signLshBucketed(corpus: DataFrame): DataFrame =
+    signLshBucketedFrom(corpus, corpus)
+  private[graft] def signLshBucketedFrom(
+      df: DataFrame, widthOf: DataFrame): DataFrame = {
+    val bits = widthOf.agg(count(lit(1)).as("cnt"))
       .select(expr(signLshBits).as("bits"))
-    corpus.crossJoin(broadcast(bits)) // 1-row derived key width
+    df.crossJoin(broadcast(bits)) // 1-row derived key width
       .withColumn("bucket",
         expr("aggregate(transform(sequence(0, cast(bits as int) - 1), " +
           "i -> if(element_at(v, i + 1) > 0, shiftleft(1L, i), 0L)), 0L, (a, x) -> a + x)"))
       .withColumn("n", VectorExprs.l2(col("v")))
   }
+  /** Bucket, pair, and score DISTINCT vectors; expand through the id
+    * table only after verification (round 9). Identical vectors share
+    * every sign bit, so NO key width can split a duplicate group — a
+    * duplicate-heavy corpus (the norm at crawl scale; re-ingested
+    * media is this qid's own story) grows every bucket with the
+    * duplicate mass and the in-bucket pair join goes Σ(multiplicity²)
+    * (ShuffleGrowthAudit measured the per-row form 54× on the 10×
+    * rehearsal corpus, whose replicas are verbatim vectors). Scoring
+    * per distinct PAIR keeps the LSH join and every dot product
+    * linear in distinct vectors; the two expansion joins are
+    * output-sized — under duplicate mass the true near-dup PAIR LIST
+    * is itself Σ(multiplicity²), which no plan can undercut
+    * (dedup_clusters' component-representative output is the
+    * production interface when listing pairs stops being meaningful).
+    * Orientation: each unordered distinct-vector pair is scored once
+    * (rep < rep), mirrored AFTER scoring (the knnGraphEdges scoreBoth
+    * idiom), and the final id filter keeps da < db — bit-identical to
+    * the per-row form (cos is symmetric bit-for-bit: same element
+    * order, commutative products). Same-vector pairs (cos = 1 by the
+    * same rounded formula) enter once, unmirrored. */
   def dedupEmbed(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables.embeddings(spark, dir)
       .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
     val reingested = base.filter(col("vec_id") % 50 === 0)
       .select((col("vec_id") + 1000000).as("vec_id"),
         expr("transform(v, (x, i) -> if(i = 0, x * cast(1.5 as double), x))").as("v"))
-    val e = signLshBucketed(base.unionByName(reingested))
-    e.as("a").join(e.as("b"),
+    dedupEmbedOn(base.unionByName(reingested))
+  }
+  /** The distinct-first pipeline over an explicit (vec_id, v) corpus —
+    * split out so the bench prelude can warm its shapes (array-keyed
+    * groupBy/joins, mirror explode) on toy vectors, the simPqOn
+    * contract. */
+  private[graft] def dedupEmbedOn(corpus: DataFrame): DataFrame = {
+    val groups = corpus.groupBy(col("v"))
+      .agg(min(col("vec_id")).as("vec_id"), count(lit(1)).as("m"))
+    val e = signLshBucketedFrom(groups.select(col("vec_id"), col("v")), corpus)
+    val cross = e.as("a").join(e.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("da"), col("b.vec_id").as("db"),
+      .select(col("a.v").as("va"), col("b.v").as("vb"),
         round(VectorExprs.dot(col("a.v"), col("b.v")) /
           (col("a.n") * col("b.n")), 6).as("cos"))
       .filter(col("cos") >= 0.9)
+    val intra = groups.filter(col("m") >= 2).select(col("v"))
+      .withColumn("n", VectorExprs.l2(col("v")))
+      .select(col("v").as("va"), col("v").as("vb"),
+        round(VectorExprs.dot(col("v"), col("v")) /
+          (col("n") * col("n")), 6).as("cos"))
+      .filter(col("cos") >= 0.9)
+    val oriented = cross
+      .select(explode(array(
+          struct(col("va").as("x"), col("vb").as("y")),
+          struct(col("vb").as("x"), col("va").as("y")))).as("p"), col("cos"))
+      .select(col("p.x").as("va"), col("p.y").as("vb"), col("cos"))
+      .unionByName(intra)
+    oriented
+      .join(corpus.select(col("vec_id").as("da"), col("v").as("va")), "va")
+      .join(corpus.select(col("vec_id").as("db"), col("v").as("vb")), "vb")
+      .filter(col("da") < col("db"))
+      .select(col("da"), col("db"), col("cos"))
       .orderBy(col("da"), col("db"))
   }
 

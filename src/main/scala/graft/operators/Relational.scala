@@ -919,8 +919,23 @@ object Relational {
     * equi-joins on (length, 3-band key), unioned and then verified
     * with the exact levenshtein. Any 3-band key includes part of the
     * name's discriminative tail, so blocks stay tiny even when every
-    * record shares a long common prefix; per-join cost is O(Σ block²)
-    * over near-unique keys at any registry size. */
+    * record shares a long common prefix.
+    *
+    * Banding and verification run over DISTINCT names, expanded back
+    * through the key tables only after matching (round 9): band keys
+    * and edit distance depend on the NAME alone, so every duplicate
+    * of a name re-banding and re-verifying is pure waste — and real
+    * registries are duplicate-heavy (that is why one fuzzy-joins
+    * them). ShuffleGrowthAudit measured the per-row form 28× on the
+    * 10× rehearsal corpus (identical replica names ⇒ every block
+    * grows k×, pair volume k²); per-distinct-name banding keeps the
+    * band/verify stages linear at any duplicate mass, while the final
+    * expansion joins are output-sized — the true match set under
+    * duplicate mass is itself Σ(multiplicity²), which no plan can
+    * undercut (the cluster-representative interface, dedup_clusters,
+    * is the production shape when that output is too big to list).
+    * Per-join cost is O(Σ block²) over DISTINCT names at any registry
+    * size; results bit-identical to the per-row form. */
   def joinFuzzy(spark: SparkSession, dir: String): DataFrame = {
     val clean = Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_name"))
     val dirty = clean.select(
@@ -935,18 +950,20 @@ object Relational {
             s"substring($nameCol, (${i - 1} * length($nameCol)) div 4 + 1, " +
               s"($i * length($nameCol)) div 4 - (${i - 1} * length($nameCol)) div 4)"))
       }
-    val c = banded(clean, "s_name", "cb")
-    val d = banded(dirty, "d_name", "db")
-    val cands = (1 to 4).map { skip =>
+    val c = banded(clean.select("s_name").distinct(), "s_name", "cb")
+    val d = banded(dirty.select("d_name").distinct(), "d_name", "db")
+    val namePairs = (1 to 4).map { skip =>
       val cond = (0 to 4).filter(_ != skip)
         .map(i => col(s"cb$i") === col(s"db$i")).reduce(_ && _)
-      c.join(d, cond)
-        .select(col("s_suppkey"), col("s_name"), col("d_key"), col("d_name"))
+      c.join(d, cond).select(col("s_name"), col("d_name"))
     }.reduce(_ unionByName _).distinct()
-    cands
       .filter(levenshtein(col("s_name"), col("d_name")) <= 1)
-      .select(col("s_suppkey"), col("d_key"),
+      .select(col("s_name"), col("d_name"),
         levenshtein(col("s_name"), col("d_name")).cast("long").as("dist"))
+    namePairs
+      .join(clean, "s_name")
+      .join(dirty, "d_name")
+      .select(col("s_suppkey"), col("d_key"), col("dist"))
       .orderBy(col("s_suppkey"), col("d_key"))
   }
 

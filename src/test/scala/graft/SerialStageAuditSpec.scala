@@ -36,6 +36,17 @@ class SerialStageAuditSpec extends SparkSpec {
       serial.toString)
   }
 
+  test("ShuffleGrowthAudit counts the records a keyed groupBy shuffles") {
+    val df = spark.range(4000).toDF("id")
+      .groupBy(col("id") % 997).agg(sum(col("id")).as("s"))
+    df.collect()
+    val n = ShuffleGrowthAudit.shuffleRows(df.queryExecution.executedPlan)
+    // partial aggregation combines map-side, but 997 groups over 4
+    // partitions still shuffle >= 997 combined rows (and < 4000 raw —
+    // map-side combine is working if this upper bound holds too)
+    assert(n >= 997L && n < 4000L, n.toString)
+  }
+
   test("a partitioned window and a keyed groupBy raise no corpus-sized serial stage") {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id") % 16).orderBy(col("id"))
