@@ -950,13 +950,25 @@ object Relational {
             s"substring($nameCol, (${i - 1} * length($nameCol)) div 4 + 1, " +
               s"($i * length($nameCol)) div 4 - (${i - 1} * length($nameCol)) div 4)"))
       }
-    val c = banded(clean.select("s_name").distinct(), "s_name", "cb")
-    val d = banded(dirty.select("d_name").distinct(), "d_name", "db")
-    val namePairs = (1 to 4).map { skip =>
-      val cond = (0 to 4).filter(_ != skip)
-        .map(i => col(s"cb$i") === col(s"db$i")).reduce(_ && _)
-      c.join(d, cond).select(col("s_name"), col("d_name"))
-    }.reduce(_ unionByName _).distinct()
+    // the four 3-of-4 band joins fold into ONE equi-join on a
+    // (skip, len, kept-bands) struct column (the knnGraphEdges
+    // (seed, bucket) fold): the skip index lives in the key, so
+    // cross-skip rows never meet and the candidate multiset is
+    // identical to four separate joins — at 2 distinct-name exchanges
+    // + 1 join instead of 4 joins each re-aggregating its own
+    // pruned-column distinct (the pre-fold plan paid 8 aggregates)
+    def keyed(df: DataFrame, nameCol: String): DataFrame =
+      banded(df, nameCol, "t")
+        .select(col(nameCol), explode(expr(
+          "transform(sequence(1, 4), s -> named_struct(" +
+            "'skip', s, 'len', t0, " +
+            "'k1', if(s = 1, t2, t1), " +
+            "'k2', if(s <= 2, t3, t2), " +
+            "'k3', if(s <= 3, t4, t3)))")).as("sb"))
+    val c = keyed(clean.select("s_name").distinct(), "s_name")
+    val d = keyed(dirty.select("d_name").distinct(), "d_name")
+    val namePairs = c.join(d, "sb")
+      .select(col("s_name"), col("d_name")).distinct()
       .filter(levenshtein(col("s_name"), col("d_name")) <= 1)
       .select(col("s_name"), col("d_name"),
         levenshtein(col("s_name"), col("d_name")).cast("long").as("dist"))
