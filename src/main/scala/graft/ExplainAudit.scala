@@ -32,7 +32,7 @@ object ExplainAudit {
       "sim_ann_ivf", "sim_knn_graph", "sketch_quantile", "text_entropy",
       "text_ngram_profile", "dedup_containment", "graph_pagerank",
       "text_bm25", "table_scd2", "table_timetravel",
-      "graph_degree_dist", "join_fuzzy", "text_tfidf", "sim_pq",
+      "graph_degree_dist", "join_fuzzy", "dedup_embed", "text_tfidf", "sim_pq",
       "join_range_band", "text_repetition", "skew_demo", "cbo_demo")
     for (qid <- qids) {
       if (qid == "skew_demo") {
