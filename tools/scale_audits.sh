@@ -1,0 +1,48 @@
+#!/bin/bash
+# Run the four empirical scale audits (redundant reads, unbounded
+# broadcasts, single-partition funnels, superlinear shuffle growth)
+# against the 1x/10x rehearsal corpora, in both join modes where the
+# mode matters. Synthesizes the corpora first if absent.
+# Usage: tools/scale_audits.sh [outdir]   (default /tmp/graft_audits)
+set -e
+cd "$(dirname "$0")/.."
+OUT="${1:-/tmp/graft_audits}"
+mkdir -p "$OUT"
+
+sbt -batch compile >/dev/null 2>&1 || true
+
+ADD_OPENS=""
+for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
+         java.nio java.util java.util.concurrent java.util.concurrent.atomic \
+         sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
+  ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+RUN="java $ADD_OPENS -Xmx100g -Dspark.ui.enabled=false \
+  -Dspark.sql.session.timeZone=UTC \
+  -cp target/scala-2.13/classes:/opt/spark/jars/*"
+
+# corpora (synth is _DONE-gated, so this is a no-op when present)
+SPARK_GRAFT_REHEARSE_QIDS=none $RUN graft.ScaleRehearsal 1 10 \
+  >/dev/null 2>&1
+
+echo "== ScanAudit (default + scale-path)";
+$RUN graft.ScanAudit /root/testdata/sf0.01 2>/dev/null \
+  | tee "$OUT/scan_default.log" | tail -3
+SPARK_GRAFT_NO_BCAST=1 $RUN graft.ScanAudit /root/testdata/sf0.01 2>/dev/null \
+  | tee "$OUT/scan_nobcast.log" | tail -3
+
+echo "== BroadcastAudit (hinted mode — the decisive one)"
+SPARK_GRAFT_NO_BCAST=1 $RUN graft.BroadcastAudit 2>/dev/null \
+  | tee "$OUT/broadcast_hinted.log" | tail -3
+
+echo "== SerialStageAudit (default + scale-path)"
+$RUN graft.SerialStageAudit 2>/dev/null \
+  | tee "$OUT/serial_default.log" | tail -10
+SPARK_GRAFT_NO_BCAST=1 $RUN graft.SerialStageAudit 2>/dev/null \
+  | tee "$OUT/serial_nobcast.log" | tail -10
+
+echo "== ShuffleGrowthAudit (no-bcast mode — the decisive one)"
+SPARK_GRAFT_NO_BCAST=1 $RUN graft.ShuffleGrowthAudit 2>/dev/null \
+  | tee "$OUT/shuffle_nobcast.log" | tail -13
+
+echo "logs in $OUT"
