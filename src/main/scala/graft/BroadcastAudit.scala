@@ -102,7 +102,11 @@ object BroadcastAudit {
       mx
     }
 
+    // dev-only prefix filter (uniform across the four audit mains):
+    // re-check just the qids a fix touched without a two-sweep full run
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
     def family(name: String): String = name.takeWhile(_ != '_')
     def sweep(dir: String): Map[String, Long] =
       ordered.zipWithIndex.map { case ((name, fn), i) =>

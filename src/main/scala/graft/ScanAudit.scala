@@ -157,7 +157,11 @@ object ScanAudit {
       out.toSeq
     }
 
+    // dev-only prefix filter (uniform across the four audit mains):
+    // re-check just the qids a fix touched without a full sweep
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
     def family(name: String): String = name.takeWhile(_ != '_')
     var flagged = 0
     var mainFlagged = 0

@@ -324,15 +324,17 @@ object GraphOps {
     // stationary). Fail loudly — wrong depths that LOOK right are the
     // worst possible output.
     require(done, s"rootedDepth did not converge in $rounds rounds " +
-      s"(n=$n): input has a parent cycle")
+      s"(n=$n): input has a parent cycle, or is otherwise malformed " +
+      "(e.g. duplicated node rows make the hop self-join multiply " +
+      "the state each round)")
     // the OTHER precondition violation converges: a dangling parent's
     // orphan subtree drains through the inner hop join, then
     // (count, Σd) goes stationary at a smaller count — which would
     // silently return depths missing those nodes. The probe already
     // carries the count, so the row-conservation check is free.
-    require(n0 == nInit, s"rootedDepth lost ${nInit - n0} of $nInit " +
-      "rows: a dangling parent orphaned a subtree (input is not a " +
-      "closed forest) — validate parents against nodes upstream")
+    require(n0 == nInit, s"rootedDepth row count changed $nInit -> $n0: " +
+      "a dangling parent orphaned a subtree (input is not a closed " +
+      "forest) — validate parents against nodes upstream")
     cur.select(col("node"), col("anc").as("root"), col("d").as("depth"))
   }
 

@@ -171,7 +171,12 @@ object LlmPipeline {
           f"shingleBaskets built in ${(System.nanoTime() - t0) / 1e9}%.2f s " +
             f"($nDocs of $nCorpus docs in the df<=$DfCap universe, $nPost postings, $dir)" +
             (if (nDocs < nCorpus)
-              f" WARNING: ${nCorpus - nDocs} signature-less docs — the df cap binds"
+              // two causes land a doc outside the basket universe: every
+              // shingle hotter than the cap, OR text too short to yield
+              // any shingle — name both so triage doesn't hunt for a
+              // binding cap on a short-doc corpus
+              f" WARNING: ${nCorpus - nDocs} signature-less docs" +
+                " (df cap binds on all their shingles, or too short to shingle)"
             else ""))
         shingleBasketsMemo.put(key, baskets)
         baskets

@@ -9,7 +9,13 @@ cd "$(dirname "$0")/.."
 OUT="${1:-/tmp/graft_audits}"
 mkdir -p "$OUT"
 
-sbt -batch compile >/dev/null 2>&1 || true
+# a compile failure must be LOUD: running the audits on stale
+# bytecode would "confirm" a fix while measuring the pre-fix code
+if ! sbt -batch compile > /tmp/graft_audit_compile.log 2>&1; then
+  echo "COMPILE FAILED — refusing to audit stale classes" >&2
+  grep -E "error" /tmp/graft_audit_compile.log | head >&2
+  exit 1
+fi
 
 ADD_OPENS=""
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
