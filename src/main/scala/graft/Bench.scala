@@ -1,6 +1,49 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  // Host-calibration probe (r9 verdict ask #1): the r9 driver artifact
+  // (326 s) vs the same-HEAD local sweep (77 s) was attributable to
+  // host throttling only by reading three files out-of-band. These two
+  // FIXED-WORK probes make the artifact self-attributing:
+  //  (a) a single-thread LCG loop (2e8 iterations, no allocation, no
+  //      Spark) — pure CPU clock speed of one core at probe time;
+  //  (b) one tiny fixed Spark job (range(1e7).sum, codegen warmed in
+  //      the prelude) — scheduler + codegen-cache + thread-pool health.
+  // Sampled at sweep start / midpoint / end and embedded in the final
+  // bench line as "cal". The read (docs/DESIGN.md "Bench calibration"):
+  // inflated cal WITH proportionally inflated queries = throttled host;
+  // flat cal with inflated queries = genuine code regression.
+  @volatile private var calSink: Long = 0L // defeat DCE of the CPU loop
+  private def calibrate(spark: SparkSession): (Double, Double) = {
+    // min of 2 back-to-back runs per probe: a GC pause or one scheduler
+    // hiccup inside a single probe run would fake a throttled host; a
+    // genuinely throttled host slows BOTH runs, so the min survives it
+    def min2(f: => Unit): Double = (1 to 2).map { _ =>
+      val t = System.nanoTime(); f; (System.nanoTime() - t) / 1e9
+    }.min
+    val cpuSec = min2 {
+      var x = 0x9E3779B97F4A7C15L
+      var i = 0L
+      while (i < 200000000L) {
+        x = x * 6364136223846793005L + 1442695040888963407L; i += 1
+      }
+      calSink ^= x
+    }
+    val sparkSec = min2 {
+      spark.range(10000000L).selectExpr("sum(id * 2 + 1) AS s").collect()
+    }
+    (cpuSec, sparkSec)
+  }
+  // A permanently broken warm (e.g. a signature change in a warmed
+  // production helper) must be VISIBLE in the bench output, not read as
+  // an unexplained cold-JIT perf regression in the round log — print a
+  // one-line marker per failed warm while still never aborting the
+  // other warms (r9 ADVICE).
+  private def warmed(name: String)(body: => Unit): Unit =
+    try body catch {
+      case t: Throwable =>
+        println(s"WARM FAILED $name ${t.getClass.getSimpleName}")
+    }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // default to every core (the driver contract is local[32]); the env
@@ -101,33 +144,33 @@ object Bench {
       // clearCache — without this, a PQ-chain regression would
       // silently disable EVERY later warm and leak the registered
       // warm queries' caches into the measured suite
-      try operators.LlmPipeline.simPqOn(
+      warmed("simPqOn")(operators.LlmPipeline.simPqOn(
         spark.range(64).selectExpr("id AS vec_id",
           "transform(sequence(1, 64), j -> cast((id * 31 + j) % 97 as float)) AS embedding")
-      ).count() catch { case _: Throwable => () }
+      ).count())
       // warm the distinct-first dedup_embed chain (r9 restatement:
       // array-keyed groupBy/expansion joins, mirror explode) on 64 toy
       // vectors with planted duplicates (id div 2 ⇒ every vector has a
       // twin) so BOTH the intra-group and cross-group paths JIT here
-      try operators.LlmPipeline.dedupEmbedOn(
+      warmed("dedupEmbedOn")(operators.LlmPipeline.dedupEmbedOn(
         spark.range(64).selectExpr("id AS vec_id",
           "transform(sequence(1, 8), j -> cast(((id div 2) * 13 + j) % 19 - 9 as double)) AS v")
-      ).count() catch { case _: Throwable => () }
-      val warmThunks: Seq[() => org.apache.spark.sql.DataFrame] = Seq(
-        () => operators.GraphOps.rootedDepth(
+      ).count())
+      val warmThunks: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
+        "rootedDepth" -> (() => operators.GraphOps.rootedDepth(
           spark.range(1, 65).selectExpr("id AS node",
-            "greatest(1L, id DIV 2) AS parent")),
-        () => operators.GraphOps.connectedComponents(
+            "greatest(1L, id DIV 2) AS parent"))),
+        "connectedComponents" -> (() => operators.GraphOps.connectedComponents(
           spark.range(63).selectExpr("id + 1 AS src", "(id + 1) * 2 AS dst")
-            .filter(org.apache.spark.sql.functions.col("dst") <= 63)),
-        () => operators.LlmPipeline.knnGraphEdges(spark, sfDir, k = 3,
-          rounds = 1, bucketings = 2, bucketSize = 4, capRows = Some(128)))
-      warmThunks.foreach { mk =>
-        try {
+            .filter(org.apache.spark.sql.functions.col("dst") <= 63))),
+        "knnGraphEdges" -> (() => operators.LlmPipeline.knnGraphEdges(spark, sfDir, k = 3,
+          rounds = 1, bucketings = 2, bucketSize = 4, capRows = Some(128))))
+      warmThunks.foreach { case (nm, mk) =>
+        warmed(nm) {
           val warm = mk()
           try warm.count()
           finally operators.GraphOps.freeCheckpoint(warm)
-        } catch { case _: Throwable => () }
+        }
       }
       // r9 warms, same toy-input/production-path contract: the BFS
       // round shape (graph_shortest_path), the 3-iteration pagerank
@@ -136,51 +179,66 @@ object Bench {
       // (MinhashProbe / PqPhaseProbe pattern). Their tiny persisted
       // inputs are dropped by the clearCache below, BEFORE any
       // measured query runs.
-      try {
+      locally {
         val toyCanon = spark.range(1, 32).selectExpr("id AS u", "id * 2 AS v")
           .filter(org.apache.spark.sql.functions.col("v") < 32)
         val toyUnd = toyCanon.unionByName(toyCanon.selectExpr("v AS u", "u AS v")).persist()
-        val toySrc = toyUnd.groupBy(col("u"))
-          .agg(org.apache.spark.sql.functions.count(lit(1)).as("d"))
-          .orderBy(col("d").desc, col("u")).limit(1).select(col("u").as("node"))
-        val bfs = operators.GraphOps.boundedBfs(toyUnd, toySrc, hops = 6)
-        try bfs.count() finally operators.GraphOps.freeCheckpoint(bfs)
-        operators.GraphOps.pageRank(
-          toyUnd.select(col("u").as("src"), col("v").as("dst")), iters = 3).count()
-        val toySh = spark.range(600)
-          .selectExpr("id % 60 AS doc_id", "concat('s', id % 37) AS shingle")
-          .distinct().persist()
-        val toyBaskets = toySh.groupBy(col("shingle"))
-          .agg(org.apache.spark.sql.functions.sort_array(
-            collect_list(col("doc_id"))).as("docs"))
-        operators.LlmPipeline.dedupMinhashOn(toySh, toyBaskets).count()
+        warmed("boundedBfs") {
+          val toySrc = toyUnd.groupBy(col("u"))
+            .agg(org.apache.spark.sql.functions.count(lit(1)).as("d"))
+            .orderBy(col("d").desc, col("u")).limit(1).select(col("u").as("node"))
+          val bfs = operators.GraphOps.boundedBfs(toyUnd, toySrc, hops = 6)
+          try bfs.count() finally operators.GraphOps.freeCheckpoint(bfs)
+        }
+        warmed("pageRank")(operators.GraphOps.pageRank(
+          toyUnd.select(col("u").as("src"), col("v").as("dst")), iters = 3).count())
+        warmed("dedupMinhashOn") {
+          val toySh = spark.range(600)
+            .selectExpr("id % 60 AS doc_id", "concat('s', id % 37) AS shingle")
+            .distinct().persist()
+          val toyBaskets = toySh.groupBy(col("shingle"))
+            .agg(org.apache.spark.sql.functions.sort_array(
+              collect_list(col("doc_id"))).as("docs"))
+          operators.LlmPipeline.dedupMinhashOn(toySh, toyBaskets).count()
+        }
         // RANGE-frame cumulative window (ts_outlier's histogram-median
         // shape, r9): unlike row_number (warmed above, shared by ~40
         // qids), the rangeBetween cumulative sum + whole-partition sum
         // codegen has exactly one consumer, so its first-run JIT
         // landed entirely on ts_outlier. Toy histogram, same operator
         // shapes.
-        val wr = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("g")).orderBy(col("v"))
-          .rangeBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-            org.apache.spark.sql.expressions.Window.currentRow)
-        spark.range(200).selectExpr("id % 5 AS g", "id % 23 AS v", "1L AS cnt")
-          .groupBy(col("g"), col("v")).agg(count(lit(1)).as("cnt"))
-          .withColumn("cum", org.apache.spark.sql.functions.sum(col("cnt")).over(wr))
-          .withColumn("n", org.apache.spark.sql.functions.sum(col("cnt")).over(
-            org.apache.spark.sql.expressions.Window.partitionBy(col("g"))))
-          .groupBy(col("g"))
-          .agg(org.apache.spark.sql.functions.min(org.apache.spark.sql.functions
-            .when(col("cum") >= org.apache.spark.sql.functions.expr("(n + 1) div 2"),
-              col("v"))).as("med"))
-          .count()
-      } catch { case _: Throwable => () }
+        warmed("rangeFrameWindow") {
+          val wr = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("g")).orderBy(col("v"))
+            .rangeBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+              org.apache.spark.sql.expressions.Window.currentRow)
+          spark.range(200).selectExpr("id % 5 AS g", "id % 23 AS v", "1L AS cnt")
+            .groupBy(col("g"), col("v")).agg(count(lit(1)).as("cnt"))
+            .withColumn("cum", org.apache.spark.sql.functions.sum(col("cnt")).over(wr))
+            .withColumn("n", org.apache.spark.sql.functions.sum(col("cnt")).over(
+              org.apache.spark.sql.expressions.Window.partitionBy(col("g"))))
+            .groupBy(col("g"))
+            .agg(org.apache.spark.sql.functions.min(org.apache.spark.sql.functions
+              .when(col("cum") >= org.apache.spark.sql.functions.expr("(n + 1) div 2"),
+                col("v"))).as("med"))
+            .count()
+        }
+      }
+      // warm the calibration probe's exact Spark job shape once,
+      // untimed, so the three timed probes (start/mid/end) are
+      // comparable to each other — the first one must not carry the
+      // probe expression's own one-time codegen
+      warmed("calProbeJob")(
+        spark.range(10000000L).selectExpr("sum(id * 2 + 1) AS s").collect())
       // drop every cache the warms created (toy pagerank/BFS edge
       // caches, toy postings): measured queries must start from the
       // bench's normal cold-cache state. Checkpoint blocks are freed
       // above (they live outside the CacheManager).
-      try spark.catalog.clearCache() catch { case _: Throwable => () }
-    } catch { case _: Throwable => () }
+      warmed("clearCache")(spark.catalog.clearCache())
+    } catch {
+      case t: Throwable =>
+        println(s"WARM FAILED prelude ${t.getClass.getSimpleName}")
+    }
     // Run in NAME order so each qid family (dedup_*, graph_*, …) is
     // contiguous, and drop caches only at family boundaries: shared
     // relations (the dedup_near/dedup_containment shingle pair-stats)
@@ -196,7 +254,18 @@ object Bench {
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
     def family(name: String): String = name.takeWhile(_ != '_')
+    // calibration samples: start (post-prelude, pre-first-query),
+    // midpoint (between queries — never inside a query's timing), end
+    val cal = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+    def sampleCal(tag: String): Unit = {
+      val (c, s) = calibrate(spark)
+      cal += ((c, s))
+      println(f"""{"cal":"$tag","cpu_sec":$c%.3f,"spark_sec":$s%.3f}""")
+    }
+    sampleCal("start")
+    val mid = ordered.size / 2
     val results = ordered.zipWithIndex.map { case ((name, fn), i) =>
+      if (i == mid && i > 0) sampleCal("mid")
       val t0 = System.nanoTime()
       // a failing qid must be VISIBLE, not silently timed: record the
       // exception class per query instead of swallowing it — a broken
@@ -213,8 +282,17 @@ object Bench {
         try spark.catalog.clearCache() catch { case _: Throwable => () }
       (name, sec, err)
     }
+    sampleCal("end")
     val total = results.map(_._2).sum
     val nErr = results.count(_._3.isDefined)
+    // six calibration numbers for the final line: cpu/spark triples in
+    // start/mid/end order. ~70 chars — safely inside the 2000-char tail
+    // budget the final line must respect.
+    val calJson = {
+      val cpus3 = cal.map(c => f"${c._1}%.3f").mkString(",")
+      val sparks3 = cal.map(c => f"${c._2}%.3f").mkString(",")
+      s"""{"cpu":[$cpus3],"spark":[$sparks3]}"""
+    }
     val perQuery = results
       .map { case (n, s, e) =>
         f""""$n":$s%.3f""" + e.map(x => f""","${n}_err":"$x"""").getOrElse("")
@@ -245,7 +323,7 @@ object Bench {
     // inlined the 180-entry map here, the line outgrew the tail
     // capture, and BENCH_r05 came back parsed:null. Keep this line
     // well under 2000 chars forever.
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"n_err":$nErr,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"n_err":$nErr,"cal":$calJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

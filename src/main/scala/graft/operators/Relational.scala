@@ -942,6 +942,15 @@ object Relational {
       (col("s_suppkey") + 1000000L).as("d_key"),
       concat(substring(col("s_name"), 1, 2), lit("x"),
         substring(col("s_name"), 4, 100)).as("d_name"))
+    joinFuzzyOn(clean, dirty)
+  }
+
+  /** The banding/verify/expansion pipeline behind [[joinFuzzy]], split
+    * out (the dedupEmbedOn pattern) so the duplicate-mass twin spec
+    * exercises the PRODUCTION distinct-first path rather than a
+    * re-inlined copy that could silently drift (r9 ADVICE). `clean`
+    * must carry (s_suppkey, s_name); `dirty` (d_key, d_name). */
+  private[graft] def joinFuzzyOn(clean: DataFrame, dirty: DataFrame): DataFrame = {
     // 4 length-relative bands: band i of s = s[(i-1)·L div 4 + 1 .. i·L div 4]
     def banded(df: DataFrame, nameCol: String, p: String): DataFrame =
       (1 to 4).foldLeft(df.withColumn(s"${p}0", length(col(nameCol)))) {

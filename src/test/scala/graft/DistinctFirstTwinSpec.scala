@@ -69,31 +69,12 @@ class DistinctFirstTwinSpec extends SparkSpec {
       (col("s_suppkey") + 1000000L).as("d_key"),
       concat(substring(col("s_name"), 1, 2), lit("x"),
         substring(col("s_name"), 4, 100)).as("d_name"))
-    // production pipeline over the duplicated tables, inlined from
-    // joinFuzzy (which is fixed to the raw supplier table)
-    def banded(df: DataFrame, nameCol: String, p: String): DataFrame =
-      (1 to 4).foldLeft(df.withColumn(s"${p}0", length(col(nameCol)))) {
-        (d, i) =>
-          d.withColumn(s"$p$i", expr(
-            s"substring($nameCol, (${i - 1} * length($nameCol)) div 4 + 1, " +
-              s"($i * length($nameCol)) div 4 - (${i - 1} * length($nameCol)) div 4)"))
-      }
-    def keyed(df: DataFrame, nameCol: String): DataFrame =
-      banded(df, nameCol, "t")
-        .select(col(nameCol), explode(expr(
-          "transform(sequence(1, 4), s -> named_struct(" +
-            "'skip', s, 'len', t0, " +
-            "'k1', if(s = 1, t2, t1), " +
-            "'k2', if(s <= 2, t3, t2), " +
-            "'k3', if(s <= 3, t4, t3)))")).as("sb"))
-    val namePairs = keyed(clean.select("s_name").distinct(), "s_name")
-      .join(keyed(dirty.select("d_name").distinct(), "d_name"), "sb")
-      .select(col("s_name"), col("d_name")).distinct()
-      .filter(levenshtein(col("s_name"), col("d_name")) <= 1)
-      .select(col("s_name"), col("d_name"),
-        levenshtein(col("s_name"), col("d_name")).cast("long").as("dist"))
-    val prod = namePairs.join(clean, "s_name").join(dirty, "d_name")
-      .select(col("s_suppkey"), col("d_key"), col("dist"))
+    // PRODUCTION pipeline over the duplicated tables — joinFuzzyOn is
+    // the exact code path the qid runs (r9 ADVICE: the earlier
+    // re-inlined copy would have checked a future joinFuzzy edit
+    // against a stale twin on exactly the duplicate-heavy input the
+    // restatement exists for)
+    val prod = operators.Relational.joinFuzzyOn(clean, dirty)
     val naive = naiveFuzzy(clean, dirty)
     val nProd = prod.count()
     val nBase = Registry.byId("join_fuzzy").fn(spark, sfDir).count()

@@ -4,7 +4,10 @@
 # against the 1x/10x rehearsal corpora, in both join modes where the
 # mode matters. Synthesizes the corpora first if absent.
 # Usage: tools/scale_audits.sh [outdir]   (default /tmp/graft_audits)
-set -e
+# pipefail: each audit runs as `$RUN ... | tee | tail`, and without it
+# a crashed/OOM'd audit JVM exits 0 with a clean-looking truncated log —
+# a silent false pass in the script whose whole purpose is verdicts
+set -eo pipefail
 cd "$(dirname "$0")/.."
 OUT="${1:-/tmp/graft_audits}"
 mkdir -p "$OUT"
@@ -27,9 +30,11 @@ RUN="java $ADD_OPENS -Xmx100g -Dspark.ui.enabled=false \
   -Dspark.sql.session.timeZone=UTC \
   -cp target/scala-2.13/classes:/opt/spark/jars/*"
 
-# corpora (synth is _DONE-gated, so this is a no-op when present)
+# corpora (synth is _DONE-gated, so this is a no-op when present).
+# Keep the synth log: when it fails, set -e aborts the script and the
+# log is the only diagnostic.
 SPARK_GRAFT_REHEARSE_QIDS=none $RUN graft.ScaleRehearsal 1 10 \
-  >/dev/null 2>&1
+  > "$OUT/synth.log" 2>&1
 
 echo "== ScanAudit (default + scale-path)";
 $RUN graft.ScanAudit /root/testdata/sf0.01 2>/dev/null \
