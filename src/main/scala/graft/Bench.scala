@@ -13,6 +13,33 @@ object Bench {
   // bench line as "cal". The read (docs/DESIGN.md "Bench calibration"):
   // inflated cal WITH proportionally inflated queries = throttled host;
   // flat cal with inflated queries = genuine code regression.
+  // Continuous attribution channels (complement the 3-point cal probes,
+  // which can miss minute-scale throttling between samples — observed
+  // on this host class: flat probes around a 2.7x-inflated sweep):
+  //  - process-CPU seconds per query (JVM-wide, includes GC): a code
+  //    regression does MORE CPU WORK; scheduler starvation / hypervisor
+  //    steal inflates wall while CPU stays flat; frequency throttling
+  //    inflates both AND the cal cpu loop. The three signals jointly
+  //    separate all three cases from the artifact alone.
+  //  - whole-sweep /proc/stat delta: steal seconds (other-tenant CPU
+  //    theft, never charged to this process) and busy-other seconds
+  //    (non-idle host ticks minus this JVM's CPU — a competing process
+  //    on the same VM). Linux-only; absent gracefully elsewhere.
+  private val osBean = java.lang.management.ManagementFactory
+    .getOperatingSystemMXBean match {
+      case b: com.sun.management.OperatingSystemMXBean => Some(b)
+      case _ => None
+    }
+  private def processCpuSec(): Double =
+    osBean.map(_.getProcessCpuTime / 1e9).getOrElse(-1.0)
+  // (user, nice, system, idle, iowait, irq, softirq, steal, ...) in
+  // USER_HZ ticks (100 Hz on every mainstream Linux) summed over cores
+  private def procStat(): Option[Array[Long]] =
+    try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try Some(src.getLines().next().split("\\s+").drop(1).map(_.toLong))
+      finally src.close()
+    } catch { case _: Throwable => None }
   @volatile private var calSink: Long = 0L // defeat DCE of the CPU loop
   private def calibrate(spark: SparkSession): (Double, Double) = {
     // min of 2 back-to-back runs per probe: a GC pause or one scheduler
@@ -263,9 +290,13 @@ object Bench {
       println(f"""{"cal":"$tag","cpu_sec":$c%.3f,"spark_sec":$s%.3f}""")
     }
     sampleCal("start")
+    val stat0 = procStat()
+    val sweepCpu0 = processCpuSec()
+    val sweepT0 = System.nanoTime()
     val mid = ordered.size / 2
     val results = ordered.zipWithIndex.map { case ((name, fn), i) =>
       if (i == mid && i > 0) sampleCal("mid")
+      val c0 = processCpuSec()
       val t0 = System.nanoTime()
       // a failing qid must be VISIBLE, not silently timed: record the
       // exception class per query instead of swallowing it — a broken
@@ -274,17 +305,33 @@ object Bench {
         try { fn(spark, sfDir).count(); None }
         catch { case t: Throwable => Some(t.getClass.getSimpleName) }
       val sec = (System.nanoTime() - t0) / 1e9
+      val cpu = processCpuSec() - c0
       val errTag = err.map(e => s""","err":"$e"""").getOrElse("")
-      println(f"""{"query":"$name","sec":$sec%.3f$errTag}""")
+      println(f"""{"query":"$name","sec":$sec%.3f,"cpu":$cpu%.3f$errTag}""")
       val lastOfFamily = i + 1 >= ordered.size ||
         family(ordered(i + 1)._1) != family(name)
       if (lastOfFamily)
         try spark.catalog.clearCache() catch { case _: Throwable => () }
-      (name, sec, err)
+      (name, sec, err, cpu)
     }
+    val sweepWall = (System.nanoTime() - sweepT0) / 1e9
+    val sweepCpu = processCpuSec() - sweepCpu0
+    val stat1 = procStat()
     sampleCal("end")
     val total = results.map(_._2).sum
     val nErr = results.count(_._3.isDefined)
+    val cpuTotal = results.map(_._4).sum
+    // sweep-level host accounting from /proc/stat (100 Hz USER_HZ
+    // ticks): steal = other-tenant hypervisor theft; busy_other =
+    // non-idle host CPU not charged to this JVM (a competing process).
+    // Both in CPU-core-seconds over the whole sweep.
+    val hostJson = (for { s0 <- stat0; s1 <- stat1 } yield {
+      val d = s1.zip(s0).map { case (a, b) => a - b }
+      val stealS = if (d.length > 7) d(7) / 100.0 else -1.0
+      val idleS = d(3) / 100.0 + (if (d.length > 4) d(4) / 100.0 else 0.0)
+      val busyOther = math.max(0.0, d.sum / 100.0 - idleS - sweepCpu)
+      f""","host":{"steal_s":$stealS%.1f,"busy_other_s":$busyOther%.1f,"my_cpu_s":$sweepCpu%.1f,"wall_s":$sweepWall%.1f}"""
+    }).getOrElse("")
     // six calibration numbers for the final line: cpu/spark triples in
     // start/mid/end order. ~70 chars — safely inside the 2000-char tail
     // budget the final line must respect.
@@ -294,9 +341,13 @@ object Bench {
       s"""{"cpu":[$cpus3],"spark":[$sparks3]}"""
     }
     val perQuery = results
-      .map { case (n, s, e) =>
+      .map { case (n, s, e, _) =>
         f""""$n":$s%.3f""" + e.map(x => f""","${n}_err":"$x"""").getOrElse("")
       }.mkString("{", ",", "}")
+    // per-query process-CPU map, same flat shape, SEPARATE sibling file
+    // (the wall map's 183-key flat contract stays stable for tooling)
+    val perQueryCpu = results
+      .map { case (n, _, _, c) => f""""$n":$c%.3f""" }.mkString("{", ",", "}")
     // sibling artifacts with the same per-query map, for offline
     // regression attribution (the stdout tail can truncate). TWO
     // copies: target/ for tooling, and a repo-root BENCH_QUERIES_
@@ -309,11 +360,15 @@ object Bench {
     // open would silently drop most qids from the regression record,
     // recreating the exact incident the file exists to prevent
     val sinks = if (only.isEmpty)
-      Seq("target/bench_queries.json", "BENCH_QUERIES_LATEST.json")
-    else Seq("target/bench_queries_filtered.json")
-    sinks.foreach { p =>
+      Seq("target/bench_queries.json" -> perQuery,
+        "BENCH_QUERIES_LATEST.json" -> perQuery,
+        "target/bench_queries_cpu.json" -> perQueryCpu,
+        "BENCH_QUERIES_CPU_LATEST.json" -> perQueryCpu)
+    else Seq("target/bench_queries_filtered.json" -> perQuery,
+      "target/bench_queries_cpu_filtered.json" -> perQueryCpu)
+    sinks.foreach { case (p, body) =>
       try java.nio.file.Files.write(
-        java.nio.file.Paths.get(p), perQuery.getBytes("UTF-8"))
+        java.nio.file.Paths.get(p), body.getBytes("UTF-8"))
       catch { case _: Throwable => () }
     }
     // per-query map on its OWN line (full stdout + sibling file carry
@@ -323,7 +378,7 @@ object Bench {
     // inlined the 180-entry map here, the line outgrew the tail
     // capture, and BENCH_r05 came back parsed:null. Keep this line
     // well under 2000 chars forever.
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"n_err":$nErr,"cal":$calJson,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"n_err":$nErr,"cpu_total":$cpuTotal%.1f,"cal":$calJson$hostJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
