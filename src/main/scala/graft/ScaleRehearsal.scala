@@ -230,7 +230,86 @@ object ScaleRehearsal {
     new java.io.File(out, "_DONE").createNewFile()
   }
 
+  /** Skewed-corpus variant (r10 — VERDICT r9 ask #3): the namespaced
+    * replicas above hold per-key group sizes CONSTANT by construction,
+    * which is the right invariant for growth curves but blind to the
+    * quadratic class real crawl data triggers — zipf keys and
+    * power-law duplicate mass (ShuffleGrowthAudit only caught
+    * join_fuzzy/dedup_embed because verbatim replicas happen to create
+    * duplicate values). `zx{k}` dirs differ from `x{k}` in exactly two
+    * tables:
+    *
+    *  - **events**: user_id is remapped zipf-style over the FIXED base
+    *    user universe U — `u' = floor(U^h)`, h an md5-uniform of the
+    *    (replica-shifted) event_id, giving P(user = rank r) ∝ 1/r
+    *    (inverse-CDF of zipf s=1). The hot user's group GROWS k× with
+    *    the corpus (~1/ln U of all rows — ~13% at U≈1500), so any
+    *    per-user-quadratic shape goes k² where the namespaced corpus
+    *    showed it linear.
+    *  - **documents**: replica r of doc d keeps its text VERBATIM
+    *    (true duplicate) when r < m(d), m(d) = min(k+1,
+    *    ⌊(1-h)^(-1/1.5)⌋) a Pareto(α=1.5) multiplicity — ~35% of docs
+    *    have ≥2 copies, ~3% have ≥11, so the duplicate tail is
+    *    power-law like a real crawl, not all-or-nothing. Non-duplicate
+    *    replicas namespace their tokens as in [[synth]].
+    *
+    * Embeddings/lineitem/orders/etc. inherit the namespaced replication
+    * (embeddings are ALREADY 100% verbatim-duplicate mass there — the
+    * harsher shape). Audits take these dirs as args:
+    * `graft.ShuffleGrowthAudit /tmp/graft_scale/zx1 /tmp/graft_scale/zx10`. */
+  private def synthSkew(spark: SparkSession, scale: Int, outDir: String): Unit = {
+    val out = new java.io.File(outDir)
+    if (new java.io.File(out, "_DONE_SKEW").exists()) return
+    // base namespaced corpus first (writes every table + _DONE)
+    synth(spark, scale, outDir)
+    // retract before overwriting events/documents: a crash mid-skew
+    // must not leave _DONE(_SKEW) vouching for a mixed dir
+    java.nio.file.Files.deleteIfExists(new java.io.File(out, "_DONE").toPath)
+    val evt = spark.read.parquet(s"$baseDir/events.parquet")
+    val uCount = math.max(2L,
+      evt.agg(max(col("user_id"))).head().getLong(0))
+    (0 until scale).map { r =>
+      if (r == 0) evt
+      else evt.withColumn("event_id", col("event_id") + lit(r * 100000000L))
+    }.reduce(_ unionByName _)
+      .withColumn("user_id", expr(
+        s"cast(pow(cast($uCount as double), " +
+          "conv(substring(md5(cast(event_id as string)), 1, 8), 16, 10)" +
+          " / 4294967296.0) as bigint)"))
+      .repartition(32).write.mode("overwrite")
+      .parquet(s"$outDir/events.parquet")
+    val docs = spark.read.parquet(s"$baseDir/documents.parquet")
+    // Pareto multiplicity from a doc_id-keyed md5 uniform; SAME m(d)
+    // at every scale so zx1 -> zx10 growth is pure corpus growth
+    val mExpr = s"least(cast(${scale + 1} as bigint), cast(pow(1.0 - " +
+      "(conv(substring(md5(concat('dup:', cast(doc_id as string))), 1, 8), 16, 10)" +
+      " / 4294967296.0), -1.0/1.5) as bigint))"
+    (0 until scale).map { r =>
+      if (r == 0) docs
+      else {
+        val namespaced = concat_ws(" ",
+          transform(split(col("text"), " "), t => concat(lit(s"r${r}x"), t)))
+        docs
+          .withColumn("m", expr(mExpr))
+          .select(
+            (col("doc_id") + lit(r * 10000000L)).as("doc_id"),
+            when(col("m") > r, col("text")).otherwise(namespaced).as("text"),
+            col("lang"), col("source"),
+            when(col("m") > r, col("n_chars"))
+              .otherwise(length(namespaced).cast("long")).as("n_chars"))
+      }
+    }.reduce(_ unionByName _)
+      .repartition(32).write.mode("overwrite")
+      .parquet(s"$outDir/documents.parquet")
+    // the overwritten tables invalidate any memoized file index taken
+    // during synth()'s own writes in this JVM
+    graft.sources.Tables.invalidate(outDir)
+    new java.io.File(out, "_DONE").createNewFile()
+    new java.io.File(out, "_DONE_SKEW").createNewFile()
+  }
+
   def main(args: Array[String]): Unit = {
+    val skewMode = sys.env.contains("SPARK_GRAFT_REHEARSE_SKEW")
     val scales = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(1, 2, 5, 10)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.max(4, Runtime.getRuntime.availableProcessors()).toString)
@@ -251,8 +330,9 @@ object ScaleRehearsal {
     val only = sys.env.get("SPARK_GRAFT_REHEARSE_QIDS")
       .map(_.split(",").toSet).getOrElse(qids.toSet)
     for (scale <- scales) {
-      val dir = s"/tmp/graft_scale/x$scale"
-      synth(spark, scale, dir)
+      val dir = if (skewMode) s"/tmp/graft_scale/zx$scale"
+        else s"/tmp/graft_scale/x$scale"
+      if (skewMode) synthSkew(spark, scale, dir) else synth(spark, scale, dir)
       for (qid <- qids if only(qid)) {
         val fn = Registry.byId(qid).fn
         val t0 = System.nanoTime()

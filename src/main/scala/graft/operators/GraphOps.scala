@@ -189,33 +189,51 @@ object GraphOps {
     * far under Long range until ~10¹¹ nodes; a decimal widening is the
     * escape hatch beyond. */
   def pageRank(edges: DataFrame, iters: Int): DataFrame = {
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    // the (edge, deg) relation feeds EVERY iteration's join — persist it
-    // once instead of re-deriving the upstream edge build per round
-    // (measured 5.2 -> ~2.5 s on the sf0.1 co-purchase graph), and
-    // persist it ALREADY HASH-PARTITIONED on the join key: the cached
-    // partitioning satisfies each iteration's join distribution, so
-    // only the small ranks side shuffles per round — the big relation
-    // crosses the wire once, not once per iteration (measured ~50 ->
-    // ~31 s on the 20x-rehearsal graph, 48M edges). A window-based
-    // single-pass degree (count over partitionBy(src)) was tried and
-    // REJECTED by measurement: WindowExec's per-partition sort over
-    // the full edge relation (76 s at the 20× rehearsal point vs 33 s
-    // for this form) costs far more than the duplicate hash-aggregate
-    // build it avoids. Freed by the caller's clearCache or executor
-    // eviction, same contract as the other iterative loops' persisted
-    // inputs.
+    // Share-first restatement (r10): the old form persisted
+    // edges ⋈ deg — a full extra pass over the big relation to BUILD
+    // the join, a 4-column cache, and a per-row `rank div deg`
+    // evaluated once per EDGE per round. But the contribution
+    // rank(src)/deg(src) depends on src alone, so it is computed on
+    // the NODE-sized relation first (share = ranks ⋈ deg, both
+    // |nodes| rows — broadcast-sized at any graph scale where ranks
+    // fit the driver loop at all) and the per-round big-side work is
+    // ONE join of the cached edge relation against that tiny share —
+    // bit-identical integer arithmetic (`div` per src, summed per
+    // dst), one fewer full edge pass, half the cache width, and
+    // |nodes| divisions per round instead of |edges|. Measured (r10
+    // CpuProbe, fresh JVM incl. the co-purchase build, sf0.1 2.4M
+    // directed edges): per-iteration stage CPU 14–18 → 7–11 s; probe
+    // task_cpu 115–147 → ~110 s, where the residual is the family's
+    // shared co-purchase build (~37 s) plus this loop's own edge
+    // cache build, both one-time.
+    //
+    // The edge cache persists ALREADY HASH-PARTITIONED on src: the
+    // cached partitioning satisfies each round's join distribution, so
+    // the big relation crosses the wire once, not once per iteration
+    // (measured ~50 -> ~31 s on the 20x-rehearsal graph, 48M edges).
+    // A window-based single-pass degree (count over partitionBy(src))
+    // was tried and REJECTED by measurement: WindowExec's
+    // per-partition sort over the full edge relation (76 s at the 20×
+    // rehearsal point vs 33 s for this form) costs far more than the
+    // duplicate hash-aggregate build it avoids.
     // Deliberately DESERIALIZED (unlike the round-6 SER policy for
     // build-once-read-once family caches): every iteration re-scans
     // this relation, and a SER cache re-deserializes 48M edge rows per
     // round — measured 88.7 s vs ~22 s at the 20× rehearsal point.
     // Read-many caches keep row format; build-once caches go SER.
-    val withDeg = edges.join(deg, "src").repartition(col("src")).persist()
+    // Both caches freed by the caller's clearCache or executor
+    // eviction, same contract as the other iterative loops' inputs.
+    val e = edges.repartition(col("src")).persist()
+    // deg is re-read every round (the share join) — persisting the
+    // |nodes|-sized aggregate keeps each round from re-scanning the
+    // full edge cache to recompute it
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg")).persist()
     var ranks = deg.select(col("src").as("node"),
       lit(1000000L).as("rank_e6"))
     for (_ <- 1 to iters) {
-      ranks = withDeg.join(ranks, col("src") === col("node"))
-        .selectExpr("dst", "rank_e6 div deg AS contrib")
+      val share = deg.join(ranks, col("src") === col("node"))
+        .selectExpr("src AS s_src", "rank_e6 div deg AS contrib")
+      ranks = e.join(share, col("src") === col("s_src"))
         .groupBy(col("dst")).agg(sum(col("contrib")).as("inb"))
         .selectExpr("dst AS node", "150000L + (85L * inb) div 100L AS rank_e6")
     }
