@@ -41,6 +41,25 @@ object Bench {
       finally src.close()
     } catch { case _: Throwable => None }
   @volatile private var calSink: Long = 0L // defeat DCE of the CPU loop
+  // Per-query clock-speed sample (~13 ms each, ~2.4 s per sweep): the
+  // CPU channel alone cannot separate "more work" from "same work at a
+  // throttled clock" — hypervisor frequency capping inflates
+  // process-CPU seconds proportionally (observed on this host class:
+  // 244 vs 23 cpu-s for the SAME qid on the SAME data in consecutive
+  // probe runs). A fixed 5e6-iteration LCG timed immediately before
+  // each query records the single-thread clock at that instant; under
+  // throttle the per-query map and this map inflate TOGETHER, which is
+  // the proof a code regression cannot fake.
+  private def clkMs(): Double = (1 to 2).map { _ =>
+    var x = 0x9E3779B97F4A7C15L
+    var i = 0L
+    val t = System.nanoTime()
+    while (i < 5000000L) {
+      x = x * 6364136223846793005L + 1442695040888963407L; i += 1
+    }
+    calSink ^= x
+    (System.nanoTime() - t) / 1e6
+  }.min
   private def calibrate(spark: SparkSession): (Double, Double) = {
     // min of 2 back-to-back runs per probe: a GC pause or one scheduler
     // hiccup inside a single probe run would fake a throttled host; a
@@ -296,6 +315,7 @@ object Bench {
     val mid = ordered.size / 2
     val results = ordered.zipWithIndex.map { case ((name, fn), i) =>
       if (i == mid && i > 0) sampleCal("mid")
+      val clk = clkMs()
       val c0 = processCpuSec()
       val t0 = System.nanoTime()
       // a failing qid must be VISIBLE, not silently timed: record the
@@ -307,12 +327,12 @@ object Bench {
       val sec = (System.nanoTime() - t0) / 1e9
       val cpu = processCpuSec() - c0
       val errTag = err.map(e => s""","err":"$e"""").getOrElse("")
-      println(f"""{"query":"$name","sec":$sec%.3f,"cpu":$cpu%.3f$errTag}""")
+      println(f"""{"query":"$name","sec":$sec%.3f,"cpu":$cpu%.3f,"clk_ms":$clk%.1f$errTag}""")
       val lastOfFamily = i + 1 >= ordered.size ||
         family(ordered(i + 1)._1) != family(name)
       if (lastOfFamily)
         try spark.catalog.clearCache() catch { case _: Throwable => () }
-      (name, sec, err, cpu)
+      (name, sec, err, cpu, clk)
     }
     val sweepWall = (System.nanoTime() - sweepT0) / 1e9
     val sweepCpu = processCpuSec() - sweepCpu0
@@ -321,6 +341,13 @@ object Bench {
     val total = results.map(_._2).sum
     val nErr = results.count(_._3.isDefined)
     val cpuTotal = results.map(_._4).sum
+    // per-query clock-sample summary for the final line (full map in
+    // the clk sibling file): a healthy host is flat at the min; the
+    // max/min spread IS the throttle depth during the sweep
+    val clkJson = if (results.nonEmpty) {
+      val cs = results.map(_._5).sorted
+      f""","clk_ms":{"min":${cs.head}%.1f,"p50":${cs(cs.size / 2)}%.1f,"max":${cs.last}%.1f}"""
+    } else ""
     // sweep-level host accounting from /proc/stat (100 Hz USER_HZ
     // ticks): steal = other-tenant hypervisor theft; busy_other =
     // non-idle host CPU not charged to this JVM (a competing process).
@@ -341,13 +368,16 @@ object Bench {
       s"""{"cpu":[$cpus3],"spark":[$sparks3]}"""
     }
     val perQuery = results
-      .map { case (n, s, e, _) =>
+      .map { case (n, s, e, _, _) =>
         f""""$n":$s%.3f""" + e.map(x => f""","${n}_err":"$x"""").getOrElse("")
       }.mkString("{", ",", "}")
-    // per-query process-CPU map, same flat shape, SEPARATE sibling file
-    // (the wall map's 183-key flat contract stays stable for tooling)
+    // per-query process-CPU and clock-sample maps, same flat shape,
+    // SEPARATE sibling files (the wall map's 183-key flat contract
+    // stays stable for tooling)
     val perQueryCpu = results
-      .map { case (n, _, _, c) => f""""$n":$c%.3f""" }.mkString("{", ",", "}")
+      .map { case (n, _, _, c, _) => f""""$n":$c%.3f""" }.mkString("{", ",", "}")
+    val perQueryClk = results
+      .map { case (n, _, _, _, k) => f""""$n":$k%.1f""" }.mkString("{", ",", "}")
     // sibling artifacts with the same per-query map, for offline
     // regression attribution (the stdout tail can truncate). TWO
     // copies: target/ for tooling, and a repo-root BENCH_QUERIES_
@@ -363,9 +393,12 @@ object Bench {
       Seq("target/bench_queries.json" -> perQuery,
         "BENCH_QUERIES_LATEST.json" -> perQuery,
         "target/bench_queries_cpu.json" -> perQueryCpu,
-        "BENCH_QUERIES_CPU_LATEST.json" -> perQueryCpu)
+        "BENCH_QUERIES_CPU_LATEST.json" -> perQueryCpu,
+        "target/bench_queries_clk.json" -> perQueryClk,
+        "BENCH_QUERIES_CLK_LATEST.json" -> perQueryClk)
     else Seq("target/bench_queries_filtered.json" -> perQuery,
-      "target/bench_queries_cpu_filtered.json" -> perQueryCpu)
+      "target/bench_queries_cpu_filtered.json" -> perQueryCpu,
+      "target/bench_queries_clk_filtered.json" -> perQueryClk)
     sinks.foreach { case (p, body) =>
       try java.nio.file.Files.write(
         java.nio.file.Paths.get(p), body.getBytes("UTF-8"))
@@ -378,7 +411,7 @@ object Bench {
     // inlined the 180-entry map here, the line outgrew the tail
     // capture, and BENCH_r05 came back parsed:null. Keep this line
     // well under 2000 chars forever.
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"n_err":$nErr,"cpu_total":$cpuTotal%.1f,"cal":$calJson$hostJson,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"n_err":$nErr,"cpu_total":$cpuTotal%.1f,"cal":$calJson$clkJson$hostJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
