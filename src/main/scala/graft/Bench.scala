@@ -96,7 +96,7 @@ object Bench {
     // var still pins an explicit width for controlled runs
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.max(4, Runtime.getRuntime.availableProcessors()).toString)
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
@@ -105,7 +105,17 @@ object Bench {
       // keep managed-table writes (join_bucketed) off the launch CWD,
       // and per-process so concurrent JVMs can't race the table builds
       .config("spark.sql.warehouse.dir", Warehouse.dir)
-      .getOrCreate()
+    // dev A/B hook (unset on the driver): AQE partition coalescing with
+    // parallelism-first OFF — the Spark-documented busy-cluster setting.
+    // At fixture scale it collapses near-empty post-shuffle tasks; at
+    // production scale the advisory size governs and the flag is moot.
+    // Results are partitioning-independent by the Det ground rule, so
+    // this is a pure physical A/B.
+    if (sys.env.contains("SPARK_GRAFT_COALESCE")) {
+      builder.config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      builder.config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
+    }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the session once (codegen compiler, broadcast/shuffle thread
     // pools, parquet reader init) so the first measured query isn't

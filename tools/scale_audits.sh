@@ -56,4 +56,31 @@ echo "== ShuffleGrowthAudit (no-bcast mode — the decisive one)"
 SPARK_GRAFT_NO_BCAST=1 $RUN graft.ShuffleGrowthAudit 2>/dev/null \
   | tee "$OUT/shuffle_nobcast.log" | tail -13
 
+# ---- skewed corpora (r10): zipf event keys + Pareto-duplicate docs.
+# The namespaced replicas hold per-key group sizes constant; these
+# exercise the group-size axis real crawl data has. Same audits, zx dirs.
+SPARK_GRAFT_REHEARSE_SKEW=1 SPARK_GRAFT_REHEARSE_QIDS=none \
+  $RUN graft.ScaleRehearsal 1 10 > "$OUT/synth_skew.log" 2>&1
+Z1=/tmp/graft_scale/zx1; Z10=/tmp/graft_scale/zx10
+
+echo "== ShuffleGrowthAudit (no-bcast, SKEW)"
+SPARK_GRAFT_NO_BCAST=1 $RUN graft.ShuffleGrowthAudit "$Z1" "$Z10" 2>/dev/null \
+  | tee "$OUT/skew_shuffle_nobcast.log" | tail -13
+
+echo "== SerialStageAudit (default + no-bcast, SKEW)"
+$RUN graft.SerialStageAudit "$Z1" "$Z10" 2>/dev/null \
+  | tee "$OUT/skew_serial_default.log" | tail -10
+SPARK_GRAFT_NO_BCAST=1 $RUN graft.SerialStageAudit "$Z1" "$Z10" 2>/dev/null \
+  | tee "$OUT/skew_serial_nobcast.log" | tail -10
+
+echo "== BroadcastAudit (hinted, SKEW)"
+SPARK_GRAFT_NO_BCAST=1 $RUN graft.BroadcastAudit "$Z1" "$Z10" 2>/dev/null \
+  | tee "$OUT/skew_broadcast_hinted.log" | tail -5
+
+echo "== ScanAudit (default + no-bcast, SKEW zx10)"
+$RUN graft.ScanAudit "$Z10" 2>/dev/null \
+  | tee "$OUT/skew_scan_default.log" | tail -4
+SPARK_GRAFT_NO_BCAST=1 $RUN graft.ScanAudit "$Z10" 2>/dev/null \
+  | tee "$OUT/skew_scan_nobcast.log" | tail -4
+
 echo "logs in $OUT"
