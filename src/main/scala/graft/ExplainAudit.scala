@@ -33,7 +33,8 @@ object ExplainAudit {
       "text_ngram_profile", "dedup_containment", "graph_pagerank",
       "text_bm25", "table_scd2", "table_timetravel",
       "graph_degree_dist", "join_fuzzy", "dedup_embed", "text_tfidf", "sim_pq",
-      "join_range_band", "text_repetition", "skew_demo", "cbo_demo")
+      "join_range_band", "text_repetition", "ps_transport",
+      "skew_demo", "cbo_demo")
     for (qid <- qids) {
       if (qid == "skew_demo") {
         println(s"\n========== skew_demo (executed adaptive plan) ==========")

@@ -264,6 +264,67 @@ object PsQueries {
        |        FROM it2 JOIN stats s ON it2.item = s.item)
        |SELECT item, ROUND(p, 6) AS p FROM it3 ORDER BY item""".stripMargin
 
+  // --------------------------------------------------------------- ps_transport
+  /** The pluggable client/server transport ([[ModelTransport]] —
+    * SURVEY §2.A's last row, closed r10): a full worker → server →
+    * worker model-state cycle through TWO durable sharded hops.
+    *
+    * Hop 1 (client sender → server receiver): per-item Combinable push
+    * deltas (exact integer cents, pre-aggregated map-side exactly as
+    * the reference's `Combinable` senders batch), sharded by
+    * `pmod(item, 8)` — the hand-rolled `Partitioner` restated as
+    * storage layout. Hop 2 (server sender → client receiver): pull
+    * answers for the user < 200 query band, sharded by client id. The
+    * qid's output is the answers as the workers re-read them, so the
+    * driver's DuckDB hash verifies the ENTIRE cycle bit-for-bit —
+    * the oracle computes the same algebra with no file hops, proving
+    * the transport is semantically invisible (exactly what a transport
+    * must be). Staging is pid-suffixed (the Warehouse convention), so
+    * concurrent JVMs cannot race a shared channel directory.
+    *
+    * At scale: `send` is a parallel partitioned write (no
+    * single-partition funnel — SerialStageAudit's class), `receive` is
+    * a partition-pruned scan; both ends stream through the same keyed
+    * aggregations the in-dataflow qids use. */
+  def psTransport(spark: SparkSession, dir: String): DataFrame = {
+    val t: ModelTransport = ParquetShardTransport
+    val stage = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_transport_${ProcessHandle.current().pid()}_" +
+        Integer.toHexString(dir.hashCode)).toString
+    val r = ratings(spark, dir)
+    val push = r.groupBy(col("item"))
+      .agg(sum(cents(col("rating"))).as("delta_cents"),
+        count(lit(1)).as("n_push"))
+      .withColumn("shard", pmod(col("item"), lit(8)).cast("int"))
+    t.send(push, s"$stage/push")
+    // server fold: with a zero-initialized model the folded param IS
+    // the delta sum — the fold algebra (full-outer + coalesce) is
+    // ps_push's subject; this qid's subject is the channel
+    val model = t.receive(spark, s"$stage/push")
+      .select(col("item"), col("delta_cents").as("param_cents"))
+    val pulls = r.filter(col("user") < 200)
+      .select(col("user"), col("item")).distinct()
+    val answers = pulls.join(model, "item")
+      .select(col("user"), col("item"), col("param_cents"),
+        pmod(col("user"), lit(8)).cast("int").as("shard"))
+    t.send(answers, s"$stage/answer")
+    t.receive(spark, s"$stage/answer")
+      .select(col("user"), col("item"),
+        col("shard").cast("long").as("cshard"), col("param_cents"))
+      .orderBy(col("user"), col("item"))
+  }
+
+  private val psTransportOracle =
+    s"""WITH r AS ($oRatings),
+       |push AS (SELECT item, CAST(SUM(${oCents("rating")}) AS BIGINT) AS param_cents
+       |         FROM r GROUP BY item),
+       |pulls AS (SELECT DISTINCT "user", item FROM r WHERE "user" < 200)
+       |SELECT p."user", p.item, CAST(p."user" % 8 AS BIGINT) AS cshard,
+       |       m.param_cents
+       |FROM pulls p JOIN push m USING (item)
+       |ORDER BY p."user", p.item""".stripMargin
+
   // ------------------------------------------------------------ ps_worker_logic
   /** `WorkerLogic.onRecv` — user-defined per-key stateful processing.
     * Implemented the real way: `groupByKey(user).flatMapGroups`, sorting
@@ -961,6 +1022,8 @@ object PsQueries {
       "Either[WOut, PSOut] merged output with discriminator column"),
     GQuery("ps_transform", psTransform, Some(psTransformOracle),
       "full PS loop: 3 bulk-synchronous driver iterations over join+agg"),
+    GQuery("ps_transport", psTransport, Some(psTransportOracle),
+      "pluggable sharded model transport: push -> fold -> answer through two durable hops"),
     GQuery("ps_worker_logic", psWorkerLogic, Some(psWorkerLogicOracle),
       "WorkerLogic.onRecv: flatMapGroups per-key stateful fold"),
     GQuery("mf_init", mfInit, Some(mfInitOracle),
