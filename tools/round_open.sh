@@ -1,0 +1,13 @@
+#!/bin/bash
+# Round-open protocol (TODO_r9 §2, extended r10): preserve the driver's
+# post-round per-query bench maps under round-stamped names BEFORE any
+# code change. Usage: tools/round_open.sh <closing-round-number>
+# e.g. at round-11 open: tools/round_open.sh 10
+set -euo pipefail
+cd "$(dirname "$0")/.."
+N="${1:?closing round number, e.g. 10}"
+cp BENCH_QUERIES_LATEST.json     "BENCH_QUERIES_r${N}.json"
+[ -f BENCH_QUERIES_CPU_LATEST.json ] && cp BENCH_QUERIES_CPU_LATEST.json "BENCH_QUERIES_r${N}_cpu.json"
+[ -f BENCH_QUERIES_CLK_LATEST.json ] && cp BENCH_QUERIES_CLK_LATEST.json "BENCH_QUERIES_r${N}_clk.json"
+git add "BENCH_QUERIES_r${N}.json" "BENCH_QUERIES_r${N}_cpu.json" "BENCH_QUERIES_r${N}_clk.json" 2>/dev/null || true
+echo "staged round-$N bench maps; commit before touching code"
