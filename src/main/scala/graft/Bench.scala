@@ -10,9 +10,10 @@ object Bench {
   //  (b) one tiny fixed Spark job (range(1e7).sum, codegen warmed in
   //      the prelude) — scheduler + codegen-cache + thread-pool health.
   // Sampled at sweep start / midpoint / end and embedded in the final
-  // bench line as "cal". The read (docs/DESIGN.md "Bench calibration"):
-  // inflated cal WITH proportionally inflated queries = throttled host;
-  // flat cal with inflated queries = genuine code regression.
+  // bench line as "cal". The full read lives in docs/DESIGN.md "Bench
+  // calibration" (incl. the all-core-DVFS caveat: flat single-thread
+  // probes do NOT by themselves prove a code regression — per-query
+  // minima across runs decide).
   // Continuous attribution channels (complement the 3-point cal probes,
   // which can miss minute-scale throttling between samples — observed
   // on this host class: flat probes around a 2.7x-inflated sweep):
