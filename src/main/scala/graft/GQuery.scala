@@ -26,7 +26,8 @@ object Registry {
       graft.functions.FunctionQueries.queries ++
       graft.operators.LlmPipeline.queries ++
       graft.ps.PsQueries.queries ++
-      graft.sketch.SketchQueries.queries
+      graft.sketch.SketchQueries.queries ++
+      graft.streaming.StreamingQueries.queries
 
   def byId: Map[String, GQuery] = all.map(q => q.id -> q).toMap
 }

@@ -230,6 +230,11 @@ object GraphOps {
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg")).persist()
     var ranks = deg.select(col("src").as("node"),
       lit(1000000L).as("rank_e6"))
+    // Join-strategy note (r10 A/B, CpuProbe on the contended host):
+    // forcing the node-sized share to broadcast or to shuffle-hash
+    // build measured WITHIN host noise of the AQE default (364/447/484
+    // proc-cpu across the three, while the default alone varied
+    // 364-650 between consecutive runs) — AQE's pick is left alone.
     for (_ <- 1 to iters) {
       val share = deg.join(ranks, col("src") === col("node"))
         .selectExpr("src AS s_src", "rank_e6 div deg AS contrib")
