@@ -162,6 +162,17 @@ object ScanAudit {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
+      // stream_live_* execute via IncrementalExecution, which never
+      // reaches QueryExecutionListener — running them here would pay
+      // seconds of streaming machinery per sweep to audit only the
+      // trivial post-sink batch fragment, recording HOLLOW coverage.
+      // Their scale story is the batch twins' (same shapes) plus the
+      // StreamingMlSpec equality proofs; excluded LOUDLY:
+      .filterNot { case (n, _) =>
+        val skip = n.startsWith("stream_live")
+        if (skip) println(s"SKIP $n (streaming IncrementalExecution is invisible to QueryExecutionListener)")
+        skip
+      }
     def family(name: String): String = name.takeWhile(_ != '_')
     var flagged = 0
     var mainFlagged = 0

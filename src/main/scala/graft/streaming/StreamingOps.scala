@@ -37,12 +37,32 @@ object StreamingOps {
     */
   def eventStream(spark: SparkSession, dir: String): DataFrame = {
     val src = java.nio.file.Paths.get(dir, "events.parquet")
-    // key the staging dir by source size+mtime so a regenerated fixture
-    // restages instead of replaying a stale copy under a pinned schema
-    val srcAttrs = java.nio.file.Files.readAttributes(
-      src, classOf[java.nio.file.attribute.BasicFileAttributes])
-    val stageKey = (dir, srcAttrs.size(),
-      srcAttrs.lastModifiedTime().toMillis).hashCode()
+    // the source may be a single parquet FILE (the fixtures) or a
+    // multi-part parquet DIRECTORY (the rehearsal corpora, any real
+    // Spark-written table): enumerate the data files either way.
+    // Files.copy on a directory copies NO entries (javadoc) — the
+    // single-file-only staging silently produced an EMPTY stream for
+    // directory sources (caught by the r10 continuation code review).
+    val srcFiles: Seq[java.nio.file.Path] =
+      if (java.nio.file.Files.isDirectory(src)) {
+        val listing = java.nio.file.Files.list(src)
+        try listing.iterator().asScala
+          .filter { p =>
+            val n = p.getFileName.toString
+            java.nio.file.Files.isRegularFile(p) &&
+              !n.startsWith("_") && !n.startsWith(".")
+          }.toSeq.sortBy(_.getFileName.toString)
+        finally listing.close()
+      } else Seq(src)
+    require(srcFiles.nonEmpty, s"no parquet data files under $src")
+    // key the staging dir by the source's (names, sizes, mtimes) so a
+    // regenerated fixture restages instead of replaying a stale copy
+    // under a pinned schema
+    val stageKey = (dir +: srcFiles.map { p =>
+      val a = java.nio.file.Files.readAttributes(
+        p, classOf[java.nio.file.attribute.BasicFileAttributes])
+      (p.getFileName.toString, a.size(), a.lastModifiedTime().toMillis)
+    }).hashCode()
     val tmpRoot = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
     // a regenerated fixture gets a NEW key: drop superseded stage dirs
     // for this source so regenerations don't leak temp disk forever
@@ -63,20 +83,25 @@ object StreamingOps {
     } catch { case _: java.io.IOException => () }
     val staged = tmpRoot.resolve(stageName)
     java.nio.file.Files.createDirectories(staged)
-    val target = staged.resolve("events.parquet")
-    if (!java.nio.file.Files.exists(target)) {
-      // copy to a unique temp name, then ATOMIC_MOVE into place: the
-      // target either doesn't exist or is a complete copy, even if a
-      // JVM dies mid-copy or two JVMs stage concurrently (the loser's
-      // move just finds the target already present)
-      val tmp = java.nio.file.Files.createTempFile(staged, ".stage_", ".tmp")
-      try {
-        java.nio.file.Files.copy(src, tmp,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        try java.nio.file.Files.move(tmp, target,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        catch { case _: java.nio.file.FileAlreadyExistsException => () }
-      } finally java.nio.file.Files.deleteIfExists(tmp)
+    srcFiles.foreach { f =>
+      // a directory source's part files keep their names; a file source
+      // stages as events.parquet (the historical single-file layout)
+      val target = staged.resolve(
+        if (srcFiles.size == 1) "events.parquet" else f.getFileName.toString)
+      if (!java.nio.file.Files.exists(target)) {
+        // copy to a unique temp name, then ATOMIC_MOVE into place: the
+        // target either doesn't exist or is a complete copy, even if a
+        // JVM dies mid-copy or two JVMs stage concurrently (the loser's
+        // move just finds the target already present)
+        val tmp = java.nio.file.Files.createTempFile(staged, ".stage_", ".tmp")
+        try {
+          java.nio.file.Files.copy(f, tmp,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          try java.nio.file.Files.move(tmp, target,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          catch { case _: java.nio.file.FileAlreadyExistsException => () }
+        } finally java.nio.file.Files.deleteIfExists(tmp)
+      }
     }
     val raw = spark.readStream
       .schema(spark.read.parquet(s"$dir/events.parquet").schema)
@@ -92,9 +117,17 @@ object StreamingOps {
   }
 
   /** Run a streaming DF to completion (AvailableNow) into a memory sink
-    * and return the final table. */
+    * and return the final table. An existing temp view under `name` is
+    * dropped first, so DETERMINISTIC names (one per capability × source
+    * dir) replace their previous run's sink instead of accumulating —
+    * re-running a qid in a long-lived session (the registry determinism
+    * spec, the driver's double hash-compare, audit sweeps) leaks no
+    * views. A previously-returned DataFrame stays readable: its
+    * resolved plan references the old sink relation directly, not the
+    * catalog name. */
   def runToTable(spark: SparkSession, sdf: DataFrame, name: String,
       mode: OutputMode): DataFrame = {
+    spark.catalog.dropTempView(name)
     val q = sdf.writeStream
       .format("memory")
       .queryName(name)
@@ -105,6 +138,12 @@ object StreamingOps {
     spark.table(name)
   }
 
+  /** One deterministic memory-sink view name per (capability, dir) —
+    * the bound that keeps repeated qid constructions from growing the
+    * catalog (see [[runToTable]]). */
+  private def sinkName(cap: String, dir: String): String =
+    s"${cap}_${Integer.toHexString(dir.hashCode)}"
+
   /** Tumbling 1-hour event-time counts with a 10-minute watermark. */
   def tumblingCounts(spark: SparkSession, dir: String): DataFrame =
     runToTable(spark,
@@ -112,7 +151,7 @@ object StreamingOps {
         .withWatermark("ts", "10 minutes")
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n")),
-      s"tumble_${System.nanoTime()}", OutputMode.Append())
+      sinkName("tumble", dir), OutputMode.Append())
       .select(col("window.start").as("h"), col("event_type"), col("n"))
 
   /** Exact streaming dedup by event_id with watermark-bounded state. */
@@ -121,7 +160,7 @@ object StreamingOps {
       eventStream(spark, dir)
         .withWatermark("ts", "10 minutes")
         .dropDuplicates("event_id"),
-      s"dedup_${System.nanoTime()}", OutputMode.Append())
+      sinkName("dedup", dir), OutputMode.Append())
 
   /** Event-time sessionization (2-hour gap) via flatMapGroupsWithState —
     * the canonical arbitrary-stateful streaming operator and the true
@@ -158,7 +197,7 @@ object StreamingOps {
           (closed ++ acc.map(a => (user, a._1, a._2, a._3))).iterator
       }
       .toDF("user_id", "sess_start_us", "sess_end_us", "n_events")
-    runToTable(spark, out, s"sessions_${System.nanoTime()}", OutputMode.Append())
+    runToTable(spark, out, sinkName("sessions", dir), OutputMode.Append())
   }
 
   /** Arbitrary keyed state: per-user running counter + max value via
@@ -179,7 +218,7 @@ object StreamingOps {
           (user, n, mx)
       }
       .toDF("user_id", "n_events", "max_value")
-    runToTable(spark, out, s"stateful_${System.nanoTime()}", OutputMode.Update())
+    runToTable(spark, out, sinkName("stateful", dir), OutputMode.Update())
   }
 
   /** Per-user running (count, max) as a Spark 4 `StatefulProcessor` —
@@ -274,7 +313,7 @@ object StreamingOps {
         .transformWithState(new SessionProcessor(gapUs), TimeMode.EventTime(),
           OutputMode.Append())
         .toDF("user_id", "sess_start_us", "sess_end_us", "n_events")
-      runToTable(spark, out, s"timer_sessions_${System.nanoTime()}",
+      runToTable(spark, out, sinkName("timer_sessions", dir),
         OutputMode.Append())
     } finally {
       prev match {
@@ -299,7 +338,7 @@ object StreamingOps {
         .transformWithState(new RunningUserAgg, TimeMode.None(),
           OutputMode.Update())
         .toDF("user_id", "n_events", "max_value")
-      runToTable(spark, out, s"stateful_v2_${System.nanoTime()}",
+      runToTable(spark, out, sinkName("stateful_v2", dir),
         OutputMode.Update())
     } finally {
       prev match {
@@ -335,7 +374,7 @@ object StreamingOps {
         col("p_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"))
     runToTable(spark, pairs.select(col("cu").as("user_id"),
         col("click_id"), col("purch_id")),
-      s"ssjoin_${System.nanoTime()}", OutputMode.Append())
+      sinkName("ssjoin", dir), OutputMode.Append())
   }
 
   /** Streaming CDC apply — the true streaming form of the table_merge

@@ -43,6 +43,34 @@ class StreamingMlSpec extends SparkSpec {
     assert(out.count() === batchDistinct)
   }
 
+  test("directory-shaped events source streams ALL part files, not zero") {
+    // regression (r10 continuation review): Files.copy on a DIRECTORY
+    // copies no entries, so a multi-part events.parquet (rehearsal
+    // corpora, any real Spark-written table) staged as an empty dir and
+    // every streaming op returned 0 rows with no error. The staging now
+    // enumerates part files; this pins full row parity with the
+    // single-file fixture through a real streaming execution.
+    val root = java.nio.file.Files.createTempDirectory("graft_dirsrc_")
+    try {
+      graft.sources.Tables.events(spark, sfDir)
+        .repartition(4)
+        .write.mode("overwrite")
+        .parquet(root.resolve("events.parquet").toString)
+      val streamed = StreamingOps.tumblingCounts(spark, root.toString)
+        .orderBy("h", "event_type").collect()
+      val single = StreamingOps.tumblingCounts(spark, sfDir)
+        .orderBy("h", "event_type").collect()
+      assert(streamed.nonEmpty)
+      assert(streamed.map(_.toString).toSeq === single.map(_.toString).toSeq)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val files = java.nio.file.Files.walk(root)
+      try files.iterator().asScala.toSeq.reverseIterator
+        .foreach(f => java.nio.file.Files.deleteIfExists(f))
+      finally files.close()
+    }
+  }
+
   test("stream-stream interval join equals the batch interval join") {
     val streamed = StreamingOps.streamStreamJoin(spark, sfDir)
       .orderBy("user_id", "click_id", "purch_id").collect()
