@@ -35,4 +35,16 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Pre-size the heap and use the throughput collector: at the 8g
+  // default the G1 + growing-heap JVM pays a measured +24% wall /
+  // +23% process CPU across the whole bench suite versus a 100g heap
+  // (GC pressure, not weather — certified-quiet A/B sweeps, flat
+  // calibration probes). -Xms=-Xmx removes the heap-growth stalls
+  // (109.5 s -> 97.6 s) and ParallelGC removes G1's concurrent
+  // marking/refinement overhead, which a 32-thread batch workload
+  // with no pause-time requirement never needed (97.6 s -> 89.7 s =
+  // the 100g figure, cpu_total 522 vs 521). Full ladder in
+  // docs/TODO_r10.md §13.
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  "-XX:+UseParallelGC",
 )
