@@ -33,6 +33,19 @@ object Bench {
     }
   private def processCpuSec(): Double =
     osBean.map(_.getProcessCpuTime / 1e9).getOrElse(-1.0)
+  // Cumulative stop-the-world GC seconds across all collectors. GC is
+  // the one wall/cpu confound the host channels CANNOT flag — it is
+  // real CPU burned by this JVM (r10 §13: the 8g default-flags regime
+  // cost +24% wall with flat probes and zero steal). Carrying the
+  // sweep's GC delta in the final line makes a heap-regime problem
+  // self-evident from the artifact: weather shows in steal/clk, code
+  // shows in cpu_total at flat gc_s, heap pressure shows HERE.
+  private def gcSec(): Double =
+    try {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(b => math.max(0L, b.getCollectionTime)).sum / 1e3
+    } catch { case _: Throwable => -1.0 }
   // (user, nice, system, idle, iowait, irq, softirq, steal, ...) in
   // USER_HZ ticks (100 Hz on every mainstream Linux) summed over cores
   private def procStat(): Option[Array[Long]] =
@@ -322,6 +335,7 @@ object Bench {
     sampleCal("start")
     val stat0 = procStat()
     val sweepCpu0 = processCpuSec()
+    val sweepGc0 = gcSec()
     val sweepT0 = System.nanoTime()
     val mid = ordered.size / 2
     val results = ordered.zipWithIndex.map { case ((name, fn), i) =>
@@ -347,6 +361,7 @@ object Bench {
     }
     val sweepWall = (System.nanoTime() - sweepT0) / 1e9
     val sweepCpu = processCpuSec() - sweepCpu0
+    val sweepGc = gcSec() - sweepGc0
     val stat1 = procStat()
     sampleCal("end")
     val total = results.map(_._2).sum
@@ -368,7 +383,7 @@ object Bench {
       val stealS = if (d.length > 7) d(7) / 100.0 else -1.0
       val idleS = d(3) / 100.0 + (if (d.length > 4) d(4) / 100.0 else 0.0)
       val busyOther = math.max(0.0, d.sum / 100.0 - idleS - sweepCpu)
-      f""","host":{"steal_s":$stealS%.1f,"busy_other_s":$busyOther%.1f,"my_cpu_s":$sweepCpu%.1f,"wall_s":$sweepWall%.1f}"""
+      f""","host":{"steal_s":$stealS%.1f,"busy_other_s":$busyOther%.1f,"my_cpu_s":$sweepCpu%.1f,"gc_s":$sweepGc%.1f,"wall_s":$sweepWall%.1f}"""
     }).getOrElse("")
     // six calibration numbers for the final line: cpu/spark triples in
     // start/mid/end order. ~70 chars — safely inside the 2000-char tail
