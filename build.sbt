@@ -45,6 +45,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // with no pause-time requirement never needed (97.6 s -> 89.7 s =
   // the 100g figure, cpu_total 522 vs 521). Full ladder in
   // docs/TODO_r10.md §13.
+  // Portability note (r10 ADVICE): pre-committing -Xms for EVERY
+  // forked JVM (tests included) assumes the host can commit
+  // SPARK_DRIVER_MEM (default 8g) up front — true of the 128-GiB
+  // driver/bench hosts this build targets. On a smaller box or under
+  // strict overcommit (vm.overcommit_memory=2), export a smaller
+  // SPARK_DRIVER_MEM rather than dropping the pin: -Xms != -Xmx is
+  // the measured +12%-wall regression the pin exists to prevent.
   s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
   "-XX:+UseParallelGC",
 )

@@ -46,6 +46,143 @@ object Bench {
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
         .asScala.map(b => math.max(0L, b.getCollectionTime)).sum / 1e3
     } catch { case _: Throwable => -1.0 }
+  // Delta of two gcSec() reads with the sentinel kept coherent (r10
+  // ADVICE): if either endpoint is the -1 unavailability marker, the
+  // delta is -1 too — never a meaningless raw difference.
+  private def gcDelta(g0: Double, g1: Double): Double =
+    if (g0 < 0 || g1 < 0) -1.0 else g1 - g0
+
+  // ---- JVM regime: detect, prove in the artifact, self-enforce ----
+  // docs/TODO_r10.md §13 erased a +24%-wall GC tax with two flags
+  // (-Xms=-Xmx, -XX:+UseParallelGC) in build.sbt's forked javaOptions
+  // — but BENCH_r10's own channels (gc_s 22.5 vs 0.4 local, cpu_total
+  // 1218 vs 502, identical code) prove the GRADED launch path never
+  // applied them: JvmRegimeSpec guards sbt-forked JVMs only, and the
+  // driver evidently starts Bench some other way. The launch path is
+  // outside this repo's control, so the bench enforces the regime on
+  // ITSELF: detect at startup from RUNTIME state (collector beans +
+  // MemoryMXBean heap sizing — launch-flag-independent), and if wrong,
+  // re-exec the same classpath in a child JVM carrying the proven
+  // flags, inheriting stdio so the driver's stdout tail-parse contract
+  // survives unchanged. The final bench line carries a "jvm" object
+  // either way, so the artifact can PROVE which regime graded.
+  private def gcBeanNames: Set[String] = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(_.getName).toSet
+  }
+  private def heapBean = java.lang.management.ManagementFactory
+    .getMemoryMXBean.getHeapMemoryUsage
+  /** Target heap: the driver contract's SPARK_DRIVER_MEM (default 8g,
+    * the §13 ladder's proven point), parsed to bytes. */
+  private def targetHeapBytes: Long = {
+    val s = sys.env.getOrElse("SPARK_DRIVER_MEM", "8g").trim.toLowerCase
+    val mult = s.last match {
+      case 'k' => 1L << 10
+      case 'm' => 1L << 20
+      case 'g' => 1L << 30
+      case 't' => 1L << 40
+      case _ => 1L
+    }
+    val digits = if (s.last.isDigit) s else s.dropRight(1)
+    try digits.toLong * mult catch { case _: Throwable => 8L << 30 }
+  }
+  /** Unit- and launch-path-independent regime check on the RUNNING
+    * JVM: ParallelGC beans won, the heap is pre-sized (init ≈ max —
+    * no growth stalls possible), and max is at least ~80% of the
+    * target (G1's default Xms is 1/64 of RAM, so a stock launch fails
+    * the init≈max test decisively: 2g vs 32g on the 128g hosts). */
+  private def regime(): (Boolean, Boolean, Boolean) = {
+    val h = heapBean
+    val presized = h.getInit > 0 && h.getMax > 0 &&
+      h.getInit >= h.getMax - (h.getMax / 10)
+    val parallel = gcBeanNames.exists(_.startsWith("PS "))
+    val sized = h.getMax >= targetHeapBytes - (targetHeapBytes / 5)
+    (parallel, presized, sized)
+  }
+  private def regimeOk(): Boolean = {
+    val (p, s, z) = regime(); p && s && z
+  }
+  private val isReexecChild = sys.props.contains("graft.bench.reexec")
+  /** Classpath for the re-exec child. java.class.path alone is not
+    * enough on every launch path: spark-submit loads the APP classes
+    * through a runtime MutableURLClassLoader, so the process property
+    * carries only the Spark jars and the child would fail with
+    * ClassNotFoundException: graft.Bench (observed). Append this
+    * class's own code-source location (and the /opt/spark/jars
+    * wildcard if no spark jar is on the property — the
+    * bare-java-with-wildcard case expands it, but belt-and-braces
+    * costs nothing). */
+  private def childClasspath: String = {
+    val sep = java.io.File.pathSeparator
+    val base = System.getProperty("java.class.path", "")
+    val self = try {
+      Option(Bench.getClass.getProtectionDomain.getCodeSource)
+        .map(_.getLocation.toURI).map(java.nio.file.Paths.get(_).toString)
+    } catch { case _: Throwable => None }
+    val parts = base.split(sep).filter(_.nonEmpty).toSeq ++
+      self.filterNot(s => base.split(sep).contains(s)) ++
+      (if (base.contains("spark")) Nil else Seq("/opt/spark/jars/*"))
+    parts.distinct.mkString(sep)
+  }
+  /** If this JVM is running the wrong GC regime and is not already a
+    * re-exec child, replace the run with a child JVM under the proven
+    * flags. Returns only when the sweep should proceed IN-PROCESS
+    * (regime fine, child guard, or re-exec failed — the last prints a
+    * loud REGIME MISMATCH so the artifact's jvm object is explained). */
+  private def ensureRegime(args: Array[String]): Unit = {
+    if (regimeOk()) return
+    val (p, s, z) = regime()
+    if (isReexecChild) {
+      // never recurse; the jvm object on the final line records the miss
+      println(s"REGIME MISMATCH (child): parallel=$p presized=$s sized=$z — proceeding")
+      return
+    }
+    println(s"REGIME MISMATCH: parallel=$p presized=$s sized=$z — re-exec under pinned flags")
+    val mem = sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")
+    val javaBin = java.nio.file.Paths.get(
+      System.getProperty("java.home"), "bin", "java").toString
+    // same JDK17 module opens build.sbt passes (Spark 4 outside
+    // spark-submit needs them; duplicates are harmless if inherited)
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar",
+    ).flatMap(x => Seq("--add-opens", s"$x=ALL-UNNAMED"))
+    val cmd = (Seq(javaBin) ++ addOpens ++ Seq(
+      s"-Xms$mem", s"-Xmx$mem", "-XX:+UseParallelGC",
+      "-Dgraft.bench.reexec=1",
+      "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
+      "-cp", childClasspath,
+      "graft.Bench") ++ args).toArray
+    try {
+      val pb = new ProcessBuilder(cmd: _*).inheritIO()
+      val code = pb.start().waitFor()
+      sys.exit(code)
+    } catch {
+      case t: Throwable if !t.isInstanceOf[java.lang.InterruptedException] =>
+        println(s"REGIME MISMATCH: re-exec failed (${t.getClass.getSimpleName}) — " +
+          "continuing IN-PROCESS under the wrong regime; read gc_s accordingly")
+    }
+  }
+  /** ~90-char self-identification of the graded JVM for the final
+    * bench line: collector family, actual max heap, pre-sized bit,
+    * whether this process is a regime re-exec child, and the overall
+    * verdict — the artifact-level proof VERDICT r10 ask #1 demands. */
+  private def jvmJson: String = {
+    val (p, s, z) = regime()
+    val gc =
+      if (p) "parallel"
+      else if (gcBeanNames.exists(_.startsWith("G1 "))) "g1"
+      else if (gcBeanNames.exists(_.contains("ZGC"))) "z"
+      else gcBeanNames.headOption.getOrElse("?")
+    val heapG = heapBean.getMax / (1024.0 * 1024 * 1024)
+    f""","jvm":{"gc":"$gc","heap_g":$heapG%.1f,"presized":$s,"sized":$z,"reexec":$isReexecChild,"regime_ok":${p && s && z}}"""
+  }
   // (user, nice, system, idle, iowait, irq, softirq, steal, ...) in
   // USER_HZ ticks (100 Hz on every mainstream Linux) summed over cores
   private def procStat(): Option[Array[Long]] =
@@ -105,6 +242,10 @@ object Bench {
         println(s"WARM FAILED $name ${t.getClass.getSimpleName}")
     }
   def main(args: Array[String]): Unit = {
+    // regime first: everything after this line runs in the JVM whose
+    // numbers the artifact reports (either this one, proven OK, or we
+    // never get here — the child ran the sweep and we exited with it)
+    ensureRegime(args)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // default to every core (the driver contract is local[32]); the env
     // var still pins an explicit width for controlled runs
@@ -342,6 +483,7 @@ object Bench {
       if (i == mid && i > 0) sampleCal("mid")
       val clk = clkMs()
       val c0 = processCpuSec()
+      val g0 = gcSec()
       val t0 = System.nanoTime()
       // a failing qid must be VISIBLE, not silently timed: record the
       // exception class per query instead of swallowing it — a broken
@@ -351,17 +493,22 @@ object Bench {
         catch { case t: Throwable => Some(t.getClass.getSimpleName) }
       val sec = (System.nanoTime() - t0) / 1e9
       val cpu = processCpuSec() - c0
+      // per-query stop-the-world GC seconds (VERDICT r10 ask #2): the
+      // sweep-level gc_s said WHETHER a heap regime taxed the run;
+      // this says WHICH qid paid it — e.g. r10's stream_live_tumble
+      // 292 driver CPU-s was unattributable without exactly this
+      val gc = gcDelta(g0, gcSec())
       val errTag = err.map(e => s""","err":"$e"""").getOrElse("")
-      println(f"""{"query":"$name","sec":$sec%.3f,"cpu":$cpu%.3f,"clk_ms":$clk%.1f$errTag}""")
+      println(f"""{"query":"$name","sec":$sec%.3f,"cpu":$cpu%.3f,"gc":$gc%.3f,"clk_ms":$clk%.1f$errTag}""")
       val lastOfFamily = i + 1 >= ordered.size ||
         family(ordered(i + 1)._1) != family(name)
       if (lastOfFamily)
         try spark.catalog.clearCache() catch { case _: Throwable => () }
-      (name, sec, err, cpu, clk)
+      (name, sec, err, cpu, clk, gc)
     }
     val sweepWall = (System.nanoTime() - sweepT0) / 1e9
     val sweepCpu = processCpuSec() - sweepCpu0
-    val sweepGc = gcSec() - sweepGc0
+    val sweepGc = gcDelta(sweepGc0, gcSec())
     val stat1 = procStat()
     sampleCal("end")
     val total = results.map(_._2).sum
@@ -394,16 +541,18 @@ object Bench {
       s"""{"cpu":[$cpus3],"spark":[$sparks3]}"""
     }
     val perQuery = results
-      .map { case (n, s, e, _, _) =>
+      .map { case (n, s, e, _, _, _) =>
         f""""$n":$s%.3f""" + e.map(x => f""","${n}_err":"$x"""").getOrElse("")
       }.mkString("{", ",", "}")
-    // per-query process-CPU and clock-sample maps, same flat shape,
+    // per-query process-CPU / clock-sample / GC maps, same flat shape,
     // SEPARATE sibling files (the wall map's 183-key flat contract
     // stays stable for tooling)
     val perQueryCpu = results
-      .map { case (n, _, _, c, _) => f""""$n":$c%.3f""" }.mkString("{", ",", "}")
+      .map { case (n, _, _, c, _, _) => f""""$n":$c%.3f""" }.mkString("{", ",", "}")
     val perQueryClk = results
-      .map { case (n, _, _, _, k) => f""""$n":$k%.1f""" }.mkString("{", ",", "}")
+      .map { case (n, _, _, _, k, _) => f""""$n":$k%.1f""" }.mkString("{", ",", "}")
+    val perQueryGc = results
+      .map { case (n, _, _, _, _, g) => f""""$n":$g%.3f""" }.mkString("{", ",", "}")
     // sibling artifacts with the same per-query map, for offline
     // regression attribution (the stdout tail can truncate). TWO
     // copies: target/ for tooling, and a repo-root BENCH_QUERIES_
@@ -421,10 +570,13 @@ object Bench {
         "target/bench_queries_cpu.json" -> perQueryCpu,
         "BENCH_QUERIES_CPU_LATEST.json" -> perQueryCpu,
         "target/bench_queries_clk.json" -> perQueryClk,
-        "BENCH_QUERIES_CLK_LATEST.json" -> perQueryClk)
+        "BENCH_QUERIES_CLK_LATEST.json" -> perQueryClk,
+        "target/bench_queries_gc.json" -> perQueryGc,
+        "BENCH_QUERIES_GC_LATEST.json" -> perQueryGc)
     else Seq("target/bench_queries_filtered.json" -> perQuery,
       "target/bench_queries_cpu_filtered.json" -> perQueryCpu,
-      "target/bench_queries_clk_filtered.json" -> perQueryClk)
+      "target/bench_queries_clk_filtered.json" -> perQueryClk,
+      "target/bench_queries_gc_filtered.json" -> perQueryGc)
     sinks.foreach { case (p, body) =>
       try java.nio.file.Files.write(
         java.nio.file.Paths.get(p), body.getBytes("UTF-8"))
@@ -437,7 +589,7 @@ object Bench {
     // inlined the 180-entry map here, the line outgrew the tail
     // capture, and BENCH_r05 came back parsed:null. Keep this line
     // well under 2000 chars forever.
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"n_err":$nErr,"cpu_total":$cpuTotal%.1f,"cal":$calJson$clkJson$hostJson,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"n_err":$nErr,"cpu_total":$cpuTotal%.1f,"cal":$calJson$clkJson$hostJson$jvmJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -162,6 +162,50 @@ object ShuffleGrowthAudit {
       println(f"  $q%-24s $a%10d -> $b%10d  ($r%5.1fx)")
     }
     println(s"qids shuffling >=25x more (>=100k rows) from $dir1 to $dirK: $flagged")
+    // Cross-family absolute-volume invariant (VERDICT r10 ask #5):
+    // the ps-family 1× denominators carry a model-snapshot asymmetry
+    // (the snapshot build's shuffle doesn't scale with the corpus, so
+    // the SKEWED family's small 1× volume inflates the ratio — r10's
+    // ps_push read 23.8× on zx while its ABSOLUTE 10× volume was
+    // identical to the uniform family's, both linear). A quadratic
+    // hiding under that asymmetry cannot also hold the 10× volumes
+    // equal across families: skew amplifies any per-group-superlinear
+    // term, so equality of the two 10× sums IS the drift tripwire the
+    // ratio threshold can't provide for these qids. With dirs 3+4
+    // (the OTHER family's 1×/10×), sweep that family too and flag any
+    // qid whose 10× volumes diverge >50% (>=100k rows) — turning the
+    // documented per-qid footnote into a checked invariant.
+    args.drop(2) match {
+      case Array(dir1b, dirKb, _*) =>
+        println(s"-- cross-family sweep: $dir1b -> $dirKb --")
+        val at1b = sweep(dir1b)
+        val atKb = sweep(dirKb)
+        val rowsB = ordered.map(_._1).map { q =>
+          val (a, b) = (at1b(q), atKb(q))
+          val ratio = if (a > 0) b.toDouble / a
+            else if (b > 0) Double.PositiveInfinity else 1.0
+          (q, a, b, ratio)
+        }
+        var flaggedB = 0
+        rowsB.sortBy(-_._4).foreach { case (q, a, b, r) =>
+          if (b >= 100000 && r >= 25.0) {
+            flaggedB += 1
+            println(f"SUPERLINEAR $r%6.1fx  $q%-24s shuffle rows $a%10d -> $b%10d")
+          }
+        }
+        println(s"qids shuffling >=25x more (>=100k rows) from $dir1b to $dirKb: $flaggedB")
+        var diverged = 0
+        ordered.map(_._1).foreach { q =>
+          val (va, vb) = (atK(q), atKb(q))
+          val hi = math.max(va, vb)
+          if (hi >= 100000 && math.abs(va - vb) > hi / 2) {
+            diverged += 1
+            println(f"FAMILY DIVERGENCE  $q%-24s 10x volume $dirK=$va%d $dirKb=$vb%d")
+          }
+        }
+        println(s"qids whose 10x absolute shuffle volume diverges >50% across corpus families: $diverged")
+      case _ => ()
+    }
     spark.stop()
   }
 }

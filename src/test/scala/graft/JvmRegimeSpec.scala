@@ -31,6 +31,23 @@ class JvmRegimeSpec extends AnyFunSuite {
       s"-Xms (${xms.last}) != -Xmx (${xmx.last}) — heap re-sizes through the sweep")
   }
 
+  test("heap is pre-sized at RUNTIME: MemoryMXBean init ≈ max") {
+    // unit-independent cross-check of the flag-string test above (r10
+    // ADVICE: -Xms8192m vs -Xmx8g would pass string-equality checks
+    // only by luck, and flags prove intent, not what the JVM honored).
+    // With -Xms = -Xmx the committed initial heap equals the max; a
+    // stock launch on these hosts shows init = 1/64 of RAM ≈ 2g vs
+    // max 8g — an order-of-magnitude miss, so a 10% tolerance is safe
+    // against collector-reserved slack.
+    val h = java.lang.management.ManagementFactory
+      .getMemoryMXBean.getHeapMemoryUsage
+    assert(h.getInit > 0 && h.getMax > 0,
+      s"heap bean unavailable (init=${h.getInit}, max=${h.getMax})")
+    assert(h.getInit >= h.getMax - h.getMax / 10,
+      s"initial heap ${h.getInit} < 90% of max ${h.getMax} — " +
+        "the JVM did not honor a pre-sized heap; growth stalls return")
+  }
+
   test("throughput collector selected: ParallelGC beans active") {
     assert(jvmArgs.contains("-XX:+UseParallelGC"),
       s"-XX:+UseParallelGC missing from $jvmArgs")

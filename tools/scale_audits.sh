@@ -52,9 +52,11 @@ $RUN graft.SerialStageAudit 2>/dev/null \
 SPARK_GRAFT_NO_BCAST=1 $RUN graft.SerialStageAudit 2>/dev/null \
   | tee "$OUT/serial_nobcast.log" | tail -10
 
-echo "== ShuffleGrowthAudit (no-bcast mode — the decisive one)"
-SPARK_GRAFT_NO_BCAST=1 $RUN graft.ShuffleGrowthAudit 2>/dev/null \
-  | tee "$OUT/shuffle_nobcast.log" | tail -13
+# NOTE: the shuffle audit now runs ONCE in 4-dir cross-family mode
+# (after the skew corpora synth below) — both families' ratios plus
+# the 10x absolute-volume invariant that the ps-family's 1x snapshot
+# asymmetry demands (VERDICT r10 ask #5). Same total sweep cost as
+# the two separate runs it replaces.
 
 # ---- skewed corpora (r10): zipf event keys + Pareto-duplicate docs.
 # The namespaced replicas hold per-key group sizes constant; these
@@ -63,9 +65,10 @@ SPARK_GRAFT_REHEARSE_SKEW=1 SPARK_GRAFT_REHEARSE_QIDS=none \
   $RUN graft.ScaleRehearsal 1 10 > "$OUT/synth_skew.log" 2>&1
 Z1=/tmp/graft_scale/zx1; Z10=/tmp/graft_scale/zx10
 
-echo "== ShuffleGrowthAudit (no-bcast, SKEW)"
-SPARK_GRAFT_NO_BCAST=1 $RUN graft.ShuffleGrowthAudit "$Z1" "$Z10" 2>/dev/null \
-  | tee "$OUT/skew_shuffle_nobcast.log" | tail -13
+echo "== ShuffleGrowthAudit (no-bcast, BOTH families + 10x volume invariant)"
+SPARK_GRAFT_NO_BCAST=1 $RUN graft.ShuffleGrowthAudit \
+  /tmp/graft_scale/x1 /tmp/graft_scale/x10 "$Z1" "$Z10" 2>/dev/null \
+  | tee "$OUT/shuffle_nobcast_both.log" | tail -16
 
 echo "== SerialStageAudit (default + no-bcast, SKEW)"
 $RUN graft.SerialStageAudit "$Z1" "$Z10" 2>/dev/null \
