@@ -49,7 +49,7 @@ object Bench {
   // Delta of two gcSec() reads with the sentinel kept coherent (r10
   // ADVICE): if either endpoint is the -1 unavailability marker, the
   // delta is -1 too — never a meaningless raw difference.
-  private def gcDelta(g0: Double, g1: Double): Double =
+  private[graft] def gcDelta(g0: Double, g1: Double): Double =
     if (g0 < 0 || g1 < 0) -1.0 else g1 - g0
 
   // ---- JVM regime: detect, prove in the artifact, self-enforce ----
@@ -75,7 +75,7 @@ object Bench {
     .getMemoryMXBean.getHeapMemoryUsage
   /** Target heap: the driver contract's SPARK_DRIVER_MEM (default 8g,
     * the §13 ladder's proven point), parsed to bytes. */
-  private def targetHeapBytes: Long = {
+  private[graft] def targetHeapBytes: Long = {
     val s = sys.env.getOrElse("SPARK_DRIVER_MEM", "8g").trim.toLowerCase
     val mult = s.last match {
       case 'k' => 1L << 10
@@ -92,7 +92,7 @@ object Bench {
     * no growth stalls possible), and max is at least ~80% of the
     * target (G1's default Xms is 1/64 of RAM, so a stock launch fails
     * the init≈max test decisively: 2g vs 32g on the 128g hosts). */
-  private def regime(): (Boolean, Boolean, Boolean) = {
+  private[graft] def regime(): (Boolean, Boolean, Boolean) = {
     val h = heapBean
     val presized = h.getInit > 0 && h.getMax > 0 &&
       h.getInit >= h.getMax - (h.getMax / 10)
@@ -113,7 +113,7 @@ object Bench {
     * wildcard if no spark jar is on the property — the
     * bare-java-with-wildcard case expands it, but belt-and-braces
     * costs nothing). */
-  private def childClasspath: String = {
+  private[graft] def childClasspath: String = {
     val sep = java.io.File.pathSeparator
     val base = System.getProperty("java.class.path", "")
     val self = try {
