@@ -135,10 +135,10 @@ object Bench {
     val (p, s, z) = regime()
     if (isReexecChild) {
       // never recurse; the jvm object on the final line records the miss
-      println(s"REGIME MISMATCH (child): parallel=$p presized=$s sized=$z — proceeding")
+      println(s"REGIME MISMATCH (child): parallel=$p presized=$s sized=$z - proceeding")
       return
     }
-    println(s"REGIME MISMATCH: parallel=$p presized=$s sized=$z — re-exec under pinned flags")
+    println(s"REGIME MISMATCH: parallel=$p presized=$s sized=$z - re-exec under pinned flags")
     val mem = sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")
     val javaBin = java.nio.file.Paths.get(
       System.getProperty("java.home"), "bin", "java").toString
@@ -165,7 +165,7 @@ object Bench {
       sys.exit(code)
     } catch {
       case t: Throwable if !t.isInstanceOf[java.lang.InterruptedException] =>
-        println(s"REGIME MISMATCH: re-exec failed (${t.getClass.getSimpleName}) — " +
+        println(s"REGIME MISMATCH: re-exec failed (${t.getClass.getSimpleName}) - " +
           "continuing IN-PROCESS under the wrong regime; read gc_s accordingly")
     }
   }
