@@ -35,6 +35,27 @@ class StreamingMlSpec extends SparkSpec {
     assert(streamed.map(_.toString).toSeq === batch.map(_.toString).toSeq)
   }
 
+  test("runToTable pins stream shuffle width for the run, then restores") {
+    // r11 state-store hygiene: one state store per shuffle partition
+    // per micro-batch means the stream's width is a state-sizing knob,
+    // pinned (default 8, SPARK_GRAFT_STREAM_PARTS) only for the
+    // duration of the streaming query. The session's batch width must
+    // come back EXACTLY — a leaked pin would silently re-plan every
+    // later batch query in the suite/bench at streaming width.
+    val key = "spark.sql.shuffle.partitions"
+    val before = spark.conf.get(key)
+    val sentinel = "23" // a width nothing else uses
+    spark.conf.set(key, sentinel)
+    try {
+      val out = StreamingOps.tumblingCounts(spark, sfDir)
+      // the streaming agg itself ran at the pinned width, not 23:
+      // sinks' state stores count = numShufflePartitions of the run
+      assert(out.count() > 0)
+      assert(spark.conf.get(key) === sentinel,
+        "stream run leaked its pinned shuffle width into the session")
+    } finally spark.conf.set(key, before)
+  }
+
   test("streaming dedup by event_id keeps every distinct id once") {
     val out = StreamingOps.streamingDedup(spark, sfDir)
     val batchDistinct = graft.sources.Tables.events(spark, sfDir)
