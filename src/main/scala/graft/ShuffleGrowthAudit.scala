@@ -143,25 +143,33 @@ object ShuffleGrowthAudit {
         name -> s
       }.toMap
 
+    // ratio table + SUPERLINEAR verdicts for one family's 1x/10x pair
+    // (shared by both families so threshold/format edits stay single-site)
+    def familyReport(a1: Map[String, Long], aK: Map[String, Long],
+        d1: String, dK: String): Seq[(String, Long, Long, Double)] = {
+      val rs = ordered.map(_._1).map { q =>
+        val (a, b) = (a1(q), aK(q))
+        val ratio = if (a > 0) b.toDouble / a
+          else if (b > 0) Double.PositiveInfinity else 1.0
+        (q, a, b, ratio)
+      }
+      var flagged = 0
+      rs.sortBy(-_._4).foreach { case (q, a, b, r) =>
+        if (b >= 100000 && r >= 25.0) {
+          flagged += 1
+          println(f"SUPERLINEAR $r%6.1fx  $q%-24s shuffle rows $a%10d -> $b%10d")
+        }
+      }
+      println(s"qids shuffling >=25x more (>=100k rows) from $d1 to $dK: $flagged")
+      rs
+    }
     val at1 = sweep(dir1)
     val atK = sweep(dirK)
-    val rows = ordered.map(_._1).map { q =>
-      val (a, b) = (at1(q), atK(q))
-      val ratio = if (a > 0) b.toDouble / a else if (b > 0) Double.PositiveInfinity else 1.0
-      (q, a, b, ratio)
-    }
-    var flagged = 0
-    rows.sortBy(-_._4).foreach { case (q, a, b, r) =>
-      if (b >= 100000 && r >= 25.0) {
-        flagged += 1
-        println(f"SUPERLINEAR $r%6.1fx  $q%-24s shuffle rows $a%10d -> $b%10d")
-      }
-    }
+    val rows = familyReport(at1, atK, dir1, dirK)
     println("-- largest shuffle volumes at 10x (growth context) --")
     rows.sortBy(-_._3).take(10).foreach { case (q, a, b, r) =>
       println(f"  $q%-24s $a%10d -> $b%10d  ($r%5.1fx)")
     }
-    println(s"qids shuffling >=25x more (>=100k rows) from $dir1 to $dirK: $flagged")
     // Cross-family absolute-volume invariant (VERDICT r10 ask #5):
     // the ps-family 1× denominators carry a model-snapshot asymmetry
     // (the snapshot build's shuffle doesn't scale with the corpus, so
@@ -180,20 +188,7 @@ object ShuffleGrowthAudit {
         println(s"-- cross-family sweep: $dir1b -> $dirKb --")
         val at1b = sweep(dir1b)
         val atKb = sweep(dirKb)
-        val rowsB = ordered.map(_._1).map { q =>
-          val (a, b) = (at1b(q), atKb(q))
-          val ratio = if (a > 0) b.toDouble / a
-            else if (b > 0) Double.PositiveInfinity else 1.0
-          (q, a, b, ratio)
-        }
-        var flaggedB = 0
-        rowsB.sortBy(-_._4).foreach { case (q, a, b, r) =>
-          if (b >= 100000 && r >= 25.0) {
-            flaggedB += 1
-            println(f"SUPERLINEAR $r%6.1fx  $q%-24s shuffle rows $a%10d -> $b%10d")
-          }
-        }
-        println(s"qids shuffling >=25x more (>=100k rows) from $dir1b to $dirKb: $flaggedB")
+        val rowsB = familyReport(at1b, atKb, dir1b, dirKb)
         // The hard invariant applies ONLY where the ratio test is
         // weakened: qids whose per-family ratio exceeds 15× lean on
         // the documented denominator asymmetry, so for THEM equality
@@ -219,7 +214,7 @@ object ShuffleGrowthAudit {
               println(f"ASYMMETRY DRIFT  $q%-24s ratio a=${ratioA(q)}%.1fx b=${ratioB(q)}%.1fx 10x volume $dirK=$va%d $dirKb=$vb%d")
             } else benign += 1
           } else if (leansOnAsymmetry && hi >= 100000) {
-            println(f"ASYMMETRY-OK     $q%-24s ratio a=${ratioA(q)}%.1fx b=${ratioB(q)}%.1fx 10x volumes equal ($va%d / $vb%d) — denominator artifact, not drift")
+            println(f"ASYMMETRY-OK     $q%-24s ratio a=${ratioA(q)}%.1fx b=${ratioB(q)}%.1fx 10x volumes equal ($va%d / $vb%d) - denominator artifact, not drift")
           }
         }
         println(s"high-ratio qids whose 10x volume diverges across families (REAL drift risk): $drifted")

@@ -154,9 +154,19 @@ object StreamingOps {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      // execution evidence of the pin for the spec: the state
+      // operator's partition count as the stream ACTUALLY ran it
+      // (None for stateless streams)
+      lastStateStoreParts = q.recentProgress.toSeq
+        .flatMap(_.stateOperators).lastOption.map(_.numShufflePartitions)
     } finally spark.conf.set(key, prev)
     spark.table(name)
   }
+
+  /** numShufflePartitions of the most recent stateful stream run
+    * through [[runToTable]] — observability hook for the width-pin
+    * spec; diagnostics only, never read by query code. */
+  @volatile private[graft] var lastStateStoreParts: Option[Long] = None
 
   /** One deterministic memory-sink view name per (capability, dir) —
     * the bound that keeps repeated qid constructions from growing the

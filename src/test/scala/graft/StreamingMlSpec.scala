@@ -48,9 +48,13 @@ class StreamingMlSpec extends SparkSpec {
     spark.conf.set(key, sentinel)
     try {
       val out = StreamingOps.tumblingCounts(spark, sfDir)
-      // the streaming agg itself ran at the pinned width, not 23:
-      // sinks' state stores count = numShufflePartitions of the run
       assert(out.count() > 0)
+      // the streaming agg ACTUALLY ran at the pinned width, not the
+      // session's 23 — read from the query's own StateOperatorProgress
+      // (deleting the pin would leave this at 23 and fail here)
+      val pinned = sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "8").toLong
+      assert(StreamingOps.lastStateStoreParts === Some(pinned),
+        s"state operator ran at ${StreamingOps.lastStateStoreParts}, expected the pinned $pinned")
       assert(spark.conf.get(key) === sentinel,
         "stream run leaked its pinned shuffle width into the session")
     } finally spark.conf.set(key, before)

@@ -68,7 +68,7 @@ Z1=/tmp/graft_scale/zx1; Z10=/tmp/graft_scale/zx10
 echo "== ShuffleGrowthAudit (no-bcast, BOTH families + 10x volume invariant)"
 SPARK_GRAFT_NO_BCAST=1 $RUN graft.ShuffleGrowthAudit \
   /tmp/graft_scale/x1 /tmp/graft_scale/x10 "$Z1" "$Z10" 2>/dev/null \
-  | tee "$OUT/shuffle_nobcast_both.log" | tail -16
+  | tee "$OUT/shuffle_nobcast_both.log" | grep -vE "^SKIP" | tail -45
 
 echo "== SerialStageAudit (default + no-bcast, SKEW)"
 $RUN graft.SerialStageAudit "$Z1" "$Z10" 2>/dev/null \
