@@ -76,7 +76,10 @@ object Bench {
   /** JVM -Xmx-style size string to bytes; ANY malformed input
     * (empty string, "8 gb", garbage) falls back to the 8g default —
     * this runs on the first line of the graded main, where an
-    * exported-but-empty SPARK_DRIVER_MEM must never be a crash. */
+    * exported-but-empty SPARK_DRIVER_MEM must never be a crash. A
+    * NON-empty value that fails the parse gets a one-line warning
+    * (r11 ADVICE): a host provisioned "100gb" must not benchmark at
+    * 8g with no diagnostic until the jvm artifact object is read. */
   private[graft] def parseMemBytes(raw: String): Long =
     try {
       val s = raw.trim.toLowerCase
@@ -89,7 +92,12 @@ object Bench {
       }
       val digits = if (s.last.isDigit) s else s.dropRight(1)
       digits.toLong * mult
-    } catch { case _: Throwable => 8L << 30 }
+    } catch {
+      case _: Throwable =>
+        if (raw.trim.nonEmpty)
+          println(s"WARN: SPARK_DRIVER_MEM '$raw' unparseable - using the 8g default")
+        8L << 30
+    }
   /** Target heap: the driver contract's SPARK_DRIVER_MEM (default 8g,
     * the §13 ladder's proven point), parsed to bytes. */
   private[graft] def targetHeapBytes: Long =
@@ -116,10 +124,13 @@ object Bench {
     * through a runtime MutableURLClassLoader, so the process property
     * carries only the Spark jars and the child would fail with
     * ClassNotFoundException: graft.Bench (observed). Append this
-    * class's own code-source location (and the /opt/spark/jars
-    * wildcard if no spark jar is on the property — the
-    * bare-java-with-wildcard case expands it, but belt-and-braces
-    * costs nothing). */
+    * class's own code-source location AND the /opt/spark/jars
+    * wildcard unconditionally — r11 gated the wildcard on a bare
+    * `base.contains("spark")` substring, which a checkout under a
+    * path like ~/spark-graft satisfies with zero spark jars on the
+    * property (r11 ADVICE); duplicates are harmless (distinct below,
+    * and the JVM ignores a nonexistent wildcard dir), so
+    * always-append is the robust form. */
   private[graft] def childClasspath: String = {
     val sep = java.io.File.pathSeparator
     val base = System.getProperty("java.class.path", "")
@@ -128,9 +139,34 @@ object Bench {
         .map(_.getLocation.toURI).map(java.nio.file.Paths.get(_).toString)
     } catch { case _: Throwable => None }
     val parts = base.split(sep).filter(_.nonEmpty).toSeq ++ self ++
-      (if (base.contains("spark")) Nil else Seq("/opt/spark/jars/*"))
+      Seq("/opt/spark/jars/*")
     parts.distinct.mkString(sep)
   }
+  /** Parent-JVM launch arguments to forward into the re-exec child
+    * (r11 ADVICE): Spark absorbs every -Dspark.* system property into
+    * SparkConf, so dropping the parent's -D args (r11 forwarded only
+    * two hardcoded ones) could hand the child a materially different
+    * Spark configuration than the launch intended. Forward everything
+    * EXCEPT (a) the heap/GC flags the re-exec exists to replace,
+    * (b) our own graft.bench.* control properties, and (c) agent
+    * flags (a forwarded jdwp/agent port would collide with the
+    * parent's). Our pinned flags are appended AFTER these, and the
+    * JVM takes the last occurrence, so the proven regime always wins. */
+  private[graft] def forwardedJvmArgs: Seq[String] =
+    try {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getRuntimeMXBean
+        .getInputArguments.asScala.toSeq.filterNot { a =>
+          a.startsWith("-Xms") || a.startsWith("-Xmx") ||
+          a.startsWith("-Xmn") || a.startsWith("-XX:NewSize") ||
+          a.startsWith("-XX:MaxNewSize") ||
+          (a.startsWith("-XX:+Use") && a.endsWith("GC")) ||
+          (a.startsWith("-XX:-Use") && a.endsWith("GC")) ||
+          a.startsWith("-Dgraft.bench.") ||
+          a.startsWith("-agentlib") || a.startsWith("-agentpath") ||
+          a.startsWith("-javaagent")
+        }
+    } catch { case _: Throwable => Nil }
   /** If this JVM is running the wrong GC regime and is not already a
     * re-exec child, replace the run with a child JVM under the proven
     * flags. Returns only when the sweep should proceed IN-PROCESS
@@ -162,27 +198,32 @@ object Bench {
       "java.base/sun.nio.ch", "java.base/sun.nio.cs",
       "java.base/sun.security.action", "java.base/sun.util.calendar",
     ).flatMap(x => Seq("--add-opens", s"$x=ALL-UNNAMED"))
-    val cmd = (Seq(javaBin) ++ addOpens ++ Seq(
+    // Child-progress sentinel (r11 ADVICE): the r11 parent separated
+    // "VM-init death" (fall back in-process so the graded invocation
+    // still yields an artifact) from "sweep ran, then failed"
+    // (propagate — re-running would double-print artifacts) by a
+    // 20-second wall heuristic, which a loaded host breaks in both
+    // directions. Evidence instead: the child touches this file right
+    // after SparkSession creation — before ANY artifact output — so
+    // its absence on a nonzero exit PROVES nothing was printed and
+    // the in-process fallback cannot duplicate output.
+    val sentinel = try {
+      val f = java.nio.file.Files.createTempFile("graft-bench-sentinel", "").toFile
+      f.delete(); f.deleteOnExit(); Some(f)
+    } catch { case _: Throwable => None }
+    val cmd = (Seq(javaBin) ++ forwardedJvmArgs ++ addOpens ++ Seq(
       s"-Xms$mem", s"-Xmx$mem", "-XX:+UseParallelGC",
-      "-Dgraft.bench.reexec=1",
-      "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
+      "-Dgraft.bench.reexec=1") ++
+      sentinel.map(f => s"-Dgraft.bench.sentinel=${f.getPath}").toSeq ++ Seq(
       "-cp", childClasspath,
       "graft.Bench") ++ args).toArray
     try {
       val pb = new ProcessBuilder(cmd: _*).inheritIO()
-      val t0 = System.nanoTime()
       val code = pb.start().waitFor()
-      val childSec = (System.nanoTime() - t0) / 1e9
-      // A child that dies NONZERO within seconds never started the
-      // sweep (VM-init failure: cannot reserve the pre-sized heap on
-      // a small host, bad flag) — fall back to the in-process run so
-      // the graded invocation still produces an artifact, as it did
-      // before self-enforcement existed. A LATE nonzero exit means the
-      // sweep ran and (partially) printed; re-running in-process would
-      // double-print artifacts and possibly bust the caller's time
-      // budget, so propagate the child's code instead.
-      if (code == 0 || childSec >= 20.0) sys.exit(code)
-      println(s"REGIME MISMATCH: child JVM died in ${childSec.round} s rc=$code " +
+      val childStarted = sentinel.forall(_.exists())
+      sentinel.foreach(_.delete())
+      if (code == 0 || childStarted) sys.exit(code)
+      println(s"REGIME MISMATCH: child JVM died before Spark init rc=$code " +
         "(heap likely not committable) - continuing IN-PROCESS under the wrong regime")
     } catch {
       case t: Throwable if !t.isInstanceOf[java.lang.InterruptedException] =>
@@ -232,7 +273,54 @@ object Bench {
     calSink ^= x
     (System.nanoTime() - t) / 1e6
   }.min
-  private def calibrate(spark: SparkSession): (Double, Double) = {
+  // ALL-CORE clock sample (r11 verdict ask #1): the single-thread clk
+  // probe is documented blind to all-core DVFS / memory-bandwidth
+  // contention (docs/DESIGN.md decision table) — BENCH_r11 carried two
+  // queries (hier_depth +8.8 s, graph_triangles +6.1 s / +48 CPU-s)
+  // inflated at FLAT gc and flat clk, unprovable from the artifact.
+  // Same fixed LCG work, one copy per hardware thread, all released
+  // together; elapsed = the slowest core's effective speed under full
+  // load at that instant. Healthy host ≈ clk_ms (maybe ~2x under SMT);
+  // all-core throttle inflates THIS while clk stays flat — exactly the
+  // missing signal. min of 2 runs (a GC pause in one run would fake
+  // contention; a real throttle slows both). ~26 ms per query, timed
+  // OUTSIDE the per-query window, so the graded total is untouched.
+  private lazy val acPool = java.util.concurrent.Executors.newFixedThreadPool(
+    Runtime.getRuntime.availableProcessors(),
+    new java.util.concurrent.ThreadFactory {
+      def newThread(r: Runnable): Thread = {
+        val t = new Thread(r, "graft-ac-probe"); t.setDaemon(true); t
+      }
+    })
+  private def allCoreMs(): Double =
+    try {
+      val n = Runtime.getRuntime.availableProcessors()
+      (1 to 2).map { _ =>
+        val start = new java.util.concurrent.CountDownLatch(1)
+        val done = new java.util.concurrent.CountDownLatch(n)
+        var k = 0
+        while (k < n) {
+          acPool.execute(() => {
+            try {
+              start.await()
+              var x = 0x9E3779B97F4A7C15L
+              var i = 0L
+              while (i < 5000000L) {
+                x = x * 6364136223846793005L + 1442695040888963407L; i += 1
+              }
+              calSink ^= x
+            } catch { case _: InterruptedException => () }
+            finally done.countDown()
+          })
+          k += 1
+        }
+        val t = System.nanoTime()
+        start.countDown()
+        done.await()
+        (System.nanoTime() - t) / 1e6
+      }.min
+    } catch { case _: Throwable => -1.0 }
+  private def calibrate(spark: SparkSession): (Double, Double, Double) = {
     // min of 2 back-to-back runs per probe: a GC pause or one scheduler
     // hiccup inside a single probe run would fake a throttled host; a
     // genuinely throttled host slows BOTH runs, so the min survives it
@@ -250,7 +338,59 @@ object Bench {
     val sparkSec = min2 {
       spark.range(10000000L).selectExpr("sum(id * 2 + 1) AS s").collect()
     }
-    (cpuSec, sparkSec)
+    (cpuSec, sparkSec, allCoreMs())
+  }
+  /** Short git HEAD of the checkout this JVM runs in, or "unknown"
+    * (no git binary, not a repo, cwd elsewhere). Minima are only
+    * comparable across sweeps of IDENTICAL code, so the minima file
+    * is keyed by this. */
+  private def gitHead(): String =
+    try {
+      val pb = new ProcessBuilder("git", "rev-parse", "--short=12", "HEAD")
+      pb.redirectErrorStream(true)
+      val p = pb.start()
+      val out = new String(p.getInputStream.readAllBytes(), "UTF-8").trim
+      if (p.waitFor() == 0 && out.matches("[0-9a-f]{6,40}")) out else "unknown"
+    } catch { case _: Throwable => "unknown" }
+  /** Fold this sweep's per-query walls into the per-HEAD minima file.
+    * Keyed by git HEAD: same HEAD → per-qid min and sweeps+1; HEAD
+    * changed or unknowable → start over at this sweep (stale minima
+    * from different code would over-flag every legitimate perf-shape
+    * change as weather, or vice versa). Wrong-regime sweeps never
+    * merge — their walls carry the GC tax the regime machinery exists
+    * to remove. Failed qids fast-fail and would poison the floor, so
+    * the caller excludes them. */
+  private def mergeMinima(walls: Seq[(String, Double)]): Unit = {
+    if (!regimeOk() || walls.isEmpty) return
+    val head = gitHead()
+    val path = java.nio.file.Paths.get("BENCH_QUERIES_MIN_LATEST.json")
+    val (oldHead, oldSweeps, oldMin) =
+      try {
+        val s = new String(java.nio.file.Files.readAllBytes(path), "UTF-8")
+        val h = """"head":"([^"]*)"""".r.findFirstMatchIn(s)
+          .map(_.group(1)).getOrElse("unknown")
+        val n = """"sweeps":(\d+)""".r.findFirstMatchIn(s)
+          .map(_.group(1).toInt).getOrElse(0)
+        val qs = """"([A-Za-z0-9_]+)":(-?\d+(?:\.\d+)?)""".r
+          .findAllMatchIn(s.substring(math.max(0, s.indexOf("\"queries\""))))
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap - "queries"
+        (h, n, qs)
+      } catch { case _: Throwable => ("unknown", 0, Map.empty[String, Double]) }
+    val keep = head != "unknown" && head == oldHead
+    val base = if (keep) oldMin else Map.empty[String, Double]
+    val sweeps = (if (keep) oldSweeps else 0) + 1
+    val merged = walls.map { case (n, s) =>
+      n -> math.min(s, base.getOrElse(n, Double.MaxValue))
+    }
+    val qJson = merged.map { case (n, s) => f""""$n":$s%.3f""" }
+      .mkString("{", ",", "}")
+    val body = s"""{"head":"$head","sweeps":$sweeps,"queries":$qJson}"""
+    Seq(path, java.nio.file.Paths.get("target/bench_queries_min.json"))
+      .foreach { p =>
+        try java.nio.file.Files.write(p, body.getBytes("UTF-8"))
+        catch { case _: Throwable => () }
+      }
+    println(s"""{"min_merge":{"head":"$head","sweeps":$sweeps}}""")
   }
   // A permanently broken warm (e.g. a signature change in a warmed
   // production helper) must be VISIBLE in the bench output, not read as
@@ -292,6 +432,15 @@ object Bench {
       builder.config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
     }
     val spark = builder.getOrCreate()
+    // re-exec child-progress proof: touch the parent's sentinel path
+    // the moment the session exists — past VM init (heap committed)
+    // and BEFORE any artifact output, the exact boundary the parent's
+    // fallback-vs-propagate decision needs (see ensureRegime)
+    sys.props.get("graft.bench.sentinel").foreach { p =>
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get(p), Array.emptyByteArray)
+      catch { case _: Throwable => () }
+    }
     spark.sparkContext.setLogLevel("WARN")
     // Warm the session once (codegen compiler, broadcast/shuffle thread
     // pools, parquet reader init) so the first measured query isn't
@@ -488,11 +637,11 @@ object Bench {
     def family(name: String): String = name.takeWhile(_ != '_')
     // calibration samples: start (post-prelude, pre-first-query),
     // midpoint (between queries — never inside a query's timing), end
-    val cal = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+    val cal = scala.collection.mutable.ArrayBuffer.empty[(Double, Double, Double)]
     def sampleCal(tag: String): Unit = {
-      val (c, s) = calibrate(spark)
-      cal += ((c, s))
-      println(f"""{"cal":"$tag","cpu_sec":$c%.3f,"spark_sec":$s%.3f}""")
+      val (c, s, a) = calibrate(spark)
+      cal += ((c, s, a))
+      println(f"""{"cal":"$tag","cpu_sec":$c%.3f,"spark_sec":$s%.3f,"ac_ms":$a%.1f}""")
     }
     sampleCal("start")
     val stat0 = procStat()
@@ -503,6 +652,11 @@ object Bench {
     val results = ordered.zipWithIndex.map { case ((name, fn), i) =>
       if (i == mid && i > 0) sampleCal("mid")
       val clk = clkMs()
+      // all-core sample immediately after the single-thread one: the
+      // PAIR separates "host fine" (both flat) / "per-core throttle"
+      // (both up) / "all-core contention" (ac up, clk flat — the r11
+      // hier_depth/graph_triangles blind spot)
+      val ac = allCoreMs()
       val c0 = processCpuSec()
       val g0 = gcSec()
       val t0 = System.nanoTime()
@@ -520,12 +674,12 @@ object Bench {
       // 292 driver CPU-s was unattributable without exactly this
       val gc = gcDelta(g0, gcSec())
       val errTag = err.map(e => s""","err":"$e"""").getOrElse("")
-      println(f"""{"query":"$name","sec":$sec%.3f,"cpu":$cpu%.3f,"gc":$gc%.3f,"clk_ms":$clk%.1f$errTag}""")
+      println(f"""{"query":"$name","sec":$sec%.3f,"cpu":$cpu%.3f,"gc":$gc%.3f,"clk_ms":$clk%.1f,"ac_ms":$ac%.1f$errTag}""")
       val lastOfFamily = i + 1 >= ordered.size ||
         family(ordered(i + 1)._1) != family(name)
       if (lastOfFamily)
         try spark.catalog.clearCache() catch { case _: Throwable => () }
-      (name, sec, err, cpu, clk, gc)
+      (name, sec, err, cpu, clk, gc, ac)
     }
     val sweepWall = (System.nanoTime() - sweepT0) / 1e9
     val sweepCpu = processCpuSec() - sweepCpu0
@@ -541,6 +695,13 @@ object Bench {
     val clkJson = if (results.nonEmpty) {
       val cs = results.map(_._5).sorted
       f""","clk_ms":{"min":${cs.head}%.1f,"p50":${cs(cs.size / 2)}%.1f,"max":${cs.last}%.1f}"""
+    } else ""
+    // same three-number summary for the all-core channel: ac p50 ≈ clk
+    // p50 (modulo SMT) on a healthy host; ac max/p50 spread at flat clk
+    // IS the all-core-contention depth during the sweep
+    val acJson = if (results.nonEmpty) {
+      val as = results.map(_._7).sorted
+      f""","ac_ms":{"min":${as.head}%.1f,"p50":${as(as.size / 2)}%.1f,"max":${as.last}%.1f}"""
     } else ""
     // sweep-level host accounting from /proc/stat (100 Hz USER_HZ
     // ticks): steal = other-tenant hypervisor theft; busy_other =
@@ -559,21 +720,24 @@ object Bench {
     val calJson = {
       val cpus3 = cal.map(c => f"${c._1}%.3f").mkString(",")
       val sparks3 = cal.map(c => f"${c._2}%.3f").mkString(",")
-      s"""{"cpu":[$cpus3],"spark":[$sparks3]}"""
+      val acs3 = cal.map(c => f"${c._3}%.1f").mkString(",")
+      s"""{"cpu":[$cpus3],"spark":[$sparks3],"ac":[$acs3]}"""
     }
     val perQuery = results
-      .map { case (n, s, e, _, _, _) =>
+      .map { case (n, s, e, _, _, _, _) =>
         f""""$n":$s%.3f""" + e.map(x => f""","${n}_err":"$x"""").getOrElse("")
       }.mkString("{", ",", "}")
-    // per-query process-CPU / clock-sample / GC maps, same flat shape,
-    // SEPARATE sibling files (the wall map's 183-key flat contract
-    // stays stable for tooling)
+    // per-query process-CPU / clock-sample / GC / all-core maps, same
+    // flat shape, SEPARATE sibling files (the wall map's 183-key flat
+    // contract stays stable for tooling)
     val perQueryCpu = results
-      .map { case (n, _, _, c, _, _) => f""""$n":$c%.3f""" }.mkString("{", ",", "}")
+      .map { case (n, _, _, c, _, _, _) => f""""$n":$c%.3f""" }.mkString("{", ",", "}")
     val perQueryClk = results
-      .map { case (n, _, _, _, k, _) => f""""$n":$k%.1f""" }.mkString("{", ",", "}")
+      .map { case (n, _, _, _, k, _, _) => f""""$n":$k%.1f""" }.mkString("{", ",", "}")
     val perQueryGc = results
-      .map { case (n, _, _, _, _, g) => f""""$n":$g%.3f""" }.mkString("{", ",", "}")
+      .map { case (n, _, _, _, _, g, _) => f""""$n":$g%.3f""" }.mkString("{", ",", "}")
+    val perQueryAc = results
+      .map { case (n, _, _, _, _, _, a) => f""""$n":$a%.1f""" }.mkString("{", ",", "}")
     // sibling artifacts with the same per-query map, for offline
     // regression attribution (the stdout tail can truncate). TWO
     // copies: target/ for tooling, and a repo-root BENCH_QUERIES_
@@ -593,16 +757,28 @@ object Bench {
         "target/bench_queries_clk.json" -> perQueryClk,
         "BENCH_QUERIES_CLK_LATEST.json" -> perQueryClk,
         "target/bench_queries_gc.json" -> perQueryGc,
-        "BENCH_QUERIES_GC_LATEST.json" -> perQueryGc)
+        "BENCH_QUERIES_GC_LATEST.json" -> perQueryGc,
+        "target/bench_queries_ac.json" -> perQueryAc,
+        "BENCH_QUERIES_AC_LATEST.json" -> perQueryAc)
     else Seq("target/bench_queries_filtered.json" -> perQuery,
       "target/bench_queries_cpu_filtered.json" -> perQueryCpu,
       "target/bench_queries_clk_filtered.json" -> perQueryClk,
-      "target/bench_queries_gc_filtered.json" -> perQueryGc)
+      "target/bench_queries_gc_filtered.json" -> perQueryGc,
+      "target/bench_queries_ac_filtered.json" -> perQueryAc)
     sinks.foreach { case (p, body) =>
       try java.nio.file.Files.write(
         java.nio.file.Paths.get(p), body.getBytes("UTF-8"))
       catch { case _: Throwable => () }
     }
+    // per-query MINIMA across regime-proven full sweeps at one git HEAD
+    // (r11 verdict ask #1, second prong): a single graded sweep cannot
+    // distinguish "this qid regressed" from "this qid caught a weather
+    // burst" — the floor across ≥2 sweeps of identical code can. Merged
+    // opportunistically by EVERY full-sweep run on this checkout (local
+    // rehearsals + the graded run), reset whenever HEAD changes, and
+    // stamped like the other siblings at round open.
+    if (only.isEmpty)
+      mergeMinima(results.collect { case (n, s, None, _, _, _, _) => n -> s })
     // per-query map on its OWN line (full stdout + sibling file carry
     // it; it is too long for the driver's 2000-char tail capture)...
     println(s"""{"metric":"queries","queries":$perQuery}""")
@@ -610,7 +786,7 @@ object Bench {
     // inlined the 180-entry map here, the line outgrew the tail
     // capture, and BENCH_r05 came back parsed:null. Keep this line
     // well under 2000 chars forever.
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"n_err":$nErr,"cpu_total":$cpuTotal%.1f,"cal":$calJson$clkJson$hostJson$jvmJson,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"n_err":$nErr,"cpu_total":$cpuTotal%.1f,"cal":$calJson$clkJson$acJson$hostJson$jvmJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

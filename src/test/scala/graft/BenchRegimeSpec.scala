@@ -60,5 +60,30 @@ class BenchRegimeSpec extends AnyFunSuite {
       Bench.getClass.getProtectionDomain.getCodeSource.getLocation.toURI).toString
     assert(parts.contains(selfDir),
       s"child classpath misses the classes dir that loaded Bench ($selfDir)")
+    // r11 ADVICE: the wildcard is appended UNCONDITIONALLY now — the
+    // old base.contains("spark") substring gate passed on any path
+    // component containing 'spark' even with zero spark jars present
+    assert(parts.contains("/opt/spark/jars/*"),
+      "child classpath misses the unconditional spark-jars wildcard")
+  }
+
+  test("forwardedJvmArgs strips heap/GC/graft-control/agent flags, keeps the rest") {
+    // this forked test JVM runs under build.sbt's -Xms/-Xmx/ParallelGC
+    // javaOptions — exactly the flags the re-exec replaces, so none may
+    // leak through to the child where they'd fight the pinned ones
+    val fwd = Bench.forwardedJvmArgs
+    assert(!fwd.exists(_.startsWith("-Xms")), s"-Xms leaked: $fwd")
+    assert(!fwd.exists(_.startsWith("-Xmx")), s"-Xmx leaked: $fwd")
+    assert(!fwd.exists(a => a.startsWith("-XX:+Use") && a.endsWith("GC")),
+      s"collector flag leaked: $fwd")
+    assert(!fwd.exists(_.startsWith("-Dgraft.bench.")),
+      s"graft control property leaked: $fwd")
+    assert(!fwd.exists(a => a.startsWith("-agentlib") ||
+      a.startsWith("-agentpath") || a.startsWith("-javaagent")),
+      s"agent flag leaked: $fwd")
+    // and it FORWARDS: build.sbt passes --add-opens + -D properties to
+    // forked JVMs; at least one non-filtered argument must survive
+    // (r11 dropped every parent -D except two hardcoded ones)
+    assert(fwd.nonEmpty, "expected this forked JVM's launch args to forward")
   }
 }

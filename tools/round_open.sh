@@ -10,5 +10,7 @@ cp BENCH_QUERIES_LATEST.json     "BENCH_QUERIES_r${N}.json"
 [ -f BENCH_QUERIES_CPU_LATEST.json ] && cp BENCH_QUERIES_CPU_LATEST.json "BENCH_QUERIES_r${N}_cpu.json"
 [ -f BENCH_QUERIES_CLK_LATEST.json ] && cp BENCH_QUERIES_CLK_LATEST.json "BENCH_QUERIES_r${N}_clk.json"
 [ -f BENCH_QUERIES_GC_LATEST.json ] && cp BENCH_QUERIES_GC_LATEST.json "BENCH_QUERIES_r${N}_gc.json"
-git add "BENCH_QUERIES_r${N}.json" "BENCH_QUERIES_r${N}_cpu.json" "BENCH_QUERIES_r${N}_clk.json" "BENCH_QUERIES_r${N}_gc.json" 2>/dev/null || true
+[ -f BENCH_QUERIES_AC_LATEST.json ] && cp BENCH_QUERIES_AC_LATEST.json "BENCH_QUERIES_r${N}_ac.json"
+[ -f BENCH_QUERIES_MIN_LATEST.json ] && cp BENCH_QUERIES_MIN_LATEST.json "BENCH_QUERIES_r${N}_min.json"
+git add "BENCH_QUERIES_r${N}.json" "BENCH_QUERIES_r${N}_cpu.json" "BENCH_QUERIES_r${N}_clk.json" "BENCH_QUERIES_r${N}_gc.json" "BENCH_QUERIES_r${N}_ac.json" "BENCH_QUERIES_r${N}_min.json" 2>/dev/null || true
 echo "staged round-$N bench maps; commit before touching code"
