@@ -662,6 +662,42 @@ object Bench {
             .count()
         }
       }
+      // Structured Streaming machinery warm: IncrementalExecution, the
+      // HDFS-backed state store provider, the memory sink, AND the
+      // stream-stream symmetric hash join each JIT once per JVM —
+      // measured ~1.5–2 s charged to whichever stream_live_* qid runs
+      // first (session 3.32 s in first position vs 1.76 s warmed; join
+      // inherits the slot since r12). Toy 8-row parquet staged in tmp,
+      // production operator shapes: a watermarked windowed agg and a
+      // watermarked stream-stream interval join through the same
+      // runToTable path the qids use.
+      warmed("streamingEngine") {
+        import org.apache.spark.sql.streaming.OutputMode
+        val tmp = java.nio.file.Files.createTempDirectory("graft_warm_stream")
+        tmp.toFile.deleteOnExit()
+        val in = tmp.resolve("in").toString
+        spark.range(8)
+          .selectExpr("timestamp_micros(id * 1000000) AS ts", "id % 2 AS k")
+          .write.mode("overwrite").parquet(in)
+        val sch = spark.read.parquet(in).schema
+        def src = spark.readStream.schema(sch).parquet(in)
+        graft.streaming.StreamingOps.runToTable(spark,
+          src.withWatermark("ts", "1 second")
+            .groupBy(org.apache.spark.sql.functions.window(col("ts"), "2 seconds"), col("k"))
+            .count(),
+          "graft_warm_stream_agg", OutputMode.Append()).count()
+        val l = src.selectExpr("ts AS l_ts", "k AS l_k")
+          .withWatermark("l_ts", "1 second")
+        val r = src.selectExpr("ts AS r_ts", "k AS r_k")
+          .withWatermark("r_ts", "1 second")
+        graft.streaming.StreamingOps.runToTable(spark,
+          l.join(r, col("l_k") === col("r_k") &&
+            col("r_ts") > col("l_ts") &&
+            col("r_ts") <= col("l_ts") + org.apache.spark.sql.functions.expr("INTERVAL 2 SECONDS")),
+          "graft_warm_stream_join", OutputMode.Append()).count()
+        spark.catalog.dropTempView("graft_warm_stream_agg")
+        spark.catalog.dropTempView("graft_warm_stream_join")
+      }
       // warm the calibration probe's exact Spark job shape once,
       // untimed, so the three timed probes (start/mid/end) are
       // comparable to each other — the first one must not carry the
