@@ -417,22 +417,35 @@ object Bench {
     * merge — their walls carry the GC tax the regime machinery exists
     * to remove. Failed qids fast-fail and would poison the floor, so
     * the caller excludes them. */
+  /** Parse a minima file body into (head, sweeps, per-qid floor).
+    * Deliberately regex-based (no JSON lib dependency in the graded
+    * main) and total: any malformed input degrades to the empty floor,
+    * which merely restarts the floor at the current sweep. */
+  private[graft] def parseMinFile(s: String): (String, Int, Map[String, Double]) =
+    try {
+      val h = """"head":"([^"]*)"""".r.findFirstMatchIn(s)
+        .map(_.group(1)).getOrElse("unknown")
+      val n = """"sweeps":(\d+)""".r.findFirstMatchIn(s)
+        .map(_.group(1).toInt).getOrElse(0)
+      // floors only from INSIDE the queries object: without this
+      // anchor a truncated file would harvest "sweeps":N as a floor
+      // entry (caught by the BenchRegimeSpec fixed-string unit)
+      val at = s.indexOf("\"queries\"")
+      val qs =
+        if (at < 0) Map.empty[String, Double]
+        else """"([A-Za-z0-9_]+)":(-?\d+(?:\.\d+)?)""".r
+          .findAllMatchIn(s.substring(at))
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap - "queries"
+      (h, n, qs)
+    } catch { case _: Throwable => ("unknown", 0, Map.empty[String, Double]) }
   private def mergeMinima(walls: Seq[(String, Double)]): Unit = {
     if (!regimeOk() || walls.isEmpty) return
     val head = gitHead()
     val path = java.nio.file.Paths.get("BENCH_QUERIES_MIN_LATEST.json")
     val (oldHead, oldSweeps, oldMin) =
-      try {
-        val s = new String(java.nio.file.Files.readAllBytes(path), "UTF-8")
-        val h = """"head":"([^"]*)"""".r.findFirstMatchIn(s)
-          .map(_.group(1)).getOrElse("unknown")
-        val n = """"sweeps":(\d+)""".r.findFirstMatchIn(s)
-          .map(_.group(1).toInt).getOrElse(0)
-        val qs = """"([A-Za-z0-9_]+)":(-?\d+(?:\.\d+)?)""".r
-          .findAllMatchIn(s.substring(math.max(0, s.indexOf("\"queries\""))))
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap - "queries"
-        (h, n, qs)
-      } catch { case _: Throwable => ("unknown", 0, Map.empty[String, Double]) }
+      try parseMinFile(
+        new String(java.nio.file.Files.readAllBytes(path), "UTF-8"))
+      catch { case _: Throwable => ("unknown", 0, Map.empty[String, Double]) }
     val keep = head != "unknown" && head == oldHead
     val base = if (keep) oldMin else Map.empty[String, Double]
     val sweeps = (if (keep) oldSweeps else 0) + 1

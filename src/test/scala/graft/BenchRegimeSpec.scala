@@ -82,6 +82,26 @@ class BenchRegimeSpec extends AnyFunSuite {
       "child classpath misses the unconditional spark-jars wildcard")
   }
 
+  test("parseMinFile: round-trips the writer's format, degrades total") {
+    // the minima floor is load-bearing for regression-vs-weather
+    // attribution: a silent parse failure would reset the floor every
+    // sweep and sweeps could never reach the >=2 the contract needs.
+    // Fixed strings in the EXACT writer format (head, sweeps, queries
+    // with %.3f values), plus the malformed classes.
+    val (h, n, q) = Bench.parseMinFile(
+      """{"head":"91c0f0c87be0","sweeps":3,"queries":{"agg_hash":0.247,"q1_pricing":0.290,"hier_depth":1.811}}""")
+    assert(h == "91c0f0c87be0" && n == 3)
+    assert(q == Map("agg_hash" -> 0.247, "q1_pricing" -> 0.290, "hier_depth" -> 1.811))
+    // the "queries" KEY itself must never appear as a floor entry, and
+    // head/sweeps live before the queries object so they never leak in
+    assert(!q.contains("queries") && !q.contains("head") && !q.contains("sweeps"))
+    // malformed inputs: empty, truncated, not-JSON — empty floor, no throw
+    assert(Bench.parseMinFile("") == (("unknown", 0, Map.empty[String, Double])))
+    assert(Bench.parseMinFile("""{"head":"abc","sweeps":2,"queri""")._3.isEmpty)
+    val garbage = Bench.parseMinFile("not json at all")
+    assert(garbage._1 == "unknown" && garbage._2 == 0 && garbage._3.isEmpty)
+  }
+
   test("forwardedJvmArgs strips heap/GC/graft-control/agent flags, keeps the rest") {
     // this forked test JVM runs under build.sbt's -Xms/-Xmx/ParallelGC
     // javaOptions — exactly the flags the re-exec replaces, so none may
