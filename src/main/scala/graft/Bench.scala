@@ -223,10 +223,14 @@ object Bench {
     // collector/sizing fine, eden ~22g), keep the launch's own heap —
     // the offered memory was a deliberate provisioning choice and old
     // gen only helps — and let the MaxNewSize pin below fix the bursts;
-    // otherwise pin the SPARK_DRIVER_MEM target as before.
-    val mem = (if (p && s && z)
-      ((heapBean.getMax + (1L << 30) - 1) >> 30) << 30
-    else targetHeapBytes).toString
+    // otherwise pin the SPARK_DRIVER_MEM target as before. The kept
+    // heap is getMax BYTES VERBATIM (r12 ADVICE): rounding UP to a
+    // whole GiB could ask the child for more than the parent's own
+    // launch committed (a fractional MaxRAMPercentage-derived Xmx —
+    // exactly the graded 88.1g case), and an -Xms commit failure at VM
+    // init would silently land the sentinel fallback back in-process
+    // with the uncapped eden this path exists to fix.
+    val mem = (if (p && s && z) heapBean.getMax else targetHeapBytes).toString
     val javaBin = java.nio.file.Paths.get(
       System.getProperty("java.home"), "bin", "java").toString
     // same JDK17 module opens build.sbt passes (Spark 4 outside
@@ -262,8 +266,19 @@ object Bench {
       "graft.Bench") ++ args).toArray
     try {
       val pb = new ProcessBuilder(cmd: _*).inheritIO()
+      val launchT0 = System.nanoTime()
       val code = pb.start().waitFor()
-      val childStarted = sentinel.forall(_.exists())
+      // "did the child get past VM init?" — sentinel file is the
+      // evidence when it exists. When the sentinel could NOT be
+      // created (tmpdir unwritable), r12 treated that as "started",
+      // so a VM-init-dead child's nonzero exit propagated with no
+      // artifact at all (r12 ADVICE). Fall back to the wall-time
+      // heuristic in that case only: VM-init death is sub-second
+      // even on a loaded host; a child that lived 20+ s was running
+      // the sweep and may have printed, so re-running in-process
+      // would double-print artifacts.
+      val childStarted = sentinel.map(_.exists())
+        .getOrElse((System.nanoTime() - launchT0) / 1e9 >= 20.0)
       sentinel.foreach(_.delete())
       if (code == 0 || childStarted) sys.exit(code)
       println(s"REGIME MISMATCH: child JVM died before Spark init rc=$code " +
@@ -298,6 +313,29 @@ object Bench {
       try Some(src.getLines().next().split("\\s+").drop(1).map(_.toLong))
       finally src.close()
     } catch { case _: Throwable => None }
+  /** (steal_s, busy_other_s) between two /proc/stat snapshots, given
+    * this JVM's own process-CPU seconds inside the same window: steal =
+    * hypervisor ticks stolen by other tenants; busy_other = non-idle
+    * host CPU not charged to this JVM (a competing process on the VM).
+    * Both in CPU-core-seconds; (-1,-1) when /proc/stat is unreadable
+    * (non-Linux). Used at BOTH granularities — the whole sweep and,
+    * since r13 (VERDICT r12 ask #1), EACH query's own timing window:
+    * the boundary clk/ac probes sample BETWEEN queries, so a contention
+    * burst inside a multi-second query faded before the sample
+    * (stream_live_tumble graded 4.11 s vs 1.61 floor, ac only 18.5 —
+    * unprovable). Two /proc/stat reads per query are ~free and strictly
+    * in-window. Resolution is USER_HZ (10 ms-per-core ticks): decisive
+    * for multi-second outliers, noise-level for ~50 ms qids — read it
+    * on the slow entries, where attribution actually matters. */
+  private[graft] def hostDelta(s0: Option[Array[Long]],
+      s1: Option[Array[Long]], myCpu: Double): (Double, Double) =
+    (for { a <- s0; b <- s1 } yield {
+      val d = b.zip(a).map { case (x, y) => x - y }
+      val stealS = if (d.length > 7) d(7) / 100.0 else -1.0
+      val idleS = d(3) / 100.0 + (if (d.length > 4) d(4) / 100.0 else 0.0)
+      val busyOther = math.max(0.0, d.sum / 100.0 - idleS - math.max(0.0, myCpu))
+      (stealS, busyOther)
+    }).getOrElse((-1.0, -1.0))
   @volatile private var calSink: Long = 0L // defeat DCE of the CPU loop
   // Per-query clock-speed sample (~13 ms each, ~2.4 s per sweep): the
   // CPU channel alone cannot separate "more work" from "same work at a
@@ -449,9 +487,16 @@ object Bench {
     val keep = head != "unknown" && head == oldHead
     val base = if (keep) oldMin else Map.empty[String, Double]
     val sweeps = (if (keep) oldSweeps else 0) + 1
-    val merged = walls.map { case (n, s) =>
+    // base ++ updates, not updates alone (r12 ADVICE): a qid that errs
+    // in THIS sweep is excluded by the caller, and writing only this
+    // sweep's qids would drop its accumulated floor while the
+    // file-level sweeps counter still increments — floors claiming
+    // more sweeps of evidence than they have. Same-HEAD registry is
+    // fixed, so a preserved key is always a real qid.
+    val updates = walls.map { case (n, s) =>
       n -> math.min(s, base.getOrElse(n, Double.MaxValue))
-    }
+    }.toMap
+    val merged = (base ++ updates).toSeq.sortBy(_._1)
     val qJson = merged.map { case (n, s) => f""""$n":$s%.3f""" }
       .mkString("{", ",", "}")
     val body = s"""{"head":"$head","sweeps":$sweeps,"queries":$qJson}"""
@@ -472,6 +517,11 @@ object Bench {
       case t: Throwable =>
         println(s"WARM FAILED $name ${t.getClass.getSimpleName}")
     }
+  /** One measured query: wall seconds, error class if it threw, and the
+    * five attribution channels (process-CPU, single-thread clk sample,
+    * stop-the-world GC, all-core sample, in-window steal / busy-other). */
+  private case class QRes(name: String, sec: Double, err: Option[String],
+    cpu: Double, clk: Double, gc: Double, ac: Double, st: Double, bo: Double)
   def main(args: Array[String]): Unit = {
     // regime first: everything after this line runs in the JVM whose
     // numbers the artifact reports (either this one, proven OK, or we
@@ -765,6 +815,7 @@ object Bench {
       val ac = allCoreMs()
       val c0 = processCpuSec()
       val g0 = gcSec()
+      val hs0 = procStat()
       val t0 = System.nanoTime()
       // a failing qid must be VISIBLE, not silently timed: record the
       // exception class per query instead of swallowing it — a broken
@@ -779,47 +830,51 @@ object Bench {
       // this says WHICH qid paid it — e.g. r10's stream_live_tumble
       // 292 driver CPU-s was unattributable without exactly this
       val gc = gcDelta(g0, gcSec())
+      // per-query IN-WINDOW host weather (VERDICT r12 ask #1): steal +
+      // busy-other core-seconds inside this query's own timing window —
+      // the signal the between-query probes structurally miss
+      val (st, bo) = hostDelta(hs0, procStat(), cpu)
       val errTag = err.map(e => s""","err":"$e"""").getOrElse("")
-      println(f"""{"query":"$name","sec":$sec%.3f,"cpu":$cpu%.3f,"gc":$gc%.3f,"clk_ms":$clk%.1f,"ac_ms":$ac%.1f$errTag}""")
+      println(f"""{"query":"$name","sec":$sec%.3f,"cpu":$cpu%.3f,"gc":$gc%.3f,"clk_ms":$clk%.1f,"ac_ms":$ac%.1f,"st":$st%.2f,"bo":$bo%.2f$errTag}""")
       val lastOfFamily = i + 1 >= ordered.size ||
         family(ordered(i + 1)._1) != family(name)
       if (lastOfFamily)
         try spark.catalog.clearCache() catch { case _: Throwable => () }
-      (name, sec, err, cpu, clk, gc, ac)
+      QRes(name, sec, err, cpu, clk, gc, ac, st, bo)
     }
     val sweepWall = (System.nanoTime() - sweepT0) / 1e9
     val sweepCpu = processCpuSec() - sweepCpu0
     val sweepGc = gcDelta(sweepGc0, gcSec())
     val stat1 = procStat()
     sampleCal("end")
-    val total = results.map(_._2).sum
-    val nErr = results.count(_._3.isDefined)
-    val cpuTotal = results.map(_._4).sum
+    val total = results.map(_.sec).sum
+    val nErr = results.count(_.err.isDefined)
+    val cpuTotal = results.map(_.cpu).sum
     // per-query clock-sample summary for the final line (full map in
     // the clk sibling file): a healthy host is flat at the min; the
     // max/min spread IS the throttle depth during the sweep
     val clkJson = if (results.nonEmpty) {
-      val cs = results.map(_._5).sorted
+      val cs = results.map(_.clk).sorted
       f""","clk_ms":{"min":${cs.head}%.1f,"p50":${cs(cs.size / 2)}%.1f,"max":${cs.last}%.1f}"""
     } else ""
     // same three-number summary for the all-core channel: ac p50 ≈ clk
     // p50 (modulo SMT) on a healthy host; ac max/p50 spread at flat clk
-    // IS the all-core-contention depth during the sweep
-    val acJson = if (results.nonEmpty) {
-      val as = results.map(_._7).sorted
-      f""","ac_ms":{"min":${as.head}%.1f,"p50":${as(as.size / 2)}%.1f,"max":${as.last}%.1f}"""
+    // IS the all-core-contention depth during the sweep. Failed probes
+    // return the -1 sentinel — excluded here, or the summary's min
+    // would report the failure marker as the sweep's best clock
+    // (r12 ADVICE).
+    val acSamples = results.map(_.ac).filter(_ > 0).sorted
+    val acJson = if (acSamples.nonEmpty) {
+      f""","ac_ms":{"min":${acSamples.head}%.1f,"p50":${acSamples(acSamples.size / 2)}%.1f,"max":${acSamples.last}%.1f}"""
     } else ""
     // sweep-level host accounting from /proc/stat (100 Hz USER_HZ
     // ticks): steal = other-tenant hypervisor theft; busy_other =
     // non-idle host CPU not charged to this JVM (a competing process).
     // Both in CPU-core-seconds over the whole sweep.
-    val hostJson = (for { s0 <- stat0; s1 <- stat1 } yield {
-      val d = s1.zip(s0).map { case (a, b) => a - b }
-      val stealS = if (d.length > 7) d(7) / 100.0 else -1.0
-      val idleS = d(3) / 100.0 + (if (d.length > 4) d(4) / 100.0 else 0.0)
-      val busyOther = math.max(0.0, d.sum / 100.0 - idleS - sweepCpu)
+    val hostJson = if (stat0.isDefined && stat1.isDefined) {
+      val (stealS, busyOther) = hostDelta(stat0, stat1, sweepCpu)
       f""","host":{"steal_s":$stealS%.1f,"busy_other_s":$busyOther%.1f,"my_cpu_s":$sweepCpu%.1f,"gc_s":$sweepGc%.1f,"wall_s":$sweepWall%.1f}"""
-    }).getOrElse("")
+    } else ""
     // six calibration numbers for the final line: cpu/spark triples in
     // start/mid/end order. ~70 chars — safely inside the 2000-char tail
     // budget the final line must respect.
@@ -830,20 +885,28 @@ object Bench {
       s"""{"cpu":[$cpus3],"spark":[$sparks3],"ac":[$acs3]}"""
     }
     val perQuery = results
-      .map { case (n, s, e, _, _, _, _) =>
-        f""""$n":$s%.3f""" + e.map(x => f""","${n}_err":"$x"""").getOrElse("")
+      .map { r =>
+        f""""${r.name}":${r.sec}%.3f""" +
+          r.err.map(x => f""","${r.name}_err":"$x"""").getOrElse("")
       }.mkString("{", ",", "}")
-    // per-query process-CPU / clock-sample / GC / all-core maps, same
-    // flat shape, SEPARATE sibling files (the wall map's 183-key flat
-    // contract stays stable for tooling)
+    // per-query process-CPU / clock-sample / GC / all-core / in-window
+    // steal / in-window busy-other maps, same flat name→number shape,
+    // SEPARATE sibling files (the wall map's flat one-number-per-qid
+    // contract stays stable for tooling regardless of registry size)
     val perQueryCpu = results
-      .map { case (n, _, _, c, _, _, _) => f""""$n":$c%.3f""" }.mkString("{", ",", "}")
+      .map(r => f""""${r.name}":${r.cpu}%.3f""").mkString("{", ",", "}")
     val perQueryClk = results
-      .map { case (n, _, _, _, k, _, _) => f""""$n":$k%.1f""" }.mkString("{", ",", "}")
+      .map(r => f""""${r.name}":${r.clk}%.1f""").mkString("{", ",", "}")
     val perQueryGc = results
-      .map { case (n, _, _, _, _, g, _) => f""""$n":$g%.3f""" }.mkString("{", ",", "}")
-    val perQueryAc = results
-      .map { case (n, _, _, _, _, _, a) => f""""$n":$a%.1f""" }.mkString("{", ",", "}")
+      .map(r => f""""${r.name}":${r.gc}%.3f""").mkString("{", ",", "}")
+    // ac: omit failed probes (-1 sentinel) — a missing key reads as
+    // "no sample", never as a fake fast clock (r12 ADVICE)
+    val perQueryAc = results.filter(_.ac > 0)
+      .map(r => f""""${r.name}":${r.ac}%.1f""").mkString("{", ",", "}")
+    val perQuerySt = results
+      .map(r => f""""${r.name}":${r.st}%.2f""").mkString("{", ",", "}")
+    val perQueryBo = results
+      .map(r => f""""${r.name}":${r.bo}%.2f""").mkString("{", ",", "}")
     // sibling artifacts with the same per-query map, for offline
     // regression attribution (the stdout tail can truncate). TWO
     // copies: target/ for tooling, and a repo-root BENCH_QUERIES_
@@ -865,12 +928,18 @@ object Bench {
         "target/bench_queries_gc.json" -> perQueryGc,
         "BENCH_QUERIES_GC_LATEST.json" -> perQueryGc,
         "target/bench_queries_ac.json" -> perQueryAc,
-        "BENCH_QUERIES_AC_LATEST.json" -> perQueryAc)
+        "BENCH_QUERIES_AC_LATEST.json" -> perQueryAc,
+        "target/bench_queries_st.json" -> perQuerySt,
+        "BENCH_QUERIES_ST_LATEST.json" -> perQuerySt,
+        "target/bench_queries_bo.json" -> perQueryBo,
+        "BENCH_QUERIES_BO_LATEST.json" -> perQueryBo)
     else Seq("target/bench_queries_filtered.json" -> perQuery,
       "target/bench_queries_cpu_filtered.json" -> perQueryCpu,
       "target/bench_queries_clk_filtered.json" -> perQueryClk,
       "target/bench_queries_gc_filtered.json" -> perQueryGc,
-      "target/bench_queries_ac_filtered.json" -> perQueryAc)
+      "target/bench_queries_ac_filtered.json" -> perQueryAc,
+      "target/bench_queries_st_filtered.json" -> perQuerySt,
+      "target/bench_queries_bo_filtered.json" -> perQueryBo)
     sinks.foreach { case (p, body) =>
       try java.nio.file.Files.write(
         java.nio.file.Paths.get(p), body.getBytes("UTF-8"))
@@ -884,7 +953,7 @@ object Bench {
     // rehearsals + the graded run), reset whenever HEAD changes, and
     // stamped like the other siblings at round open.
     if (only.isEmpty)
-      mergeMinima(results.collect { case (n, s, None, _, _, _, _) => n -> s })
+      mergeMinima(results.collect { case r if r.err.isEmpty => r.name -> r.sec })
     // per-query map on its OWN line (full stdout + sibling file carry
     // it; it is too long for the driver's 2000-char tail capture)...
     println(s"""{"metric":"queries","queries":$perQuery}""")

@@ -317,7 +317,7 @@ object StreamingOps {
       if (!sess.exists()) Iterator.empty
       else {
         val (s, e, n) = sess.get()
-        if (e / 1000 + gapUs / 1000 <= expiredTimerInfo.getExpiryTimeInMs) {
+        if (e / 1000 + gapUs / 1000 <= expiredTimerInfo.getExpiryTimeInMs()) {
           sess.clear()
           Iterator.single((user, s, e, n))
         } else Iterator.empty

