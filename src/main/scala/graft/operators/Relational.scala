@@ -1633,7 +1633,10 @@ object Relational {
       .agg(count(lit(1)).as("n"), sum(col("price_cents")).as("total_cents"))
       .orderBy(col("o_orderpriority"))
 
-  private val tableMergeOracle =
+  // private[graft]: stream_live_cdc (streaming/StreamingQueries) is
+  // batch-equality-locked to tableMerge, so it shares this oracle text
+  // verbatim rather than carrying a drift-prone copy
+  private[graft] val tableMergeOracle =
     s"""WITH target AS (
        |  SELECT o_orderkey, o_orderpriority,
        |         ${oCents("o_totalprice")} AS price_cents
