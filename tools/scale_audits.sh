@@ -65,16 +65,29 @@ SPARK_GRAFT_REHEARSE_SKEW=1 SPARK_GRAFT_REHEARSE_QIDS=none \
   $RUN graft.ScaleRehearsal 1 10 > "$OUT/synth_skew.log" 2>&1
 Z1=/tmp/graft_scale/zx1; Z10=/tmp/graft_scale/zx10
 
-echo "== ShuffleGrowthAudit (no-bcast, BOTH families + 10x volume invariant)"
-SPARK_GRAFT_NO_BCAST=1 $RUN graft.ShuffleGrowthAudit \
-  /tmp/graft_scale/x1 /tmp/graft_scale/x10 "$Z1" "$Z10" 2>/dev/null \
-  | tee "$OUT/shuffle_nobcast_both.log" | grep -vE "^SKIP" | tail -45
-
+# The skew SERIAL legs run BEFORE the shuffle audit deliberately
+# (r13): snapshot-backed relations (graft_ratings_* in java.io.tmpdir)
+# are built by each corpus dir's FIRST consumer, and the uniform
+# family's snapshots already exist by now (built during the uniform
+# SerialStageAudit legs above). If the shuffle audit were the zx
+# dirs' first consumer, mf_baseline — the first ratings() qid in the
+# alphabetical sweep — would carry the one-time orders⋈lineitem
+# snapshot build (exactly |orders|+|lineitem| shuffle rows: +7.5M at
+# 10x) in the ZX column only, and the cross-family 10x volume
+# invariant would read that warm-state asymmetry as drift (the r13
+# false positive, adjudicated in docs/TODO_r13.md §8). Running the
+# skew serial legs first gives both families identical pre-warm, so
+# the invariant compares steady-state query volumes.
 echo "== SerialStageAudit (default + no-bcast, SKEW)"
 $RUN graft.SerialStageAudit "$Z1" "$Z10" 2>/dev/null \
   | tee "$OUT/skew_serial_default.log" | tail -10
 SPARK_GRAFT_NO_BCAST=1 $RUN graft.SerialStageAudit "$Z1" "$Z10" 2>/dev/null \
   | tee "$OUT/skew_serial_nobcast.log" | tail -10
+
+echo "== ShuffleGrowthAudit (no-bcast, BOTH families + 10x volume invariant)"
+SPARK_GRAFT_NO_BCAST=1 $RUN graft.ShuffleGrowthAudit \
+  /tmp/graft_scale/x1 /tmp/graft_scale/x10 "$Z1" "$Z10" 2>/dev/null \
+  | tee "$OUT/shuffle_nobcast_both.log" | grep -vE "^SKIP" | tail -45
 
 echo "== BroadcastAudit (hinted, SKEW)"
 SPARK_GRAFT_NO_BCAST=1 $RUN graft.BroadcastAudit "$Z1" "$Z10" 2>/dev/null \
