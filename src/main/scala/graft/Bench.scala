@@ -541,6 +541,12 @@ object Bench {
       // keep managed-table writes (join_bucketed) off the launch CWD,
       // and per-process so concurrent JVMs can't race the table builds
       .config("spark.sql.warehouse.dir", Warehouse.dir)
+    // Shuffle/spill scratch on the fastest local storage available —
+    // see [[Scratch]] (guide §6): the shared-virtual-disk default
+    // charged 11–14 s of shuffle-write I/O wait to kilobyte exchanges
+    // under co-tenant disk load. Spark creates and deletes per-app
+    // subdirectories; nothing persists across runs.
+    Scratch.fastRoot.foreach(d => builder.config("spark.local.dir", d))
     // dev A/B hook (unset on the driver): AQE partition coalescing with
     // parallelism-first OFF — the Spark-documented busy-cluster setting.
     // At fixture scale it collapses near-empty post-shuffle tasks; at

@@ -97,7 +97,7 @@ object ScaleRehearsal {
     // EVERY graft_*_<hash(outDir)> tmp dir by glob rather than by a
     // prefix list that silently goes stale when a new snapshot
     // consumer joins the rehearsal.
-    val tmpRoot = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    val tmpRoot = java.nio.file.Paths.get(graft.Scratch.tmpRoot)
     val hash = Integer.toHexString(outDir.hashCode)
     val matcher = tmpRoot.getFileSystem
       .getPathMatcher(s"glob:graft_*_$hash")

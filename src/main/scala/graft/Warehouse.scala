@@ -17,7 +17,7 @@ package graft
 object Warehouse {
   lazy val dir: String = {
     val p = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"),
+      graft.Scratch.tmpRoot,
       "graft_warehouse_" + ProcessHandle.current().pid())
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
       try graft.sources.Snapshots.deleteRecursively(p)

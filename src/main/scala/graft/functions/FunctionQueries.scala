@@ -594,7 +594,7 @@ object FunctionQueries {
     * oracle checks the logical result of the pruned read. */
   def scanPartitioned(spark: SparkSession, dir: String): DataFrame = {
     val out = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"),
+      graft.Scratch.tmpRoot,
       "graft_part_orders_" + Integer.toHexString(dir.hashCode))
     graft.sources.Snapshots.parquet(spark, out,
       Tables.orders(spark, dir).withColumn("o_year", year(col("o_orderdate"))),

@@ -207,10 +207,15 @@ object GraphOps {
     // shared co-purchase build (~37 s) plus this loop's own edge
     // cache build, both one-time.
     //
-    // The edge cache persists ALREADY HASH-PARTITIONED on src: the
-    // cached partitioning satisfies each round's join distribution, so
-    // the big relation crosses the wire once, not once per iteration
-    // (measured ~50 -> ~31 s on the 20x-rehearsal graph, 48M edges).
+    // The edge cache is NOT pre-partitioned (r13): with the share side
+    // BROADCAST (below), no round needs any distribution of e at all —
+    // the r10 repartition(src) existed to let a SortMergeJoin reuse the
+    // cached partitioning, but the final plans still SORTED the full
+    // edge cache every round (NodeProbe r13: 2.39M-row Sort + SMJ per
+    // round, pipelineTime 27–41 s task-time each at sf0.1). Broadcasting
+    // the |nodes|-sized share turns every round into scan-cache → BHJ →
+    // partial agg → one exchange of the ~620k partials; the edge bytes
+    // never cross the wire and are never sorted.
     // A window-based single-pass degree (count over partitionBy(src))
     // was tried and REJECTED by measurement: WindowExec's
     // per-partition sort over the full edge relation (76 s at the 20×
@@ -223,22 +228,30 @@ object GraphOps {
     // Read-many caches keep row format; build-once caches go SER.
     // Both caches freed by the caller's clearCache or executor
     // eviction, same contract as the other iterative loops' inputs.
-    val e = edges.repartition(col("src")).persist()
+    val e = edges.persist()
     // deg is re-read every round (the share join) — persisting the
     // |nodes|-sized aggregate keeps each round from re-scanning the
     // full edge cache to recompute it
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg")).persist()
     var ranks = deg.select(col("src").as("node"),
       lit(1000000L).as("rank_e6"))
-    // Join-strategy note (r10 A/B, CpuProbe on the contended host):
-    // forcing the node-sized share to broadcast or to shuffle-hash
-    // build measured WITHIN host noise of the AQE default (364/447/484
-    // proc-cpu across the three, while the default alone varied
-    // 364-650 between consecutive runs) — AQE's pick is left alone.
+    // Join-strategy note (r13, supersedes the r10 "AQE's pick is left
+    // alone" A/B): the r10 A/B compared totals on a weather-dominated
+    // host and read "within noise"; the r13 NodeProbe plan dump shows
+    // what the totals hid — AQE planned e ⋈ share as a SortMergeJoin,
+    // fully sorting the 2.39M-row edge cache EVERY round (the share
+    // side's estimate derives from the edge-sized relation, so the
+    // static planner never saw it as broadcastable, and the cached
+    // edge side has no query-stage boundary for AQE to replan around).
+    // The explicit hint is structural, not a tuning constant: share is
+    // |nodes| rows by construction (the same bound that lets ranks
+    // drive a driver loop at all), so broadcasting it is valid at any
+    // scale this loop runs. Sum order is irrelevant to the integer
+    // aggregation, so results are bit-identical.
     for (_ <- 1 to iters) {
       val share = deg.join(ranks, col("src") === col("node"))
         .selectExpr("src AS s_src", "rank_e6 div deg AS contrib")
-      ranks = e.join(share, col("src") === col("s_src"))
+      ranks = e.join(broadcast(share), col("src") === col("s_src"))
         .groupBy(col("dst")).agg(sum(col("contrib")).as("inb"))
         .selectExpr("dst AS node", "150000L + (85L * inb) div 100L AS rank_e6")
     }

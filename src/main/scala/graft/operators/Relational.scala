@@ -259,7 +259,7 @@ object Relational {
     * to cents before summing (Det contract). */
   def sourceCsv(spark: SparkSession, dir: String): DataFrame = {
     val staged = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"),
+      graft.Scratch.tmpRoot,
       "graft_csv_supplier_" + Integer.toHexString(dir.hashCode))
     val csv = graft.sources.Snapshots.materialize(spark, staged,
       Tables.supplier(spark, dir)
@@ -301,7 +301,7 @@ object Relational {
     * "engine reads the lake format you already have" capability. */
   def sourceOrc(spark: SparkSession, dir: String): DataFrame = {
     val staged = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"),
+      graft.Scratch.tmpRoot,
       "graft_orc_orders_" + Integer.toHexString(dir.hashCode))
     val orc = graft.sources.Snapshots.materialize(spark, staged,
       Tables.orders(spark, dir)
@@ -337,7 +337,7 @@ object Relational {
     val oldGen = base.filter(col("n_nationkey") % 2 === 0)
     val newGen = base.filter(col("n_nationkey") % 2 =!= 0)
       .withColumn("n_zone", (col("n_regionkey") * 10L).cast("long"))
-    val root = Paths.get(System.getProperty("java.io.tmpdir"),
+    val root = Paths.get(graft.Scratch.tmpRoot,
       "graft_evolve_nation_" + Integer.toHexString(dir.hashCode))
     val merged =
       try {
@@ -438,7 +438,7 @@ object Relational {
     */
   def sourceBinaryFile(spark: SparkSession, dir: String): DataFrame = {
     val staged = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"),
+      graft.Scratch.tmpRoot,
       "graft_binfile_docs_" + Integer.toHexString(dir.hashCode))
     val files = graft.sources.Snapshots.materialize(spark, staged,
       Tables.documents(spark, dir)
@@ -467,7 +467,7 @@ object Relational {
 
   def sourceJsonl(spark: SparkSession, dir: String): DataFrame = {
     val staged = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"),
+      graft.Scratch.tmpRoot,
       "graft_jsonl_customer_" + Integer.toHexString(dir.hashCode))
     val jsonl = graft.sources.Snapshots.materialize(spark, staged,
       Tables.customer(spark, dir)
@@ -1426,7 +1426,18 @@ object Relational {
     val dim = Tables.orders(spark, dir)
       .select(col("o_orderkey"), col("o_orderpriority"))
       .withColumn("salt", explode(lit((0 until S).toArray)))
-    fact.join(dim,
+    // SHUFFLE_HASH, not the planner's broadcast (r13): the orders FILE
+    // is under the auto-broadcast threshold, so the planner broadcast
+    // the ×S-EXPLODED dim — a 1.2M-row / ~167 MB broadcast build
+    // (NodeProbe: 2.2 s of serial driver collect+build+ship) that also
+    // voids the very thing this qid demonstrates: salting only exists
+    // to spread a SHUFFLE join's hot keys (a broadcast join has no
+    // reducer to drown). The hinted form exchanges both sides on
+    // (key, salt) — ~20 MB of narrow rows here, parallel — and is the
+    // only shape that survives at scale, where a ×S dim replica can
+    // never broadcast. Identical rows either way (the oracle is the
+    // unsalted join).
+    fact.join(dim.hint("SHUFFLE_HASH"),
         fact("l_orderkey") === dim("o_orderkey") && fact("salt") === dim("salt"))
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n"), sum(cents(col("l_quantity"))).as("qty_cents"))

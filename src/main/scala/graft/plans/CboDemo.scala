@@ -37,7 +37,7 @@ object CboDemo {
   def setup(spark: SparkSession, dir: String): Unit = {
     if (!spark.catalog.tableExists(dimTable)) {
       val loc = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"), dimTable).toString
+        graft.Scratch.tmpRoot, dimTable).toString
       spark.sql(s"DROP TABLE IF EXISTS $dimTable")
       graft.sources.Tables.orders(spark, dir)
         .write.mode("overwrite").option("path", loc).saveAsTable(dimTable)

@@ -57,7 +57,7 @@ object PsQueries {
         .select(col("o_custkey").as("user"), col("l_partkey").as("item"),
           col("l_quantity").as("rating"))
     val snap = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"),
+      graft.Scratch.tmpRoot,
       "graft_ratings_" + Integer.toHexString(dir.hashCode))
     graft.sources.Snapshots.parquet(spark, snap, live)
   }
@@ -289,7 +289,7 @@ object PsQueries {
   def psTransport(spark: SparkSession, dir: String): DataFrame = {
     val t: ModelTransport = ParquetShardTransport
     val stage = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"),
+      graft.Scratch.tmpRoot,
       s"graft_transport_${ProcessHandle.current().pid()}_" +
         Integer.toHexString(dir.hashCode)).toString
     val r = ratings(spark, dir)
@@ -953,7 +953,7 @@ object PsQueries {
     * checks the logical content that survived the round trip. */
   def sinkParquet(spark: SparkSession, dir: String): DataFrame = {
     val out = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"),
+      graft.Scratch.tmpRoot,
       "graft_sink_" + Integer.toHexString(dir.hashCode)).toString
     ratings(spark, dir)
       .groupBy("item").agg(sum(cents(col("rating"))).as("sum_cents"))

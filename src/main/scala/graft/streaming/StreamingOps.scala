@@ -63,7 +63,7 @@ object StreamingOps {
         p, classOf[java.nio.file.attribute.BasicFileAttributes])
       (p.getFileName.toString, a.size(), a.lastModifiedTime().toMillis)
     }).hashCode()
-    val tmpRoot = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    val tmpRoot = java.nio.file.Paths.get(graft.Scratch.tmpRoot)
     // a regenerated fixture gets a NEW key: drop superseded stage dirs
     // for this source so regenerations don't leak temp disk forever
     val prefix = "graft_stream_" + Integer.toHexString(dir.hashCode) + "_"
@@ -146,11 +146,24 @@ object StreamingOps {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
     spark.conf.set(key, sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "8"))
+    // Explicit per-run checkpoint dir on fast scratch (guide §6 /
+    // [[graft.Scratch]]): without it Spark places the temp checkpoint
+    // under java.io.tmpdir — the contended shared disk — and every
+    // micro-batch pays state-store delta/commit fsync latency there
+    // (the streaming family's fixed cost is exactly this machinery).
+    // UNIQUE per run (pid + counter), never reused: a reused
+    // checkpoint would make a re-run resume from committed offsets
+    // and process nothing. Deleted in the finally — on tmpfs the
+    // recursive delete is microseconds, and leaking it would slowly
+    // eat the RAM-backed mount.
+    val chk = java.nio.file.Paths.get(graft.Scratch.tmpRoot,
+      s"graft_chk_${ProcessHandle.current().pid()}_${chkSeq.incrementAndGet()}")
     try {
       val q = sdf.writeStream
         .format("memory")
         .queryName(name)
         .outputMode(mode)
+        .option("checkpointLocation", chk.toString)
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
@@ -159,9 +172,17 @@ object StreamingOps {
       // (None for stateless streams)
       lastStateStoreParts = q.recentProgress.toSeq
         .flatMap(_.stateOperators).lastOption.map(_.numShufflePartitions)
-    } finally spark.conf.set(key, prev)
+    } finally {
+      spark.conf.set(key, prev)
+      try graft.sources.Snapshots.deleteRecursively(chk)
+      catch { case _: Throwable => () }
+    }
     spark.table(name)
   }
+
+  /** Monotone suffix for [[runToTable]] checkpoint dirs — pid alone is
+    * not unique across the many runs inside one JVM. */
+  private val chkSeq = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** numShufflePartitions of the most recent stateful stream run
     * through [[runToTable]] — observability hook for the width-pin
@@ -422,7 +443,7 @@ object StreamingOps {
     */
   def streamingCdcMerge(spark: SparkSession, dir: String): DataFrame = {
     val staged = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"),
+      graft.Scratch.tmpRoot,
       // v2: staged content changed when cdcBatch moved to max-derived
       // insert keys — version the path so a pre-change staging (the
       // _DONE marker outlives the JVM) can never be replayed
