@@ -1495,25 +1495,42 @@ object LlmPipeline {
         .as("x"))
       .select(col("vec_id"), col("x.s").as("s"), col("x.sub").as("sub"))
     // codebook: per subspace the 16 smallest-md5 vectors (seeded, engine-
-    // portable); row_number ≤ 16 is pushed into the sort as a group limit
+    // portable). The filter must reference the RANK COLUMN ITSELF
+    // (rn <= 16), not an expression of it: the r13 before-plan shows the
+    // old `row_number() - 1 < 16` defeated Spark's WindowGroupLimit
+    // pushdown (the rewrite pattern-matches rank-attribute predicates
+    // only), so every n×8 subvector row was exchanged into 8 subspace
+    // partitions and FULLY sorted there — an 8-task serial stage that
+    // grows with the corpus. With the rank-shaped filter the plan gets a
+    // PARTIAL WindowGroupLimit before the exchange: each map task keeps
+    // 16 rows per subspace, the exchange moves O(16·maps·8) rows, and
+    // the final sort is over hundreds of rows regardless of corpus
+    // size. c = rn − 1 is projected AFTER the filter; same rows exactly.
     val cbW = org.apache.spark.sql.expressions.Window
       .partitionBy("s").orderBy(col("h"), col("vec_id"))
     val codebook = subs
       .withColumn("h", expr(h32("concat(cast(s as string), ':', cast(vec_id as string))", 7001)))
-      .withColumn("c", row_number().over(cbW) - 1)
-      .filter(col("c") < 16)
-      .select(col("s"), col("c"), col("sub").as("csub"))
+      .withColumn("rn", row_number().over(cbW))
+      .filter(col("rn") <= 16)
+      .select(col("s"), (col("rn") - 1).as("c"), col("sub").as("csub"))
     def sq(a: String, b: String): String =
       s"aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), 0L, (acc, d) -> acc + d)"
     // encode: per (vec, subspace) the nearest codebook entry.
-    // min(struct(d, c)) is the lexicographic minimum — the same winner
-    // as the oracle's ORDER BY d, c window with rk = 1, but computed as
-    // a map-side-combinable hash aggregate instead of a window sort.
+    // min(d·16 + c) is the lexicographic minimum of (d, c) packed into
+    // one long (c ∈ [0,16), and d ≤ 8·(2e6)² ≈ 3.2e13, so d·16 + 15
+    // is far under Long range) — the same winner as the oracle's
+    // ORDER BY d, c window with rk = 1. The r13 before-plan showed the
+    // earlier min(struct(d, c)) falling off the hash path entirely:
+    // a struct min-buffer forces SortAggregate, which SORTS the full
+    // n×8×16 joined stream before the partial agg (guide §4: keep the
+    // hot path on codegen'd primitives). The packed-long min is a
+    // plain HashAggregate with map-side partial combine — the 16×
+    // pair stream collapses to n×8 groups before the exchange.
     val codes = subs.join(broadcast(codebook), "s")
       .withColumn("d", expr(sq("sub", "csub")))
       .groupBy(col("vec_id"), col("s"))
-      .agg(min(struct(col("d"), col("c"))).as("m"))
-      .select(col("vec_id"), col("s"), col("m.c").as("c"))
+      .agg(min(col("d") * 16L + col("c")).as("m"))
+      .select(col("vec_id"), col("s"), (col("m") % 16L).cast("int").as("c"))
     // ADC lookup table: query subvector × every codebook entry
     val lut = subs.filter(col("vec_id") < nQ)
       .select(col("vec_id").as("qid"), col("s"), col("sub"))
