@@ -207,15 +207,11 @@ object GraphOps {
     // shared co-purchase build (~37 s) plus this loop's own edge
     // cache build, both one-time.
     //
-    // The edge cache is NOT pre-partitioned (r13): with the share side
-    // BROADCAST (below), no round needs any distribution of e at all —
-    // the r10 repartition(src) existed to let a SortMergeJoin reuse the
-    // cached partitioning, but the final plans still SORTED the full
-    // edge cache every round (NodeProbe r13: 2.39M-row Sort + SMJ per
-    // round, pipelineTime 27–41 s task-time each at sf0.1). Broadcasting
-    // the |nodes|-sized share turns every round into scan-cache → BHJ →
-    // partial agg → one exchange of the ~620k partials; the edge bytes
-    // never cross the wire and are never sorted.
+    // The edge cache persists HASH-PARTITIONED on src (the r10 layout,
+    // kept in r13): the cached partitioning satisfies the per-round
+    // join's distribution requirement, so the edge bytes cross the
+    // wire ONCE at cache build and never again — and with the share
+    // side SHUFFLE_HASH-hinted (below) they are never SORTED either.
     // A window-based single-pass degree (count over partitionBy(src))
     // was tried and REJECTED by measurement: WindowExec's
     // per-partition sort over the full edge relation (76 s at the 20×
@@ -228,7 +224,7 @@ object GraphOps {
     // Read-many caches keep row format; build-once caches go SER.
     // Both caches freed by the caller's clearCache or executor
     // eviction, same contract as the other iterative loops' inputs.
-    val e = edges.persist()
+    val e = edges.repartition(col("src")).persist()
     // deg is re-read every round (the share join) — persisting the
     // |nodes|-sized aggregate keeps each round from re-scanning the
     // full edge cache to recompute it
@@ -241,17 +237,25 @@ object GraphOps {
     // what the totals hid — AQE planned e ⋈ share as a SortMergeJoin,
     // fully sorting the 2.39M-row edge cache EVERY round (the share
     // side's estimate derives from the edge-sized relation, so the
-    // static planner never saw it as broadcastable, and the cached
-    // edge side has no query-stage boundary for AQE to replan around).
-    // The explicit hint is structural, not a tuning constant: share is
-    // |nodes| rows by construction (the same bound that lets ranks
-    // drive a driver loop at all), so broadcasting it is valid at any
-    // scale this loop runs. Sum order is irrelevant to the integer
-    // aggregation, so results are bit-identical.
+    // static planner never saw it as small, and the cached edge side
+    // has no query-stage boundary for AQE to replan around; the cached
+    // src-partitioning removed the exchange but an SMJ still SORTS).
+    // The fix is the explicit SHUFFLE_HASH hint on the node-sized
+    // share: the edge side reuses the cached partitioning (no
+    // exchange, no sort — ShuffledHashJoin builds a hash table from
+    // the share partition instead), so a round's only wide ops are
+    // two node-sized exchanges (ranks into the share join, partials
+    // out of the dst groupBy). An earlier r13 draft used
+    // broadcast(share) — same sort-kill, measured equal here — but
+    // the share is |nodes|-proportional, so the broadcast GROWS with
+    // the corpus (BroadcastAudit flagged it 10.0x at the rehearsal
+    // point) while the hinted shuffle build is per-partition and
+    // scale-invariant. Sum order is irrelevant to the integer
+    // aggregation, so results are bit-identical either way.
     for (_ <- 1 to iters) {
       val share = deg.join(ranks, col("src") === col("node"))
         .selectExpr("src AS s_src", "rank_e6 div deg AS contrib")
-      ranks = e.join(broadcast(share), col("src") === col("s_src"))
+      ranks = e.join(share.hint("SHUFFLE_HASH"), col("src") === col("s_src"))
         .groupBy(col("dst")).agg(sum(col("contrib")).as("inb"))
         .selectExpr("dst AS node", "150000L + (85L * inb) div 100L AS rank_e6")
     }

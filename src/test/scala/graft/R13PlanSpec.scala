@@ -51,19 +51,23 @@ class R13PlanSpec extends SparkSpec {
         "top-16 filter no longer pushes into the window sort")
   }
 
-  test("graph_pagerank: per-round share join broadcasts, never sort-merges") {
+  test("graph_pagerank: per-round share join shuffle-hashes, never sort-merges") {
     // AQE planned e ⋈ share as SortMergeJoin (the share's size estimate
     // derives from the edge-sized relation, and the cached edge side
     // offers no query-stage boundary to replan around), fully sorting
-    // the edge cache every round. The broadcast(share) hint is the
-    // structural fix; ranks' returned plan carries the last round's
-    // join, so a lost hint shows up here as a SortMergeJoin.
+    // the edge cache every round. The SHUFFLE_HASH hint on the
+    // node-sized share is the structural fix — the src-partitioned
+    // edge cache satisfies the join's distribution, so a round moves
+    // no edge bytes and sorts nothing (and unlike the broadcast(share)
+    // draft, the build is per-partition: nothing grows with |nodes|).
+    // ranks' returned plan carries the last round's join, so a lost
+    // hint shows up here as a SortMergeJoin.
     val nodes = executedNodes("graph_pagerank")
     assert(nodes.collect { case s: SortMergeJoinExec => s }.isEmpty,
       "graph_pagerank's executed plan sort-merge-joins — the " +
-        "broadcast(share) hint regressed")
-    assert(nodes.collect { case b: BroadcastHashJoinExec => b }.nonEmpty,
-      "graph_pagerank's executed plan has no broadcast join at all — " +
+        "SHUFFLE_HASH share hint regressed")
+    assert(nodes.collect { case j: ShuffledHashJoinExec => j }.nonEmpty,
+      "graph_pagerank's executed plan has no shuffled hash join — " +
         "plan shape changed out from under the round-13 lock")
   }
 
