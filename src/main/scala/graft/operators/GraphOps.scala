@@ -246,12 +246,13 @@ object GraphOps {
     // the share partition instead), so a round's only wide ops are
     // two node-sized exchanges (ranks into the share join, partials
     // out of the dst groupBy). An earlier r13 draft used
-    // broadcast(share) — same sort-kill, measured equal here — but
-    // the share is |nodes|-proportional, so the broadcast GROWS with
-    // the corpus (BroadcastAudit flagged it 10.0x at the rehearsal
-    // point) while the hinted shuffle build is per-partition and
-    // scale-invariant. Sum order is irrelevant to the integer
-    // aggregation, so results are bit-identical either way.
+    // broadcast(share) — same sort-kill, and ~0.4 s / ~16 CPU-s
+    // cheaper at sf0.1 on local[32] (one shared broadcast table vs 32
+    // per-partition builds) — but the share is |nodes|-proportional,
+    // so the broadcast GROWS with the corpus (BroadcastAudit flagged
+    // it 10.0x at the rehearsal point) while the hinted shuffle build
+    // is per-partition and scale-invariant. Sum order is irrelevant to
+    // the integer aggregation, so results are bit-identical either way.
     for (_ <- 1 to iters) {
       val share = deg.join(ranks, col("src") === col("node"))
         .selectExpr("src AS s_src", "rank_e6 div deg AS contrib")
