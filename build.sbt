@@ -31,6 +31,23 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// SPARK_DRIVER_MEM parsed to bytes with Bench.parseMemBytes's grammar
+// (suffix k/m/g/t or a plain byte count; malformed → the 8g default).
+val driverMemBytes: Long = {
+  val raw = sys.env.getOrElse("SPARK_DRIVER_MEM", "8g").trim.toLowerCase
+  val default = 8L << 30
+  try {
+    if (raw.isEmpty) default
+    else raw.last match {
+      case 'k' => raw.init.trim.toLong << 10
+      case 'm' => raw.init.trim.toLong << 20
+      case 'g' => raw.init.trim.toLong << 30
+      case 't' => raw.init.trim.toLong << 40
+      case _   => raw.toLong
+    }
+  } catch { case _: Throwable => default }
+}
+val youngCapBytes: Long = math.min(driverMemBytes / 3, (8L << 30) / 3)
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
@@ -54,4 +71,17 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // the measured +12%-wall regression the pin exists to prevent.
   s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
   "-XX:+UseParallelGC",
+  // Pin the young generation to the PROVEN 8g-regime geometry
+  // (young = min(heap/3, 8g/3)) for every forked JVM, mirroring
+  // Bench.youngCapBytes. Without the pin, a large exported
+  // SPARK_DRIVER_MEM (the driver host exports ~88g) gives ParallelGC
+  // a ~22g default eden whose minor GCs burst for seconds (r11
+  // verdict, measured) — Bench re-execs itself to fix that at
+  // runtime, but the TEST JVM ran uncapped and BenchRegimeSpec's
+  // geometry asserts failed on the driver host (VERIFY_r13
+  // tests_ok=false). With the pin, tests and the graded runMain path
+  // are regime-clean at any SPARK_DRIVER_MEM, no re-exec needed. At
+  // the 8g default this is exactly ParallelGC's own NewRatio=2
+  // young size — a no-op.
+  s"-XX:MaxNewSize=${youngCapBytes}",
 )

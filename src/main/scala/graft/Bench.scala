@@ -455,6 +455,22 @@ object Bench {
     * merge — their walls carry the GC tax the regime machinery exists
     * to remove. Failed qids fast-fail and would poison the floor, so
     * the caller excludes them. */
+  /** Re-emit the per-query wall map as small independently-parseable
+    * JSON lines for the driver's fixed-size stdout tail capture (r13
+    * VERDICT ask #2). Entries are sorted cheapest-first so the chunks
+    * nearest EOF — the only ones a 2000-char tail can recover whole —
+    * carry the most expensive qids. 16 qids/chunk keeps every line
+    * ~400 chars: small enough that a cut chunk wastes little of the
+    * tail, large enough that the ~45-char line envelope amortizes. */
+  private[graft] def chunkQueryLines(entries: Seq[(String, Double)]): Seq[String] = {
+    val sorted = entries.sortBy { case (n, s) => (s, n) }
+    val groups = sorted.grouped(16).toSeq
+    val n = groups.size
+    groups.zipWithIndex.map { case (g, i) =>
+      val body = g.map { case (k, v) => f""""$k":$v%.3f""" }.mkString(",")
+      s"""{"metric":"queries_${i + 1}of$n","unit":"sec","queries":{$body}}"""
+    }
+  }
   /** Parse a minima file body into (head, sweeps, per-qid floor).
     * Deliberately regex-based (no JSON lib dependency in the graded
     * main) and total: any malformed input degrades to the empty floor,
@@ -963,6 +979,18 @@ object Bench {
     // per-query map on its OWN line (full stdout + sibling file carry
     // it; it is too long for the driver's 2000-char tail capture)...
     println(s"""{"metric":"queries","queries":$perQuery}""")
+    // ...then the SAME map re-emitted in small independently-parseable
+    // chunks (r13 VERDICT ask #2: PERF n_common was 0 because the one
+    // 4 KB queries line never fit the 2000-char tail). Full fidelity in
+    // the tail is impossible — the 189 qid names alone are 2273 chars —
+    // so the chunks are ordered cheapest-first, putting the expensive
+    // qids (the ones a perf comparison needs most) in the chunks
+    // nearest EOF, which is the suffix a fixed-size tail capture
+    // actually recovers. Complete map: the queries line above + the
+    // BENCH_QUERIES_LATEST.json sibling.
+    if (only.isEmpty)
+      chunkQueryLines(results.collect { case r if r.err.isEmpty => r.name -> r.sec })
+        .foreach(println)
     // ...and ONE SHORT parseable line LAST (driver contract): round 5
     // inlined the 180-entry map here, the line outgrew the tail
     // capture, and BENCH_r05 came back parsed:null. Keep this line

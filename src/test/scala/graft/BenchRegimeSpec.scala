@@ -51,16 +51,19 @@ class BenchRegimeSpec extends AnyFunSuite {
     assert(sized, "detector says heap is under the SPARK_DRIVER_MEM target")
   }
 
-  test("young-gen geometry: this 8g JVM is in-band, the cap mirrors it") {
+  test("young-gen geometry: this forked JVM is in-band, the cap mirrors it") {
     // r12: the r11 graded run passed the detector at an 88 GiB heap
     // whose default ~22g eden burst for seconds per minor GC. The
-    // detector now also checks eden; this forked JVM runs the PROVEN
-    // 8g geometry (eden ≈ 2.2g), so it must read in-band — and the
-    // re-exec young cap must equal that proven geometry (8g/3), never
-    // scale past it with a larger SPARK_DRIVER_MEM.
+    // detector now also checks eden. r14: build.sbt pins
+    // -XX:MaxNewSize=min(heap/3, 8g/3) on EVERY forked JVM, so this
+    // test JVM runs the proven geometry (eden ≈ 2.2g) at ANY exported
+    // SPARK_DRIVER_MEM — r13's driver run exported ~88g and the
+    // then-uncapped test JVM's ~22g eden failed these asserts. The
+    // re-exec young cap must equal that proven geometry (8g/3),
+    // never scale past it with a larger SPARK_DRIVER_MEM.
     val eden = Bench.edenMaxBytes
     assert(eden > 0, "eden pool not found on ParallelGC — detection broken")
-    assert(eden <= (3L << 30), f"this 8g JVM's eden (${eden / 1e9}%.1f GB) out of band")
+    assert(eden <= (3L << 30), f"this JVM's eden (${eden / 1e9}%.1f GB) out of band — MaxNewSize pin missing?")
     assert(Bench.youngOk(), "the proven 8g geometry must pass youngOk")
     assert(Bench.youngCapBytes <= (8L << 30) / 3, "young cap exceeds the proven geometry")
     assert(Bench.youngCapBytes > 0)
@@ -149,5 +152,37 @@ class BenchRegimeSpec extends AnyFunSuite {
     // forked JVMs; at least one non-filtered argument must survive
     // (r11 dropped every parent -D except two hardcoded ones)
     assert(fwd.nonEmpty, "expected this forked JVM's launch args to forward")
+  }
+
+  test("chunkQueryLines: lossless, cheapest-first, tail-sized lines") {
+    // r14 (r13 VERDICT ask #2): the per-query map re-emitted in small
+    // chunks so the driver's 2000-char stdout tail recovers the
+    // expensive suffix instead of nothing. Lossless union, every line
+    // independently parseable and short, cheap qids first.
+    val entries = (1 to 189).map(i => (f"qid_$i%03d", i / 100.0))
+    val shuffled = scala.util.Random.shuffle(entries)
+    val lines = Bench.chunkQueryLines(shuffled)
+    assert(lines.size == 12, s"expected ceil(189/16)=12 chunks, got ${lines.size}")
+    // every line is well under the tail budget and self-describing
+    lines.zipWithIndex.foreach { case (l, i) =>
+      assert(l.length < 600, s"chunk $i too long (${l.length}): $l")
+      assert(l.startsWith(s"""{"metric":"queries_${i + 1}of12","unit":"sec","queries":{"""))
+      assert(l.endsWith("}}"))
+    }
+    // lossless: parse entries back out of all chunks, compare to input
+    val entryRe = """"([^"]+)":([0-9.]+)""".r
+    val recovered = lines.flatMap { l =>
+      val body = l.substring(l.indexOf(""""queries":{""") + 11, l.length - 2)
+      entryRe.findAllMatchIn(body).map(m => m.group(1) -> m.group(2).toDouble)
+    }
+    assert(recovered.toMap == entries.toMap, "chunk union != input map")
+    // cheapest-first: the LAST chunk (nearest EOF, always recovered)
+    // carries the most expensive qids
+    assert(recovered == recovered.sortBy { case (n, s) => (s, n) },
+      "entries not in ascending-cost order across chunks")
+    assert(recovered.last._1 == "qid_189")
+    // degenerate inputs don't throw
+    assert(Bench.chunkQueryLines(Nil).isEmpty)
+    assert(Bench.chunkQueryLines(Seq("a" -> 1.0)).size == 1)
   }
 }
