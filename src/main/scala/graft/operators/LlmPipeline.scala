@@ -1479,7 +1479,7 @@ object LlmPipeline {
   /** sim_pq over an arbitrary (vec_id, embedding) relation — split out
     * so the bench prelude can warm the full PQ codegen chain (struct-
     * slice explode, group-limit window, two broadcast joins, the
-    * zip_with/aggregate distance HOF, min-struct argmin, ADC top-k) on
+    * zip_with/aggregate distance HOF, packed-long hash argmin, ADC top-k) on
     * toy vectors: the r8→r9 probe measured the registered query at
     * 5.23 s cold vs 1.66 s warm in one JVM — the driver delta was
     * first-run JIT, not the plan (PqPhaseProbe). */

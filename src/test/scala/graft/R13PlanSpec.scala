@@ -45,10 +45,16 @@ class R13PlanSpec extends SparkSpec {
     // fully sorted there. The rank-shaped filter must keep the pushed
     // group limit (partial before the exchange + final after) in the
     // executed plan.
+    // r14 (r13 ADVICE): match the CODEBOOK group limit specifically —
+    // limit 16 in Partial mode (the pre-exchange map-side keep). The
+    // final ADC top-5 (rk <= 5) also creates WindowGroupLimit nodes,
+    // so "some node exists" stayed green even if the codebook rn<=16
+    // pushdown regressed to the unfused full-sort shape.
     val wgl = executedNodes("sim_pq").collect { case w: WindowGroupLimitExec => w }
-    assert(wgl.nonEmpty,
-      "sim_pq's executed plan has no WindowGroupLimit — the codebook " +
-        "top-16 filter no longer pushes into the window sort")
+    assert(wgl.exists(w => w.limit == 16 && w.mode.toString == "Partial"),
+      "sim_pq's executed plan has no Partial-mode limit-16 WindowGroupLimit — " +
+        "the codebook top-16 filter no longer pushes into the window sort; " +
+        s"found: ${wgl.map(w => (w.limit, w.mode.toString))}")
   }
 
   test("graph_pagerank: per-round share join shuffle-hashes, never sort-merges") {
@@ -62,13 +68,27 @@ class R13PlanSpec extends SparkSpec {
     // draft, the build is per-partition: nothing grows with |nodes|).
     // ranks' returned plan carries the last round's join, so a lost
     // hint shows up here as a SortMergeJoin.
+    // r14 (r13 ADVICE + VERDICT ask #3): the share BUILD (deg ⋈ ranks)
+    // is now SHUFFLE_HASH-hinted too — it used to plan statically as
+    // SMJ and survive only via AQE's runtime broadcast conversion at
+    // fixture scale, so this lock's "no SMJ anywhere" was threshold-
+    // dependent. With both joins hinted the assertion is structural:
+    // a round must carry TWO shuffled hash joins (e ⋈ share and
+    // deg ⋈ ranks) and no sort-merge or broadcast join anywhere —
+    // every relation in the loop is edge- or node-proportional, so
+    // any broadcast here is the unbounded-build class BroadcastAudit
+    // rejects.
     val nodes = executedNodes("graph_pagerank")
     assert(nodes.collect { case s: SortMergeJoinExec => s }.isEmpty,
-      "graph_pagerank's executed plan sort-merge-joins — the " +
-        "SHUFFLE_HASH share hint regressed")
-    assert(nodes.collect { case j: ShuffledHashJoinExec => j }.nonEmpty,
-      "graph_pagerank's executed plan has no shuffled hash join — " +
-        "plan shape changed out from under the round-13 lock")
+      "graph_pagerank's executed plan sort-merge-joins — a " +
+        "SHUFFLE_HASH hint regressed")
+    assert(nodes.collect { case j: ShuffledHashJoinExec => j }.size >= 2,
+      "graph_pagerank's executed round has fewer than two shuffled hash " +
+        "joins — the e-side or share-build hint regressed")
+    assert(nodes.collect { case j: BroadcastHashJoinExec => j }.isEmpty,
+      "graph_pagerank's executed plan broadcast-joins — every relation " +
+        "in the loop grows with the corpus; a broadcast is the unbounded-" +
+        "build shape the r13 BroadcastAudit rejected")
   }
 
   test("join_skew_salt: the salted join shuffles, it does not broadcast") {
