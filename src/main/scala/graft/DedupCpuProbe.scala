@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Scratch diagnostic (r14): decompose the dedup family's two hot
+  * shared builds — simhashes (tokenize + 2 md5/(doc,tok) + UDAF) and
+  * shingleBase (tokenize + 3-gram explode) — into phase CPU, plus the
+  * cardinalities that decide whether a distinct-token hash pass can
+  * pay for its exchanges. Dev tool, not driver contract.
+  */
+object DedupCpuProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    def t[A](label: String)(f: => A): A = {
+      val c0 = osBean.getProcessCpuTime; val t0 = System.nanoTime()
+      val r = f
+      println(f"$label: wall=${(System.nanoTime() - t0) / 1e9}%.2f s " +
+        f"cpu=${(osBean.getProcessCpuTime - c0) / 1e9}%.1f s")
+      r
+    }
+    def h32(sexpr: String, seed: Int): String =
+      s"cast(conv(substring(md5(concat('$seed:', $sexpr)), 1, 8), 16, 10) as bigint)"
+    val docs = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .persist()
+    println(s"docs: ${docs.count()}")
+    // warm pass 0 then measured pass 1 (JIT)
+    for (pass <- 0 to 1) {
+      println(s"--- pass $pass")
+      val toks = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      t("A tok groups (tokenize+groupBy)")(
+        toks.write.format("noop").mode("overwrite").save())
+      t("B + 2 seeded md5 per (doc,tok)")(
+        toks.withColumn("h",
+          expr(s"shiftleft(${h32("tok", 7)} & 2147483647, 32) | ${h32("tok", 8)}"))
+          .write.format("noop").mode("overwrite").save())
+      t("C + xxhash64 instead (lower bound)")(
+        toks.withColumn("h", expr("xxhash64(tok)"))
+          .write.format("noop").mode("overwrite").save())
+      // word 3-gram shingles, current form
+      val w = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+      t("D shingles current (slice+concat_ws+distinct)")(
+        w.select(col("doc_id"), expr("explode(array_distinct(transform(" +
+          "sequence(1, greatest(size(w) - 2, 1)), " +
+          "i -> concat_ws(' ', slice(w, i, 3)))))").as("shingle"))
+          .write.format("noop").mode("overwrite").save())
+      t("E shingles concat+element_at variant")(
+        w.filter(size(col("w")) >= 3).select(col("doc_id"),
+          expr("explode(array_distinct(transform(" +
+            "sequence(1, size(w) - 2), " +
+            "i -> concat(element_at(w, i), ' ', element_at(w, i + 1), ' ', " +
+            "element_at(w, i + 2)))))").as("shingle"))
+          .write.format("noop").mode("overwrite").save())
+    }
+    val card = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .agg(count(lit(1)).as("occurrences"),
+        countDistinct(col("doc_id"), col("tok")).as("doc_tok"),
+        countDistinct(col("tok")).as("vocab")).head()
+    println(s"occurrences=${card.getLong(0)} doc_tok=${card.getLong(1)} vocab=${card.getLong(2)}")
+    spark.stop()
+  }
+}

@@ -17,10 +17,14 @@ object KnnProbe {
     val nB = sys.env.get("KNN_BUCKETINGS").map(_.toInt).getOrElse(8)
     val bSz = sys.env.get("KNN_BUCKET_SIZE").map(_.toInt).getOrElse(12) // = prod default
     val rounds = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(4, 5)
+    // r14: dirs overridable so the ladder can include the 10x rehearsal
+    // corpora (VERDICT r13 ask #4)
+    val dirs = sys.env.get("KNN_DIRS").map(_.split(",").toSeq).getOrElse(
+      Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1"))
     import graft.operators.LlmPipeline
     import graft.functions.VectorExprs
-    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
-        "/root/testdata/sf0.1"); r <- rounds) {
+    for (dir <- dirs; r <- rounds) {
       val t0 = System.nanoTime()
       val edges = LlmPipeline.knnGraphEdges(spark, dir, k, r, nB, bSz)
       val ev = graft.sources.Tables.embeddings(spark, dir)

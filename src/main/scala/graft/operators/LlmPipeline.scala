@@ -57,10 +57,25 @@ object LlmPipeline {
       // O(tokens²) character work per doc, and it was the dominant CPU
       // cost of every shingle-based query in round 1's bench.
       .select(col("doc_id"), split(col("text"), " ").as("w"))
+      // r14 (VERDICT r13 ask #5): concat(element_at×3) instead of
+      // concat_ws(' ', slice(w, i, 3)) — the slice allocates a 3-slot
+      // array and concat_ws walks it per shingle; three direct O(1)
+      // element_at reads into one 5-arg concat measured 2.5 vs 3.7
+      // warm CPU-s for the full sf0.1 explode (DedupCpuProbe, −32%).
+      // Row-identical by case analysis: for size(w) >= 3 both forms
+      // join w(i..i+2) with single spaces (concat_ws skips only
+      // NULLs, which split() never yields, so empty tokens from
+      // repeated spaces concatenate identically); for short/empty/
+      // null-text docs the explicit else-branch reproduces the old
+      // sequence(1, greatest(size-2, 1)) degenerate slice exactly:
+      // one shingle = concat_ws(' ', w) (the whole text; "" when w is
+      // NULL, matching concat_ws(' ', slice(NULL,..)) = "").
       .select(col("doc_id"),
-        expr("explode(array_distinct(transform(" +
-          "sequence(1, greatest(size(w) - 2, 1)), " +
-          "i -> concat_ws(' ', slice(w, i, 3)))))").as("shingle"))
+        expr("explode(array_distinct(if(size(w) >= 3, " +
+          "transform(sequence(1, size(w) - 2), " +
+          "i -> concat(element_at(w, i), ' ', element_at(w, i + 1), ' ', " +
+          "element_at(w, i + 2))), " +
+          "array(concat_ws(' ', w)))))").as("shingle"))
 
   private val oShingles =
     """SELECT DISTINCT doc_id, unnest(list_transform(
@@ -1948,7 +1963,7 @@ object LlmPipeline {
     * construction — sequential-insertion HNSW does not map to a bulk
     * engine, neighbor-of-neighbor refinement does). Start from a
     * geometry-free deterministic expander init (cosine top-k within
-    * EIGHT independent md5 bucketings — one bucketing's components are
+    * SIX independent md5 bucketings — one bucketing's components are
     * closed under neighbor-of-neighbor and descent could never leave
     * them; the union mixes), then iterate 4 rounds: candidates =
     * neighbors-of-neighbors over the symmetrized graph, keep the best
@@ -1962,8 +1977,8 @@ object LlmPipeline {
     * EXACT cosine top-5 of the query band (vec_id < 30, fully
     * DuckDB-oracle-able) plus `recall_ok` — the NN-Descent graph's
     * out-edges recovered ≥ 60% of those exact neighbors. Deterministic
-    * (seeded hashes, total-order tie-breaks), measured 0.91 / 0.93 /
-    * 0.73 at sf0.001/0.01/0.1. The fixture embeddings are uniform
+    * (seeded hashes, total-order tie-breaks), measured 0.91 / 0.95 /
+    * 0.75 at sf0.001/0.01/0.1 (B=6 init, r14). The fixture embeddings are uniform
     * random — NO metric clustering — which is NN-Descent's worst case
     * (neighbor-of-neighbor carries no signal beyond sampling); on real
     * clustered embeddings the same loop converges far faster, so the
@@ -1974,7 +1989,7 @@ object LlmPipeline {
   /** The NN-Descent loop itself: returns the directed k-NN graph
     * (src, dst, cos). Shared by the qid and its diagnostics. */
   private[graft] def knnGraphEdges(spark: SparkSession, dir: String,
-      k: Int, rounds: Int, bucketings: Int = 8, bucketSize: Int = 12,
+      k: Int, rounds: Int, bucketings: Int = 6, bucketSize: Int = 12,
       capRows: Option[Int] = None): DataFrame = {
     // capRows is the bench-prelude warm hook ONLY: a tiny corpus slice
     // drives the production loop end to end so its codegen shapes
@@ -2011,7 +2026,7 @@ object LlmPipeline {
     // Init must MIX: a single bucketing's components are closed under
     // neighbor-of-neighbor (each bucket's out-edges stay in-bucket, so
     // descent can never leave its seed component — measured: recall
-    // collapsed to ~1%). The union of EIGHT independent md5 bucketings
+    // collapsed to ~1%). The union of SIX independent md5 bucketings
     // is an expander — the deterministic analog of the paper's random
     // init — and two hops already cross bucketings. The bucket COUNT
     // scales with n so bucket size stays ~12 constant: a fixed fan-out
@@ -2022,6 +2037,15 @@ object LlmPipeline {
     // init volume — more, smaller buckets mix the expander better per
     // scored pair. 8 and 10 were probed too (0.67/0.68 at sf0.1) —
     // the knee is at 12.
+    // Bucketing COUNT re-laddered in r14 (VERDICT r13 ask #4, KnnProbe
+    // at rounds=4 over sf0.001/0.01/0.1 + the x1/x10 rehearsal
+    // corpora): B=6 recalls 0.91/0.95/0.75 (x10 0.94) — at or above
+    // B=8's 0.91/0.93/0.73 (x10 0.98) everywhere native — while B=5
+    // (0.66) and B=4 (0.62) thin out at sf0.1, and at rounds=3 NO
+    // init (B up to 12, size to 16) clears 0.66; k=10 fails the gate
+    // outright (0.57). So B=6 is the knee: 25% less init join+score
+    // volume (the corpus-proportional stage) at equal-or-better
+    // recall, and rounds stay at 4.
     // (The one count() is the same driver-scalar the iterative
     // trainers use for loop control — not per-row collection.) Round 7
     // folded the eight per-seed self-joins into ONE join on the
@@ -2146,8 +2170,9 @@ object LlmPipeline {
     * keep the top-b by exact cosine to each query. Returns (qid, cid,
     * cos) — the beam's final top-b per query. LlmPipelineSpec asserts
     * recall ≥ 0.85 of the exact top-5 (k=12/rounds=4/beam=48/hops=8
-    * measured 1.00/0.99/0.93 at sf0.001/0.01/0.1 via graft.RecallProbe
-    * on the round-7 size-12-init graph, up from 0.98/0.98/0.91 on the
+    * measured 1.00/1.00/0.95 at sf0.001/0.01/0.1 via graft.RecallProbe
+    * on the r14 B=6 size-12-init graph, up from 1.00/0.99/0.93 on the
+    * r7 B=8 graph and 0.98/0.98/0.91 on the
     * size-16 graph — uniform-random fixtures, the descent-graph worst
     * case); a
     * capability method rather than a qid so the bench doesn't pay a
@@ -2196,12 +2221,14 @@ object LlmPipeline {
   def simKnnGraph(spark: SparkSession, dir: String): DataFrame = {
     val nQ = AnnQueryBand
     val topQ = 5
-    // rounds=4: measured recall 0.91/0.93/0.73 at the three SFs with
-    // the size-12 init (rounds=5 at the old size-16 init measured
-    // 0.90/0.93/0.73 for a full extra round of wall time; rounds=3 at
-    // size 12 is 0.63, a 5-hit margin — too thin). 4 keeps a 20-hit
-    // margin and was this round's single biggest bench cut together
-    // with the 2-wide-ops round body (KnnProbe ladder, docs/TODO_r7.md)
+    // rounds=4: measured recall 0.91/0.95/0.75 at the three SFs with
+    // the size-12 B=6 init (r14 ladder; the r7 B=8 figures were
+    // 0.91/0.93/0.73; rounds=5 at the old size-16 init measured
+    // 0.90/0.93/0.73 for a full extra round of wall time; rounds=3 is
+    // 0.63–0.66 at EVERY init probed up to B=12/size 16 — too thin).
+    // 4 keeps a 23-hit margin and was the r7 round's single biggest
+    // bench cut together with the 2-wide-ops round body (KnnProbe
+    // ladder, docs/TODO_r7.md; r14 B ladder in OPTIMIZATION_r14.md)
     val edges = knnGraphEdges(spark, dir, k = 12, rounds = 4)
     // The exact top-5 twin is the SAME relation the IVF family already
     // materializes: the full-probe (nprobe = nCells) candidate set is

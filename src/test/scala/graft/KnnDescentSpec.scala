@@ -39,7 +39,7 @@ class KnnDescentSpec extends SparkSpec {
         Window.partitionBy("src").orderBy(col("cos").desc, col("dst"))))
       .filter(col("rk") <= k).select(col("src"), col("dst"), col("cos"))
     val nBuckets = math.max(1L, ev.count() / 12L) // = knnGraphEdges' default bucketSize
-    val initCand = (1 to 8).map { s =>
+    val initCand = (1 to 6).map { s => // = knnGraphEdges' default bucketings (r14: 6)
       val withB = ev.select(col("vec_id"),
         expr(s"pmod(${h32("vec_id", 100 + s)}, $nBuckets)").as("b"))
       withB.select(col("vec_id").as("src"), col("b"))
