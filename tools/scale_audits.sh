@@ -46,6 +46,10 @@ echo "== BroadcastAudit (hinted mode — the decisive one)"
 SPARK_GRAFT_NO_BCAST=1 $RUN graft.BroadcastAudit 2>/dev/null \
   | tee "$OUT/broadcast_hinted.log" | tail -3
 
+echo "== ShjBuildAudit (SHJ build bytes/partition, width-scaled 1x->10x)"
+$RUN graft.ShjBuildAudit 2>/dev/null \
+  | tee "$OUT/shj_build.log" | tail -4
+
 echo "== SerialStageAudit (default + scale-path)"
 $RUN graft.SerialStageAudit 2>/dev/null \
   | tee "$OUT/serial_default.log" | tail -10
