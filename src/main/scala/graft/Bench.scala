@@ -584,6 +584,14 @@ object Bench {
       catch { case _: Throwable => () }
     }
     spark.sparkContext.setLogLevel("WARN")
+    // Scratch lifecycle (r14, VERDICT r13 ask #8): bound graft_scratch
+    // growth before the run — dead-pid transport/checkpoint dirs and
+    // >48 h-stale corpus staging go now, untimed. See Scratch.cleanupStale
+    // for the _DONE-marker race discussion.
+    locally {
+      val n = Scratch.cleanupStale()
+      if (n > 0) BuildLog.log(s"scratch cleanup: removed $n stale graft_* entries")
+    }
     // Warm the session once (codegen compiler, broadcast/shuffle thread
     // pools, parquet reader init) so the first measured query isn't
     // charged several seconds of one-time JVM setup, and build the

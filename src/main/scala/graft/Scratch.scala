@@ -48,4 +48,75 @@ object Scratch {
     * the java.io.tmpdir system property in scratch paths. */
   lazy val tmpRoot: String =
     fastRoot.getOrElse(System.getProperty("java.io.tmpdir"))
+
+  /** Owner pid of a per-process scratch entry, if the name carries one
+    * (graft_transport_<pid>_..., graft_chk_<pid>_...). */
+  private val PidName = "graft_(?:transport|chk)_([0-9]+)(?:_.*)?".r
+  private[graft] def pidOf(name: String): Option[Long] = name match {
+    case PidName(p) => p.toLongOption
+    case _ => None
+  }
+
+  /** Bound graft_scratch growth (r14, VERDICT r13 ask #8). Everything
+    * under [[tmpRoot]] named graft_* is rebuildable staging, but two
+    * classes used to accumulate forever on a long-lived host:
+    * per-process dirs (graft_transport_<pid>_*, leaked checkpoint dirs
+    * from crashed runs) — one per JVM ever run — and corpus-keyed
+    * staging whose corpus was regenerated under a new key (the
+    * per-source supersede logic only covers the same source). This
+    * pass deletes (a) pid-keyed entries whose owner process is dead —
+    * immediately safe, the owner is the only JVM that ever reads its
+    * own transport/checkpoint staging — and (b) any other graft_*
+    * entry older than `maxAgeMillis` (default 48 h).
+    *
+    * The _DONE-marker race, documented: corpus-keyed staging dirs are
+    * written by the first JVM to need them and gated on a _DONE/marker
+    * file; a CONCURRENT second JVM that loses the staging race re-reads
+    * or re-stages on miss, so deletion is always recoverable — but
+    * deleting a dir another live JVM is mid-read fails that JVM's one
+    * query. The age bound is the mitigation: reads don't refresh mtime,
+    * so the bound must exceed any plausible gap between a host's
+    * staging and its last use (48 h ≫ the minutes a bench/verify run
+    * lives). graft_scale (the rehearsal corpora, minutes to resynth)
+    * is excluded outright.
+    *
+    * Returns the number of entries deleted. Injectable root/clock/
+    * liveness for the unit test. */
+  def cleanupStale(root: java.nio.file.Path = java.nio.file.Paths.get(tmpRoot),
+      maxAgeMillis: Long = 48L * 3600 * 1000,
+      now: Long = System.currentTimeMillis(),
+      isAlive: Long => Boolean =
+        pid => ProcessHandle.of(pid).map[Boolean](_.isAlive).orElse(false)): Int = {
+    import scala.jdk.CollectionConverters._
+    val self = ProcessHandle.current().pid()
+    var deleted = 0
+    try {
+      val listing = java.nio.file.Files.list(root)
+      val entries =
+        try listing.iterator().asScala.toSeq finally listing.close()
+      entries.foreach { p =>
+        val name = p.getFileName.toString
+        val owned = name.startsWith("graft_") && name != "graft_scale"
+        if (owned) {
+          val stale = pidOf(name) match {
+            case Some(pid) => pid != self && !isAlive(pid)
+            case None =>
+              try java.nio.file.Files.getLastModifiedTime(p).toMillis <
+                now - maxAgeMillis
+              catch { case _: Throwable => false }
+          }
+          if (stale) {
+            try {
+              val files = java.nio.file.Files.walk(p)
+              try files.iterator().asScala.toSeq.reverseIterator
+                .foreach(f => java.nio.file.Files.deleteIfExists(f))
+              finally files.close()
+              deleted += 1
+            } catch { case _: Throwable => () } // another JVM won the race
+          }
+        }
+      }
+    } catch { case _: Throwable => () } // unreadable root: nothing to bound
+    deleted
+  }
 }
